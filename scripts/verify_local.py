@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/verify_local.py [sfdir] [outdir]
+
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran (or run
+with --run to invoke it). For each query result parquet under outdir,
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+fixture tables, canonicalizes both sides (columns sorted by name, rows
+sorted by all columns, values stringified) and diffs.
+"""
+import json, os, subprocess, sys
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted(tuple(canon_val(v) for v in row) for row in df.itertuples(index=False))
+    return cols, rows
+
+
+def canon_val(v):
+    if v is None:
+        return "NULL"
+    try:
+        import math
+        if isinstance(v, float) and math.isnan(v):
+            return "NULL"
+    except Exception:
+        pass
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def main():
+    if "--run" in sys.argv:
+        subprocess.run(["sbt", "-client", f'runMain graft.Verify {SFDIR} {OUTDIR}'],
+                       check=True, cwd="/root/repo")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+    with open(os.path.join(OUTDIR, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    results = {}
+    names = sorted(d for d in os.listdir(OUTDIR)
+                   if os.path.isdir(os.path.join(OUTDIR, d)))
+    for name in names:
+        got_cols, got = canon(con, f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
+            continue
+        try:
+            exp_cols, exp = canon(con, oracles[name])
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if got_cols != exp_cols:
+            results[name] = f"SCHEMA_MISMATCH spark={got_cols} oracle={exp_cols}"
+        elif len(got) != len(exp):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(got)} oracle={len(exp)}"
+        elif got != exp:
+            bad = next(i for i, (a, b) in enumerate(zip(got, exp)) if a != b)
+            results[name] = f"VALUE_MISMATCH first at row {bad}:\n  spark={got[bad]}\n  duck ={exp[bad]}"
+        else:
+            results[name] = f"OK rows={len(got)}"
+    missing = set(oracles) - set(names)
+    for m in sorted(missing):
+        results[m] = "NO_RESULT_PARQUET"
+    width = max(len(n) for n in results)
+    nok = 0
+    for n in sorted(results):
+        ok = results[n].startswith("OK") or results[n].startswith("ROWS_ONLY rows=") and "EMPTY" not in results[n]
+        nok += ok
+        print(f"{'PASS' if ok else 'FAIL'} {n:<{width}} {results[n]}")
+    print(f"== {nok}/{len(results)} pass")
+    sys.exit(0 if nok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
