@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Ids, Rules}
-import graft.operators.RuleClassifier
+import graft.operators.{Pipeline, RuleClassifier}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,6 +38,45 @@ object SparkEntry {
     registry.collect { case (k, (_, Some(sql))) => k -> sql }
 
   private type Q = (SparkSession, String) => DataFrame
+
+  /** Hand-expanded SQL predicate for each fixture rule (must mirror
+    * RuleClassifier.fixtureRules through kafka_s.py:243-245 parse
+    * semantics). `t` is the title column reference. */
+  private def rulePred(t: String, id: Int): String = id match {
+    case 1 => s"((contains($t,'join') AND contains($t,'filter')) OR contains($t,'stream')) AND NOT contains($t,'slow')"
+    case 2 => s"contains($t,'window') AND contains($t,'sort')"
+    case 3 => s"contains($t,'hash') AND contains($t,'scan') AND contains($t,'merge') AND NOT (contains($t,'slow') OR contains($t,'error'))"
+    case 4 => s"contains($t,'spark') AND NOT contains($t,'batch&query')"
+    case 5 => s"((contains($t,'group ') AND contains($t,' data')) OR (contains($t,'key') AND contains($t,'value'))) AND NOT contains($t,'customer')"
+  }
+
+  /** DuckDB twin of the uuid-v3 bit layout over a 32-char md5 hex column. */
+  private def uuidBitsSql(h: String): String =
+    s"substr($h,1,12) || '3' || substr($h,14,3) || " +
+      s"substr('89ab89ab89ab89ab', instr('0123456789abcdef', substr($h,17,1)), 1) || " +
+      s"substr($h,18,15)"
+
+  private def ruleJoinCondSql(t: String): String =
+    (1 to 5).map(i => s"(r.id=$i AND (${rulePred(t, i)}))").mkString("\n OR ")
+
+  private val emoLabelSql =
+    "CASE r.emoScore WHEN 1 THEN '正向' WHEN -1 THEN '负向' WHEN 0 THEN '中性' END"
+  private val impLabelSql =
+    "CASE WHEN r.impScore IN (1,2,3) THEN '相对不重要' WHEN r.impScore=4 THEN '重要' " +
+      "WHEN r.impScore=5 THEN '非常重要' END"
+
+  /** VALUES literal of the fixture rules for the oracle (id + output cols). */
+  private def rulesValuesSql: String =
+    RuleClassifier.fixtureRules.map { r =>
+      s"(CAST(${r.id} AS BIGINT),'${r.firstLevelCode}','${r.firstLevelName}'," +
+        s"'${r.secondLevelCode}','${r.secondLevelName}','${r.threeLevelCode}'," +
+        s"'${r.threeLevelName}','${r.fourLevelCode}','${r.fourLevelName}'," +
+        s"'${r.cfEventCode}','${r.eventCode}','${r.eventName}'," +
+        s"CAST(${r.emoScore} AS INT),CAST(${r.impScore} AS INT))"
+    }.mkString(
+      "(VALUES ", ",\n", ") AS r(id, firstLevelCode, firstLevelName, secondLevelCode, " +
+        "secondLevelName, threeLevelCode, threeLevelName, fourLevelCode, fourLevelName, " +
+        "cfEventCode, eventCode, eventName, emoScore, impScore)")
 
   /** name -> (spark impl, optional DuckDB oracle). */
   private lazy val registry: Map[String, (Q, Option[String])] = Map(
@@ -160,27 +199,11 @@ object SparkEntry {
           col("emoScore"), col("impScore"),
           Rules.emoLabel(col("emoScore")).as("emoLabel"),
           Rules.impLabel(col("impScore")).as("impLabel"))
-    }, Some {
-      // predicates mirror RuleClassifier.fixtureRules through the parse
-      // semantics of kafka_s.py:243-245 (strip disjuncts, keep `&`-part
-      // whitespace, never split filterRules on '&').
-      val rules = Seq(
-        ("1", "E01", "流处理事件", 1, 4, "正向", "重要",
-          "((contains(text,'join') AND contains(text,'filter')) OR contains(text,'stream')) AND NOT contains(text,'slow')"),
-        ("2", "E02", "窗口排序事件", 0, 3, "中性", "相对不重要",
-          "contains(text,'window') AND contains(text,'sort')"),
-        ("3", "E03", "哈希扫描事件", -1, 5, "负向", "非常重要",
-          "contains(text,'hash') AND contains(text,'scan') AND contains(text,'merge') AND NOT (contains(text,'slow') OR contains(text,'error'))"),
-        ("4", "E04", "引擎事件", 1, 2, "正向", "相对不重要",
-          "contains(text,'spark') AND NOT contains(text,'batch&query')"),
-        ("5", "E05", "键值事件", 0, 1, "中性", "相对不重要",
-          "((contains(text,'group ') AND contains(text,' data')) OR (contains(text,'key') AND contains(text,'value'))) AND NOT contains(text,'customer')"))
-      rules.map { case (id, ec, en, emo, imp, emoL, impL, pred) =>
-        s"""SELECT doc_id, CAST($id AS BIGINT) AS rule_id, '$ec' AS eventCode,
-           '$en' AS eventName, CAST($emo AS INT) AS emoScore, CAST($imp AS INT) AS impScore,
-           '$emoL' AS emoLabel, '$impL' AS impLabel FROM documents WHERE $pred"""
-      }.mkString("\n UNION ALL \n")
-    })),
+    }, Some(s"""
+      SELECT d.doc_id, r.id AS rule_id, r.eventCode, r.eventName,
+        r.emoScore, r.impScore, $emoLabelSql AS emoLabel, $impLabelSql AS impLabel
+      FROM documents d JOIN $rulesValuesSql
+      ON ${ruleJoinCondSql("d.text")}"""))),
 
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
@@ -196,6 +219,75 @@ object SparkEntry {
           || substr('89ab89ab89ab89ab', instr('0123456789abcdef', substr(h,17,1)), 1)
           || substr(h,18,15) AS det_id
       FROM (SELECT doc_id, md5(text || '|' || source) AS h FROM documents)"""))),
+
+    // O25: key-based dedup, deterministic first-per-key form
+    // (kafka_s.py:614-630 dedups on onlyId at the Mongo sink).
+    "p08_dedup_first" -> (((s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dups"))
+    }, Some("""
+      SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups
+      FROM events GROUP BY user_id, event_type"""))),
+
+    // O4-O22 chained: the full announcement pipeline — normalize, broadcast
+    // name-dim left join (null on miss), industry join + pivot with ''
+    // defaults, rule classify, labels, uuid ids, constants, 34-col output.
+    "p09_pipeline_e2e" -> (((s: SparkSession, d: String) => {
+      Pipeline.announcements(s, Tables.documents(s, d), RuleClassifier.rulesDim(s))
+    }, Some(s"""
+      WITH ev AS (
+        SELECT doc_id, source AS cmpShortName, CAST(doc_id AS VARCHAR) AS cmpCode,
+          text AS title,
+          strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND,
+                   '%Y-%m-%d %H:%M:%S') AS pubTime,
+          'http://doc/' || CAST(doc_id AS VARCHAR) AS srcUrl
+        FROM documents),
+      ind_p AS (
+        SELECT compName,
+          max(CASE WHEN constCode=3 THEN constValueDesc END) AS firstIndustry,
+          max(CASE WHEN constCode=3 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS firstIndustryCode,
+          max(CASE WHEN constCode=4 THEN constValueDesc END) AS secondIndustry,
+          max(CASE WHEN constCode=4 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS secondIndustryCode,
+          max(CASE WHEN constCode=5 THEN constValueDesc END) AS threeIndustry,
+          max(CASE WHEN constCode=5 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS threeIndustryCode
+        FROM ${Pipeline.industryDimSql} GROUP BY compName),
+      enr AS (
+        SELECT ev.*, name_dim.all_name AS companyName,
+          ind_p.firstIndustry, ind_p.firstIndustryCode,
+          ind_p.secondIndustry, ind_p.secondIndustryCode,
+          ind_p.threeIndustry, ind_p.threeIndustryCode
+        FROM ev
+        LEFT JOIN ${Pipeline.nameDimSql} ON ev.cmpShortName = name_dim.short_name
+        LEFT JOIN ind_p ON name_dim.all_name = ind_p.compName),
+      m AS (
+        SELECT e.*, r.*
+        FROM enr e JOIN $rulesValuesSql
+        ON ${ruleJoinCondSql("e.title")}),
+      withyq AS (
+        SELECT m.*, ${uuidBitsSql("md5(title || srcUrl || pubTime)")} AS yqid FROM m),
+      withonly AS (
+        SELECT w.*,
+          ${uuidBitsSql("md5(yqid || coalesce(companyName,'') || eventCode)")} AS onlyId
+        FROM withyq w)
+      SELECT yqid, onlyId, cmpShortName, coalesce(companyName,'') AS companyName,
+        cmpCode,
+        '' AS bondShortName, '' AS bondCode, '' AS bondFullName,
+        coalesce(firstIndustry,'') AS firstIndustry,
+        coalesce(firstIndustryCode,'') AS firstIndustryCode,
+        coalesce(secondIndustry,'') AS secondIndustry,
+        coalesce(secondIndustryCode,'') AS secondIndustryCode,
+        coalesce(threeIndustry,'') AS threeIndustry,
+        coalesce(threeIndustryCode,'') AS threeIndustryCode,
+        firstLevelCode, firstLevelName, secondLevelCode, secondLevelName,
+        threeLevelCode, threeLevelName, fourLevelCode,
+        coalesce(fourLevelName,'') AS fourLevelName,
+        eventCode, eventName,
+        emoScore, $emoLabelSql AS emoLabel,
+        impScore, $impLabelSql AS impLabel,
+        '巨潮资讯网' AS webname, '新三板公告' AS srcType,
+        srcUrl, pubTime, title
+      FROM withonly r"""))),
 
     // O10: dim change-detection probe — count(*) WHERE ts >= last-check
     // (kafka_s.py:198-219).
