@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Ids, Rules}
-import graft.operators.{Pipeline, RuleClassifier}
+import graft.functions.{Ids, Rules, Text}
+import graft.operators.{Dedup, Pipeline, RuleClassifier, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,25 @@ object SparkEntry {
   private val impLabelSql =
     "CASE WHEN r.impScore IN (1,2,3) THEN '相对不重要' WHEN r.impScore=4 THEN '重要' " +
       "WHEN r.impScore=5 THEN '非常重要' END"
+
+  /** Left-fold sum as nested SQL — mirrors Spark's `aggregate(..., acc+x)`
+    * evaluation order exactly, so double results are bit-identical. */
+  private def foldSql(terms: Seq[String]): String =
+    terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+
+  /** Unrolled cosine(embedding, queryVec) for the DuckDB oracle. */
+  private def annCosSql: String = {
+    val dot = foldSql((1 to 64).map(i =>
+      s"(CAST(embedding[$i] AS DOUBLE) * ${Similarity.queryVec(i - 1)})"))
+    val ee = foldSql((1 to 64).map(i =>
+      s"(CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE))"))
+    val qq = BigDecimal(Similarity.queryVec.map(x => x * x).sum)
+      .underlying.toPlainString
+    s"($dot / (sqrt($ee) * sqrt($qq)))"
+  }
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val stopListSql = Text.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   /** VALUES literal of the fixture rules for the oracle (id + output cols). */
   private def rulesValuesSql: String =
@@ -312,5 +331,101 @@ object SparkEntry {
     // O27: running event counter → per-type counts.
     "p12_event_counts" -> (((s: SparkSession, d: String) => {
       Tables.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    }, Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))))
+    }, Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))),
+
+    // ---------------------------------------------------------------- n*
+    // LLM training-data pipeline operators (north-star extensions).
+
+    // Exact dedup: content-hash groupBy — ONE shuffle on the digest.
+    "n01_dedup_exact" -> (((s: SparkSession, d: String) => {
+      Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+    }, Some("""
+      SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)"""))),
+
+    // Blocked n-gram Jaccard near-dup pairs (distinct 3-shingle sets).
+    "n02_dedup_jaccard" -> (((s: SparkSession, d: String) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, lang AS block,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+            ELSE CAST([] AS VARCHAR[]) END) AS sset
+        FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id)
+      SELECT * FROM pairs WHERE jaccard >= 0.55"""))),
+
+    // Brute-force cosine similarity above threshold (bit-exact fold).
+    "n05_ann_threshold" -> (((s: SparkSession, d: String) => {
+      Similarity.aboveThreshold(Tables.embeddings(s, d), 0.2)
+    }, Some(s"""
+      SELECT vec_id, cos FROM
+        (SELECT vec_id, $annCosSql AS cos FROM embeddings)
+      WHERE cos > 0.2"""))),
+
+    // Exact cosine top-k, deterministic tiebreak.
+    "n06_ann_topk" -> (((s: SparkSession, d: String) => {
+      Similarity.topK(Tables.embeddings(s, d), 20)
+    }, Some(s"""
+      SELECT vec_id, cos FROM
+        (SELECT vec_id, $annCosSql AS cos FROM embeddings)
+      ORDER BY cos DESC, vec_id LIMIT 20"""))),
+
+    // Language-ID heuristic (stopword scoring).
+    "n07_lang_id" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+    }, Some(s"""
+      SELECT doc_id,
+        CASE WHEN len(list_filter(toks, t -> t IN $stopListSql)) >= 2 THEN 'en'
+             WHEN len(toks) = 0 THEN 'empty'
+             ELSE 'und' END AS lang_guess
+      FROM (SELECT doc_id, $toksSql AS toks FROM documents)"""))),
+
+    // Quality scoring: token count, stopword ratio, avg token length,
+    // composite score — single divisions, fixed fold order.
+    "n08_quality" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        Text.stopwordRatio(col("text")).as("stop_ratio"),
+        Text.avgTokenLen(col("text")).as("avg_tok_len"),
+        Text.qualityScore(col("text")).as("quality"))
+    }, Some(s"""
+      SELECT doc_id, n_tokens,
+        CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+        CAST(len_sum AS DOUBLE) / n_tokens AS avg_tok_len,
+        ((CAST(least(n_tokens, 50) AS DOUBLE) / 50.0) * 0.5
+          + (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3)
+          + least((CAST(len_sum AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.2 AS quality
+      FROM (SELECT doc_id, len(toks) AS n_tokens,
+              len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits,
+              list_sum(list_transform(toks, t -> length(t))) AS len_sum
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""))),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer regex.
+    "n09_token_count" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        Text.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
+    }, Some(s"""
+      SELECT doc_id,
+        CAST(len($toksSql) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text, '${Text.BpePattern}')) AS BIGINT) AS n_bpe
+      FROM documents"""))),
+
+    // Document fingerprint groups (order/repetition-insensitive dedup).
+    "n10_fingerprint" -> (((s: SparkSession, d: String) => {
+      Dedup.fingerprintGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+    }, Some(s"""
+      SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
+        count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY 1"""))))
 }
