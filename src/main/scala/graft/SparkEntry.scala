@@ -145,6 +145,116 @@ object SparkEntry {
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       GROUP BY c_mktsegment"""))),
 
+    "a03_multi_join" -> (((s: SparkSession, d: String) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("revenue"))
+    }, Some("""
+      SELECT n_name,
+        sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS revenue
+      FROM lineitem, orders, customer, supplier, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+      GROUP BY n_name"""))),
+
+    "a04_window_rank" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1"""))),
+
+    "a05_window_running" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w).as("running_spend"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      FROM orders"""))),
+
+    "a06_setops" -> (((s: SparkSession, d: String) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+      cn.intersect(sn).withColumn("op", lit("both"))
+        .union(cn.except(sn).withColumn("op", lit("cust_only")))
+    }, Some("""
+      SELECT nationkey, 'both' AS op FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nationkey, 'cust_only' AS op FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier)"""))),
+
+    "a07_rollup" -> (((s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,6)")).as("sum_qty"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))),
+
+    "a08_anti_join" -> (((s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d)
+      val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(p, c("c_custkey") === p("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')"""))),
+
+    "a09_semi_join" -> (((s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d)
+      val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(p, c("c_custkey") === p("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')"""))),
+
+    "a10_percentile" -> (((s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"))
+    }, Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag"""))),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
@@ -427,5 +537,24 @@ object SparkEntry {
       SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
         count(*) AS n_docs, min(doc_id) AS keep_id
       FROM documents
-      GROUP BY 1"""))))
+      GROUP BY 1"""))),
+
+    // ---------------------------------------------------------------- s*
+    // Structured Streaming: real readStream → micro-batches → memory sink
+    // (Trigger.AvailableNow), oracle-checked like any batch query.
+
+    "s01_stream_counts" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.eventCounts(s, d)
+    }, Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))),
+
+    "s02_stream_window" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.windowedCounts(s, d)
+    }, Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        count(*) AS n, sum(CAST(value AS DECIMAL(28,6))) AS sum_value
+      FROM events GROUP BY 1, 2"""))),
+
+    "s03_stream_dedup" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamDedup(s, d)
+    }, Some("SELECT DISTINCT user_id, event_type FROM events"))))
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming queries over the fixture tables (SURVEY §2 O1-O3,
+  * O25, O27; streaming shell of the reference's Kafka consumer loop).
+  *
+  * The batch/stream duality is deliberate: every transform is a plain
+  * `DataFrame => DataFrame`, so the identical plan runs under
+  * `spark.read` (Verify oracle) and `spark.readStream` (here). For the
+  * driver's oracle gate these run the REAL streaming engine — file
+  * source → micro-batches → memory sink — with `Trigger.AvailableNow`
+  * so the query drains and terminates deterministically.
+  *
+  * In production the source is Kafka (`format("kafka")`, earliest
+  * offsets — kafka_s.py:68) with `foreachBatch` JDBC/Mongo sinks; file
+  * source stands in because the harness has no broker. Checkpointing
+  * replaces the reference's hand-rolled log-file watermark
+  * (kafka_s.py:198-219).
+  */
+object StreamQueries {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming events source (file-based stand-in for the Kafka topic). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a directory (or glob) path; `[e]`
+    // makes the single-file path a glob whose base is the sf directory.
+    spark.readStream.schema(eventsSchema)
+      .parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink, return the
+    * result table. AvailableNow processes all available input then stops. */
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** O27 as a streaming aggregation: running per-type counts. */
+  def eventCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      "complete")
+
+  /** Event-time tumbling window aggregation (the windowing surface the
+    * reference lacks — SURVEY §2 coverage note). */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,6)")).as("sum_value")),
+      "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** O25 as streaming dedup: first occurrence per key, keyed columns only
+    * so the result is order-insensitive. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      "append")
+}
