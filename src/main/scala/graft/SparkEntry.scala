@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Ids, Rules, Text}
-import graft.operators.{Dedup, Pipeline, RuleClassifier, Similarity}
+import graft.functions.{Ids, Rules, SimHash, Text}
+import graft.operators.{Dedup, MinHashLsh, Multimodal, Pipeline, RuleClassifier, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -82,6 +82,27 @@ object SparkEntry {
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Distinct 3-shingle set over `toks` (DuckDB list comprehension). */
+  private val ssetSql =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+      ELSE CAST([] AS VARCHAR[]) END)"""
+
+  /** DuckDB twin of the SimHash64 expression: per hex position j, output
+    * bit k is the majority over tokens of bit k of md5-hex nibble j. */
+  private def simhashSql: String = {
+    val charExprs = (0 until 16).map { j =>
+      val bits = (0 until 4).map { k =>
+        val div = 1 << k
+        s"(CASE WHEN 2*list_sum(list_transform(hs, h -> ((instr('0123456789abcdef', h[${j + 1}]) - 1) // $div) % 2)) > n THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($bits), 1)"
+    }.mkString("\n || ")
+    s"""SELECT doc_id, $charExprs AS simhash
+        FROM (SELECT doc_id, len(toks) AS n, list_transform(toks, t -> md5(t)) AS hs
+              FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
+  }
   private val stopListSql = Text.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   /** VALUES literal of the fixture rules for the oracle (id + output cols). */
@@ -458,10 +479,7 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang")
     }, Some(s"""
       WITH s AS (
-        SELECT doc_id, lang AS block,
-          list_distinct(CASE WHEN len(toks) >= 3
-            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
-            ELSE CAST([] AS VARCHAR[]) END) AS sset
+        SELECT doc_id, lang AS block, $ssetSql AS sset
         FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -469,6 +487,29 @@ object SparkEntry {
             / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
         FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id)
       SELECT * FROM pairs WHERE jaccard >= 0.55"""))),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard-verified. Oracle = ALL
+    // pairs with jaccard >= 0.55 (no blocking): the fixture's real dups
+    // sit at j >= 0.9 where the S-curve miss probability at r=2,b=8 is
+    // ~(1-0.81)^8 ≈ 2e-6, so LSH output equals the exact answer.
+    "n03_dedup_minhash_lsh" -> (((s: SparkSession, d: String) => {
+      MinHashLsh.nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT * FROM pairs WHERE jaccard >= 0.55"""))),
+
+    // 64-bit SimHash digest per document (native Catalyst expression).
+    "n04_simhash" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        SimHash.simhash64(Text.tokens(col("text"))).as("simhash"))
+    }, Some(simhashSql))),
 
     // Brute-force cosine similarity above threshold (bit-exact fold).
     "n05_ann_threshold" -> (((s: SparkSession, d: String) => {
@@ -538,6 +579,19 @@ object SparkEntry {
         count(*) AS n_docs, min(doc_id) AS keep_id
       FROM documents
       GROUP BY 1"""))),
+
+    // Multimodal plumbing: binary payload + typed metadata, decoded
+    // per-partition via mapPartitions (decode itself is a deterministic
+    // stub — no codecs in the container; see Multimodal.decodeStub).
+    "n11_multimodal_meta" -> (((s: SparkSession, d: String) => {
+      Multimodal.decodedMeta(Tables.documents(s, d))
+    }, Some("""
+      SELECT doc_id, 'image/fake' AS mime,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        substr(md5(text), 1, 16) AS sig
+      FROM documents"""))),
 
     // ---------------------------------------------------------------- s*
     // Structured Streaming: real readStream → micro-batches → memory sink

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything
+  * around it — binary column construction, metadata struct schema,
+  * partition-batched processing via `mapPartitions`, output encoder —
+  * is the real Spark plumbing a production decode UDF would use. At
+  * scale the payload column stays columnar parquet binary; decode runs
+  * executor-side per partition with zero driver involvement.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata record (what a real image decode would
+    * return: dimensions + content signature). */
+  final case class MediaMeta(
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, sig: String)
+
+  /** documents → media table: payload = utf-8 bytes standing in for an
+    * image blob; mime/meta typed alongside. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        lit("image/fake").as("mime"),
+        col("lang").as("tag")).as("meta"))
+
+  /** STUB DECODE — stands in for an image decoder (no codec libs in
+    * this container). Deterministic fake: dimensions derived from the
+    * byte length, signature = md5 prefix of the payload. The
+    * mapPartitions batch shape (iterator-in/iterator-out per partition,
+    * one digest instance per batch) is exactly how a real decoder runs. */
+  def decodeStub(media: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+    media.select(col("doc_id"), col("payload"), col("meta.mime"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          val mime = row.getString(2)
+          md.reset()
+          val sig = md.digest(payload).take(8).map("%02x".format(_)).mkString
+          MediaMeta(id, mime, payload.length.toLong,
+            (payload.length % 640).toInt, (payload.length % 480).toInt, sig)
+        }
+      }
+  }
+
+  /** Full stub pipeline: construct → decode → metadata frame. */
+  def decodedMeta(docs: DataFrame): DataFrame = decodeStub(mediaTable(docs)).toDF()
+}
