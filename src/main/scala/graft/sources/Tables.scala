@@ -24,9 +24,17 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) rejects outright. Read it as a raw long (legacy conf) and floor
     * to micros — integer `div`, not `/`, since ns-since-epoch exceeds
-    * double's 2^53 mantissa. */
+    * double's 2^53 mantissa.
+    *
+    * `nanosAsLong` is pinned at session construction by every entry
+    * point this library owns (Verify / Bench / SparkTestSession), so a
+    * table load never mutates shared session state mid-run (ADVICE
+    * r01). The defensive set below remains ONLY for driver-owned
+    * sessions that call `SparkEntry.queries` directly without our
+    * builders; it is a no-op under our own sessions. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

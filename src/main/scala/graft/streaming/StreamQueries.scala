@@ -38,7 +38,10 @@ object StreamQueries {
 
   /** Streaming events source (file-based stand-in for the Kafka topic). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // pinned at session construction by our builders; defensive set only
+    // for driver-owned sessions (see Tables.events)
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
     spark.readStream.schema(eventsSchema)
@@ -77,7 +80,10 @@ object StreamQueries {
       "complete")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"), col("sum_value"))
+        col("event_type"), col("n"),
+        // exact decimal sum rendered as string — reader-independent
+        // canonical form for the oracle compare (see SparkEntry header)
+        col("sum_value").cast("string").as("sum_value"))
 
   /** O25 as streaming dedup: first occurrence per key, keyed columns only
     * so the result is order-insensitive. */

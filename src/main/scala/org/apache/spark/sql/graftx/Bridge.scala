@@ -15,4 +15,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is `private[sql]`; custom expressions need
+    * it to override `ExpectsInputTypes.inputTypes` (analysis-time type
+    * checking). Aliasing from inside the sql package re-exports it. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
