@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokens, empties dropped (documents.text has a trailing
-    * space — Python str.split() semantics, not split(' ')). */
+    * space — Python str.split() semantics, not split(' ')).
+    * `array_remove` rather than a `filter` HOF: HOFs are CodegenFallback
+    * (interpreted per element); split+array_remove stay inside
+    * whole-stage codegen. */
   def tokens(c: Column): Column =
-    filter(split(c, " "), t => t =!= "")
+    array_remove(split(c, " "), "")
 
   def tokenCountWs(c: Column): Column = size(tokens(c))
 
@@ -65,8 +68,10 @@ object Text {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
 
   /** w-word shingles (default 3), joined by single spaces; fewer than w
-    * tokens → empty array. */
-  def shingles(c: Column, w: Int = 3): Column = {
+    * tokens → empty array. HOF reference form — kept as the
+    * property-test oracle for the native kernel; use [[shingleSet]]
+    * (native, codegen'd) in query plans. */
+  def shinglesHof(c: Column, w: Int = 3): Column = {
     val toks = tokens(c)
     when(size(toks) >= w,
       transform(sequence(lit(0), size(toks) - w),
@@ -74,6 +79,8 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingle set (the unit for Jaccard / MinHash dedup). */
-  def shingleSet(c: Column, w: Int = 3): Column = array_distinct(shingles(c, w))
+  /** Distinct shingle set (the unit for Jaccard / MinHash dedup).
+    * Native single-pass kernel — the HOF chain was the n02/n03
+    * bottleneck (see ShingleSet scaladoc). */
+  def shingleSet(c: Column, w: Int = 3): Column = Shingles.shingleSet(c, w)
 }

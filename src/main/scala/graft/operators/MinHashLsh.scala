@@ -31,10 +31,10 @@ import graft.functions.Text
   */
 object MinHashLsh {
 
-  /** k-component MinHash signature of a shingle-set column. */
+  /** k-component MinHash signature of a shingle-set column (native
+    * XXH64 kernel — one pass over the set for all k seeds). */
   def signature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleSet, sh => xxhash64(lit(i), sh)))): _*)
+    graft.functions.Shingles.minhashSig(shingleSet, k)
 
   /** Near-dup pairs: LSH candidates (any equal band) verified with exact
     * Jaccard >= threshold. Output: a_id, b_id, jaccard. */

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Dedup, MinHashLsh}
+
+/** Native shingle/minhash kernels vs the HOF reference forms, and the
+  * inverted-index Jaccard join vs brute force. */
+class ShinglesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("property: native shingleSet == HOF shingles+distinct on random text") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "e", "", " ")
+    val texts = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val df = texts.toDF("text")
+    val got = df.select(Text.shingleSet(col("text"), 3)).as[Seq[String]].collect()
+    val want = df.select(array_distinct(Text.shinglesHof(col("text"), 3)))
+      .as[Seq[String]].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("shingleSet edges: <w tokens empty, duplicates dedup, space runs collapse") {
+    val df = Seq(
+      "a b",                    // < 3 tokens
+      "a b c",                  // exactly one shingle
+      "a b c a b c a b c",      // repeated shingles dedup
+      "  a   b  c  ",           // space runs + leading/trailing
+      ""                        // empty
+    ).toDF("text")
+    val got = df.select(Text.shingleSet(col("text"), 3)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq("a b c", "b c a", "c a b"))
+    assert(got(3) == Seq("a b c"))
+    assert(got(4) == Seq.empty)
+  }
+
+  test("minhash signature: length k, equal sets => equal sigs, component = min over singletons") {
+    val df = Seq(
+      Seq("x y z", "y z w"),
+      Seq("y z w", "x y z"), // same set, different order
+      Seq("x y z"),
+      Seq("y z w")
+    ).toDF("sset")
+    val sigs = df.select(MinHashLsh.signature(col("sset"), 8)).as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 8))
+    assert(sigs(0) == sigs(1)) // order-insensitive
+    // min-structure: sig(AuB) = componentwise min of sig(A), sig(B)
+    val joint = sigs(2).zip(sigs(3)).map { case (a, b) => math.min(a, b) }
+    assert(sigs(0) == joint.toSeq)
+  }
+
+  test("jaccardPairs == brute force on a crafted corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (4L, "completely different words entirely here now"),
+      (5L, "short text"),                                    // < 3 tokens
+      (6L, "another unrelated document with other content")
+    ).toDF("doc_id", "text")
+
+    def sset(s: String): Set[String] = {
+      val t = s.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "completely different words entirely here now",
+      5L -> "short text",
+      6L -> "another unrelated document with other content")
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sset(texts(a)); sb = sset(texts(b))
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.55
+    } yield (a, b, j)).toSet
+
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, j) => a == 1L && b == 3L && j == 1.0 })
+  }
+
+  test("minhash-LSH near-dup pairs find the heavy dups with exact jaccard") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"), // 9/11 shared shingles... j high
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // exact dup of 1
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12")
+    ).toDF("doc_id", "text")
+    val got = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toMap1
+    assert(got.contains((1L, 3L)))
+    assert(got((1L, 3L)) == 1.0)
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  implicit private class TupleMap(rows: Array[(Long, Long, Double)]) {
+    def toMap1: Map[(Long, Long), Double] =
+      rows.map { case (a, b, j) => (a, b) -> j }.toMap
+  }
+}
