@@ -89,6 +89,25 @@ object SparkEntry {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Unrolled a·b over two embedding table aliases (left fold). */
+  private def embDotSql(a: String, b: String): String =
+    foldSql((1 to 64).map(i =>
+      s"(CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE))"))
+
+  /** Unrolled ‖v‖² of the current row's embedding (left fold). */
+  private def embEeSql: String =
+    foldSql((1 to 64).map(i =>
+      s"(CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE))"))
+
+  /** DuckDB twin of Similarity.srpBucket: same ±1 planes, same fold. */
+  private def srpBucketSql: String =
+    (0 until Similarity.Planes).map { i =>
+      val fold = foldSql(Similarity.hyperplane(i).zipWithIndex.map {
+        case (h, j) => s"(CAST(embedding[${j + 1}] AS DOUBLE) * $h)"
+      })
+      s"(CASE WHEN ($fold) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Distinct 3-shingle set over `toks` (DuckDB list comprehension). */
   private val ssetSql =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -283,6 +302,17 @@ object SparkEntry {
         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
       FROM lineitem GROUP BY l_returnflag"""))),
 
+    // Grouping-sets surface beyond rollup (a07): full cube.
+    "a11_cube" -> (((s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("string").as("sum_qty"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
@@ -361,6 +391,25 @@ object SparkEntry {
         r.emoScore, r.impScore, $emoLabelSql AS emoLabel, $impLabelSql AS impLabel
       FROM documents d JOIN $rulesValuesSql
       ON ${ruleJoinCondSql("d.text")}"""))),
+
+    // O26: CSV sink + source (the reference's offline variant appends
+    // matched rows to data.csv, mysql_rules.py:65-90). Write a
+    // projection to CSV, read it back with an explicit schema, and
+    // aggregate — the oracle aggregates the parquet directly, so the
+    // roundtrip must be lossless.
+    "p06_csv_roundtrip" -> (((s: SparkSession, d: String) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars INT")
+        .option("header", "true").csv(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang"""))),
 
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
@@ -538,6 +587,32 @@ object SparkEntry {
         (SELECT vec_id, $annCosSql AS cos FROM embeddings)
       ORDER BY cos DESC, vec_id LIMIT 20"""))),
 
+    // SRP-LSH bucketed ANN — the scale path for n05/n06: score only the
+    // probe's bucket (at 100 TB: a partition-pruned read on a bucket
+    // column) then exact cosine top-k inside it. The oracle mirrors the
+    // bucketing bit-for-bit, so the pruned semantics are verified
+    // exactly rather than approximately.
+    "n12_ann_lsh_bucket" -> (((s: SparkSession, d: String) => {
+      Similarity.lshBucketTopK(Tables.embeddings(s, d), 10)
+    }, Some(s"""
+      SELECT vec_id, cos FROM
+        (SELECT vec_id, $annCosSql AS cos FROM embeddings
+         WHERE ($srpBucketSql) = ${Similarity.queryBucket})
+      ORDER BY cos DESC, vec_id LIMIT 10"""))),
+
+    // Embedding-cosine near-dup pairs (the fourth dedup modality next
+    // to exact/jaccard/minhash): all pairs with cos >= 0.45, native dot
+    // kernel inside the pair join, norms precomputed per side.
+    "n13_embed_neardup" -> (((s: SparkSession, d: String) => {
+      Similarity.cosinePairs(Tables.embeddings(s, d), 0.45)
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM embeddings)
+      SELECT a_id, b_id, cos FROM
+        (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      WHERE cos >= 0.45"""))),
+
     // Language-ID heuristic (stopword scoring).
     "n07_lang_id" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d)
@@ -604,6 +679,18 @@ object SparkEntry {
         substr(md5(text), 1, 16) AS sig
       FROM documents"""))),
 
+    // Multimodal frame-sampling plumbing: per-document 0..n frame
+    // fan-out via mapPartitions+flatMap (decode stubbed; see
+    // Multimodal.frameSample).
+    "n14_frame_sample" -> (((s: SparkSession, d: String) => {
+      Multimodal.sampledFrames(Tables.documents(s, d))
+    }, Some("""
+      SELECT doc_id, frame_idx, frame_idx * 333 AS ts_ms,
+        substr(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 16) AS sig
+      FROM (SELECT doc_id, text,
+              unnest(range(octet_length(encode(text)) % 8)) AS frame_idx
+            FROM documents)"""))),
+
     // ---------------------------------------------------------------- s*
     // Structured Streaming: real readStream → micro-batches → memory sink
     // (Trigger.AvailableNow), oracle-checked like any batch query.
@@ -621,5 +708,25 @@ object SparkEntry {
 
     "s03_stream_dedup" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamDedup(s, d)
-    }, Some("SELECT DISTINCT user_id, event_type FROM events"))))
+    }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
+
+    // Arbitrary stateful processing: flatMapGroupsWithState carrying
+    // per-user running aggregates across micro-batches.
+    "s04_stream_stateful" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.statefulUserStats(s, d)
+    }, Some("""
+      SELECT user_id, count(*) AS n_events,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_s,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_s
+      FROM events GROUP BY user_id"""))),
+
+    // Stream-static broadcast enrichment join + streaming aggregation
+    // (O6 under Structured Streaming; static side re-read per batch =
+    // the reference's poll-based dim refresh O10).
+    "s05_stream_enrich" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamEnrich(s, d)
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_events
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment"""))))
 }

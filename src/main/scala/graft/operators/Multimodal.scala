@@ -56,4 +56,40 @@ object Multimodal {
 
   /** Full stub pipeline: construct → decode → metadata frame. */
   def decodedMeta(docs: DataFrame): DataFrame = decodeStub(mediaTable(docs)).toDF()
+
+  /** One sampled video frame. */
+  final case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, sig: String)
+
+  /** STUB FRAME-SAMPLER — the video analog of [[decodeStub]]: payload
+    * stands in for a container stream whose frame count is derived
+    * deterministically from the byte length (a real sampler would read
+    * the container's timebase). The generator shape is the real thing:
+    * iterator-in/iterator-out `mapPartitions` with a per-document
+    * `flatMap` fan-out (0..n frames per row — rows with zero frames
+    * vanish), one digest instance per partition batch. At scale this is
+    * the map-side explode that precedes per-frame feature extraction —
+    * no shuffle, no driver involvement, output co-partitioned with the
+    * input. */
+  def frameSample(media: DataFrame): Dataset[Frame] = {
+    implicit val enc: Encoder[Frame] = Encoders.product[Frame]
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          val nFrames = payload.length % 8 // fake container length probe
+          (0 until nFrames).iterator.map { i =>
+            md.reset()
+            md.update(payload)
+            md.update(s":$i".getBytes("UTF-8"))
+            val sig = md.digest().take(8).map("%02x".format(_)).mkString
+            Frame(id, i, i * 333L, sig)
+          }
+        }
+      }
+  }
+
+  /** documents → sampled-frame table (stub decode, real plumbing). */
+  def sampledFrames(docs: DataFrame): DataFrame = frameSample(mediaTable(docs)).toDF()
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Vec
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine — a single scan, no shuffle, fully
@@ -46,4 +48,71 @@ object Similarity {
     bruteForceCosine(embeddings)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+
+  // ------------------------------------------------------------------
+  // Scale path: signed-random-projection (SRP) LSH bucketing.
+  //
+  // Each vector gets a `Planes`-bit bucket: bit i = (v · h_i > 0) for a
+  // fixed ±1 hyperplane h_i. Search touches ONLY the probe's bucket —
+  // at 100 TB that turns the full scan into a partition-pruned read
+  // (bucket as a partition/bucketing column), trading recall (vectors
+  // whose bucket differs from the probe's are never scored) for a
+  // 2^Planes fan-in reduction. The oracle mirrors the bucketing
+  // exactly, so this is verified as the deterministic semantics it is.
+
+  /** Number of SRP hyperplanes (16 buckets). */
+  val Planes = 4
+
+  /** Fixed ±1 hyperplane i — arbitrary but deterministic pattern,
+    * shared with the SQL oracle text. */
+  def hyperplane(i: Int): Seq[Double] =
+    (0 until 64).map(j => if ((j * 31 + i * 17) % 5 < 2) -1.0 else 1.0)
+
+  /** SRP bucket id of an `array<double>` column (native dot kernel). */
+  def srpBucket(v: Column): Column =
+    (0 until Planes).map { i =>
+      val plane = array(hyperplane(i).map(lit): _*)
+      when(Vec.dot(v, plane) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The probe vector's bucket, computed driver-side with the same
+    * left-fold arithmetic. */
+  lazy val queryBucket: Int =
+    (0 until Planes).map { i =>
+      val h = hyperplane(i)
+      var acc = 0.0
+      var j = 0
+      while (j < 64) { acc += queryVec(j) * h(j); j += 1 }
+      if (acc > 0) 1 << i else 0
+    }.sum
+
+  /** Bucketed ANN: score only vectors in the probe's SRP bucket, then
+    * exact cosine top-k within it. */
+  def lshBucketTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings
+      .select(col("vec_id"), v.as("v"))
+      .where(srpBucket(col("v")) === lit(queryBucket))
+      .select(col("vec_id"), cosine(col("v"), queryVecLit).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a,b), a<b, with
+    * cos(a,b) ≥ t. Norms are computed once per side BEFORE the pair
+    * join, so the O(n²) inner loop is a single native dot product per
+    * pair inside whole-stage codegen (the join is a broadcast
+    * nested-loop — no equi key exists; at 100 TB, pre-bucket by
+    * [[srpBucket]] and join bucket-to-bucket first). */
+  def cosinePairs(embeddings: DataFrame, t: Double): DataFrame = {
+    val v = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vec.norm(col("v")))
+    val a = v.as("a")
+    val b = v.as("b")
+    val cos = Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), cos.as("cos"))
+      .where(col("cos") >= t)
+  }
 }

@@ -93,4 +93,55 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
       "append")
+
+  /** Running per-user state carried by flatMapGroupsWithState. */
+  final case class UserState(n: Long, minUs: Long, maxUs: Long)
+
+  /** Arbitrary stateful processing (`flatMapGroupsWithState`) — the
+    * custom-state surface the reference's hand-rolled counters (O27) and
+    * cache-invalidation state (O10) map onto in Spark. Each micro-batch
+    * folds its rows into per-user running state and emits the CUMULATIVE
+    * stats; a batch-side max/min then reduces multi-batch emissions to
+    * the final value, so the result is deterministic under ANY
+    * micro-batching (AvailableNow may split files arbitrarily). */
+  def statefulUserStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    val emitted = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, us) =>
+            st = UserState(st.n + 1, math.min(st.minUs, us), math.max(st.maxUs, us))
+          }
+          state.update(st)
+          Iterator((uid, st.n, st.minUs, st.maxUs))
+      }
+      .toDF("user_id", "n_events", "min_us", "max_us")
+    runToTable(spark, emitted, "append")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), // cumulative => max = final
+        min(col("min_us")).as("min_us"), max(col("max_us")).as("max_us"))
+      .select(col("user_id"), col("n_events"),
+        date_format(timestamp_micros(col("min_us")), "yyyy-MM-dd HH:mm:ss").as("first_s"),
+        date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss").as("last_s"))
+  }
+
+  /** Stream-static broadcast enrichment join (O6's shape under
+    * Structured Streaming): the static dim is re-read per micro-batch
+    * (which is how Spark subsumes the reference's poll-based dim
+    * refresh, O10) and broadcast — no stream-side shuffle. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, joined, "complete")
+  }
 }
