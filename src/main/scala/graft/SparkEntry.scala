@@ -495,6 +495,21 @@ object SparkEntry {
         srcUrl, pubTime, title
       FROM withonly r"""))),
 
+    // O2: payload deserialization — from_json over the message value
+    // (the BSON.decode(each.value) boundary, kafka_s.py:157; fixtures
+    // ship JSON). The full envelope normalization incl. per-topic field
+    // mapping is sources.Kafka.normalize (unit-tested); this is the
+    // oracle-checkable slice over the events fixture.
+    "p13_json_decode" -> (((s: SparkSession, d: String) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+    }, Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events"""))),
+
     // O10: dim change-detection probe — count(*) WHERE ts >= last-check
     // (kafka_s.py:198-219).
     "p10_refresh_probe" -> (((s: SparkSession, d: String) => {
