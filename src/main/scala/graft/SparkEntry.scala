@@ -735,6 +735,12 @@ object SparkEntry {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_s
       FROM events GROUP BY user_id"""))),
 
+    // foreachBatch file sink: streaming dedup written batch-by-batch to
+    // parquet, result = the sink read back (verifies what was written).
+    "s06_stream_sink" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.sinkDedupToDir(s, d)
+    }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
+
     // Stream-static broadcast enrichment join + streaming aggregation
     // (O6 under Structured Streaming; static side re-read per batch =
     // the reference's poll-based dim refresh O10).

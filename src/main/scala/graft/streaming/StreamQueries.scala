@@ -131,6 +131,34 @@ object StreamQueries {
         date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss").as("last_s"))
   }
 
+  /** The production sink shape (O23–O25): streaming dedup feeding
+    * `foreachBatch`, which writes each micro-batch to a parquet
+    * directory — in production this closure is `batch.write.jdbc(...)`
+    * / Mongo upsert; exactly-once comes from checkpointed batch ids +
+    * an idempotent write keyed on the dedup key (the reference gets
+    * at-least-once + a unique-key insert swallow, kafka_s.py:614-630 —
+    * strictly weaker). The query result is the sink directory read
+    * back, so the oracle verifies what was actually WRITTEN. Cross-
+    * batch dedup is the streaming state's job, so content is
+    * deterministic under any micro-batching. */
+  def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val q = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$out/data")
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+  }
+
   /** Stream-static broadcast enrichment join (O6's shape under
     * Structured Streaming): the static dim is re-read per micro-batch
     * (which is how Spark subsumes the reference's poll-based dim
