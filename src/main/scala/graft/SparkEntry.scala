@@ -735,6 +735,27 @@ object SparkEntry {
         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_s
       FROM events GROUP BY user_id"""))),
 
+    // Session windows (1h inactivity gap): merging window state, the
+    // windowing mode beyond tumbling (s02). Oracle replays the gap
+    // split with lag/cumsum over µs-floored times (Spark reads the ns
+    // fixture floored to µs; a naive ns-precision oracle could split
+    // differently on gaps within 1ms of exactly one hour).
+    "s07_stream_session" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.sessionCounts(s, d)
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      x AS (SELECT user_id, us,
+              CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      y AS (SELECT user_id, us,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      SELECT user_id,
+        strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events
+      FROM y GROUP BY user_id, sid"""))),
+
     // foreachBatch file sink: streaming dedup written batch-by-batch to
     // parquet, result = the sink read back (verifies what was written).
     "s06_stream_sink" -> (((s: SparkSession, d: String) => {

@@ -48,13 +48,29 @@ object Dedup {
     * split residual hot shingles. The old blocked all-pairs self-join
     * (block × block cross product) was 221 s at sf0.1; this is the
     * shape that survives a 1000-executor scale-up. */
+  /** `maxDf`: optional hot-shingle cap for the 100 TB regime — drop
+    * shingles occurring in more than maxDf documents from the INDEX
+    * (boilerplate n-grams that generate df² candidate pairs while
+    * carrying almost no similarity signal). None (default) = exact
+    * join, matching the oracle; Some(cap) trades recall on pairs whose
+    * overlap is exclusively boilerplate for a hard bound on join
+    * fan-out (the standard ssjoin mitigation next to AQE skew-join
+    * splitting and PPJoin prefix ordering). */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
-      w: Int = 3, threshold: Double = 0.55): DataFrame = {
+      w: Int = 3, threshold: Double = 0.55,
+      maxDf: Option[Int] = None): DataFrame = {
     val sized = docs
       .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
       .select(col("did"), col("sset"), size(col("sset")).as("n"))
       .where(col("n") > 0)
-    val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
+    val invAll = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
+    val inv = maxDf match {
+      case None => invAll
+      case Some(cap) =>
+        val hot = invAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select(col("sh"))
+        invAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     val a = inv.as("a")
     val b = inv.as("b")
     // eps guards float rounding at the exact boundary (e.g. 20*0.55>11):

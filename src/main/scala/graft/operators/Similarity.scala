@@ -19,11 +19,12 @@ import graft.functions.Vec
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native left-fold dot product (see functions.DotProduct) — the HOF
+    * `aggregate(zip_with(...))` form computes the identical double but
+    * interpreted; bit-parity is covered by ShinglesSpec/VecSpec. */
+  def dot(a: Column, b: Column): Column = Vec.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = Vec.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

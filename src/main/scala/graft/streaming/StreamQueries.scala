@@ -131,6 +131,23 @@ object StreamQueries {
         date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss").as("last_s"))
   }
 
+  /** Session-window aggregation: per-user sessions closed by a 1-hour
+    * inactivity gap (merging session state — the hardest windowing mode;
+    * complete output so AvailableNow batching can't truncate emissions).
+    * Session semantics: an event extends the session iff its time is
+    * strictly inside [start, last+gap); a gap ≥ 1h starts a new session
+    * — the oracle replays exactly this split over µs-floored times. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events")),
+      "complete")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+
   /** The production sink shape (O23–O25): streaming dedup feeding
     * `foreachBatch`, which writes each micro-batch to a parquet
     * directory — in production this closure is `batch.write.jdbc(...)`

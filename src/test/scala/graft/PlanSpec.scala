@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the physical shapes the 100 TB design point depends
+  * on, asserted so a refactor can't silently regress them (e.g. a lost
+  * broadcast hint turning a dim join into a shuffle, or a similarity
+  * join degrading to a cartesian product). */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dim lookup join broadcasts (no shuffle of the stream side)") {
+    assert(plan("p03_lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("rule-match is a broadcast nested-loop (theta join, rules dim broadcast)") {
+    assert(plan("p05_rule_match").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("similarity join is an equi-join on the shingle, never cartesian") {
+    val p = plan("n02_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate")) // co-occurrence counting, partial+final
+  }
+
+  test("LSH banding join is an equi-join, never cartesian") {
+    assert(!plan("n03_dedup_minhash_lsh").contains("CartesianProduct"))
+  }
+
+  test("column pruning reaches the scan (unused lineitem columns never read)") {
+    val p = plan("a01_tpch_q1")
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    assert(plan("a01_tpch_q1").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("top-n is a TakeOrdered, not a global sort") {
+    assert(plan("p11_topn").contains("TakeOrderedAndProject"))
+  }
+}
