@@ -615,6 +615,30 @@ object SparkEntry {
          WHERE ($srpBucketSql) = ${Similarity.queryBucket})
       ORDER BY cos DESC, vec_id LIMIT 10"""))),
 
+    // IVF-style ANN — the second pruning strategy next to SRP-LSH
+    // (n12): nearest-of-4 fixed centroids as the cell id, exact cosine
+    // top-k inside the probe's cell. argmin computed as
+    // (‖c‖² − 2·v·c) on both sides (the ‖v‖² term cancels), ties to
+    // the lowest cell id.
+    "n15_ann_ivf" -> (((s: SparkSession, d: String) => {
+      Similarity.ivfTopK(Tables.embeddings(s, d), 10)
+    }, Some {
+      val sScores = (0 until Similarity.Cells).map { m =>
+        val fold = foldSql(Similarity.centroid(m).zipWithIndex.map {
+          case (c, j) => s"(CAST(embedding[${j + 1}] AS DOUBLE) * $c)"
+        })
+        s"(${Similarity.centroidNorm2(m)} - 2.0 * ($fold)) AS s$m"
+      }.mkString(",\n")
+      val argmin = "CASE WHEN s0<=s1 AND s0<=s2 AND s0<=s3 THEN 0 " +
+        "WHEN s1<=s2 AND s1<=s3 THEN 1 WHEN s2<=s3 THEN 2 ELSE 3 END"
+      s"""
+      SELECT vec_id, cos FROM
+        (SELECT vec_id, $annCosSql AS cos, $argmin AS cell
+         FROM (SELECT vec_id, embedding, $sScores FROM embeddings))
+      WHERE cell = ${Similarity.queryCell}
+      ORDER BY cos DESC, vec_id LIMIT 10"""
+    })),
+
     // Embedding-cosine near-dup pairs (the fourth dedup modality next
     // to exact/jaccard/minhash): all pairs with cos >= 0.45, native dot
     // kernel inside the pair join, norms precomputed per side.

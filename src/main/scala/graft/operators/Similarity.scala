@@ -99,6 +99,73 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF-style cell pruning: assign every vector to its nearest of
+  // `Cells` fixed coarse centroids, search only the probe's cell. (A
+  // production IVF trains centroids with k-means; fixed deterministic
+  // centroids keep the oracle exact while exercising the identical
+  // plan shape — at 100 TB the cell id is a partition column and the
+  // probe reads 1/Cells of the data, optionally multi-probing
+  // neighboring cells for recall.)
+
+  val Cells = 4
+
+  /** Fixed centroid m — deterministic dyadic entries (exact in SQL
+    * literals and doubles). */
+  def centroid(m: Int): Seq[Double] =
+    (0 until 64).map(j => (((j * 13 + m * 29) % 7) - 3) * 0.25)
+
+  /** ‖c‖² for centroid m, left-fold (matches the oracle's fold). */
+  def centroidNorm2(m: Int): Double = {
+    val c = centroid(m)
+    var acc = 0.0
+    var j = 0
+    while (j < 64) { acc += c(j) * c(j); j += 1 }
+    acc
+  }
+
+  /** Nearest-centroid score: argmin_m ‖v−c_m‖² = argmin_m (‖c_m‖² − 2·v·c_m)
+    * — the ‖v‖² term is constant across m and dropped on BOTH sides, so
+    * the tie-order is bit-identical to the oracle. Ties → lowest m. */
+  def ivfCell(v: Column): Column = {
+    val scores = (0 until Cells).map { m =>
+      val c = array(centroid(m).map(lit): _*)
+      lit(centroidNorm2(m)) - lit(2.0) * Vec.dot(v, c)
+    }
+    // argmin as a when-chain: first m that is <= all later scores
+    var cell: Column = lit(Cells - 1)
+    var m = Cells - 2
+    while (m >= 0) {
+      val beatsRest = (m + 1 until Cells).map(k => scores(m) <= scores(k)).reduce(_ && _)
+      cell = when(beatsRest, lit(m)).otherwise(cell)
+      m -= 1
+    }
+    cell
+  }
+
+  /** The probe vector's cell, same arithmetic driver-side. */
+  lazy val queryCell: Int = {
+    val scores = (0 until Cells).map { m =>
+      val c = centroid(m)
+      var acc = 0.0
+      var j = 0
+      while (j < 64) { acc += queryVec(j) * c(j); j += 1 }
+      centroidNorm2(m) - 2.0 * acc
+    }
+    (0 until Cells).minBy(m => (scores(m), m))
+  }
+
+  /** IVF ANN: exact cosine top-k restricted to the probe's cell. */
+  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings
+      .select(col("vec_id"), v.as("v"))
+      .where(ivfCell(col("v")) === lit(queryCell))
+      .select(col("vec_id"), cosine(col("v"), queryVecLit).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs: all (a,b), a<b, with
     * cos(a,b) ≥ t. Norms are computed once per side BEFORE the pair
     * join, so the O(n²) inner loop is a single native dot product per
