@@ -313,6 +313,23 @@ object SparkEntry {
         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))),
 
+    // Full outer join (completes the join surface next to inner /
+    // left / semi / anti / cross): customers under 1000 vs pending-
+    // order counts — unmatched rows survive on BOTH sides.
+    "a12_full_outer" -> (((s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 1000)
+      val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_pending"))
+      c.join(p, c("c_custkey") === p("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), p("o_custkey")).as("custkey"),
+          col("c_name"), col("n_pending"))
+    }, Some("""
+      SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_pending
+      FROM (SELECT * FROM customer WHERE c_custkey < 1000) c
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_pending FROM orders
+                       WHERE o_orderstatus = 'P' GROUP BY o_custkey) o
+      ON c_custkey = o_custkey"""))),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
@@ -717,6 +734,41 @@ object SparkEntry {
         CAST(octet_length(encode(text)) % 480 AS INT) AS height,
         substr(md5(text), 1, 16) AS sig
       FROM documents"""))),
+
+    // Dedup APPLIED: the corpus that survives near-dup removal (keep
+    // the min-id member of each qualifying pair — greedy, single pass;
+    // a production pipeline would union-find connected components in a
+    // few iterations of the same pair join). Composes n02's similarity
+    // join with an anti join.
+    "n16_dedup_apply" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("b_id"))
+      docs.join(losers, docs("doc_id") === losers("b_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.8)"""))),
+
+    // Multimodal feature extraction: 8 evenly-spaced payload bytes
+    // normalized to [0,1] per document (stub for a batch-amortized
+    // model; output feeds the similarity operators unchanged).
+    "n17_features" -> (((s: SparkSession, d: String) => {
+      Multimodal.extractedFeatures(Tables.documents(s, d))
+    }, Some {
+      val fs = (0 until 8).map(i =>
+        s"ascii(substr(text, 1 + ($i * (length(text) - 1)) // 7, 1)) / 255.0 AS f$i")
+        .mkString(",\n        ")
+      s"SELECT doc_id, $fs FROM documents"
+    })),
 
     // Multimodal frame-sampling plumbing: per-document 0..n frame
     // fan-out via mapPartitions+flatMap (decode stubbed; see

@@ -92,4 +92,36 @@ object Multimodal {
 
   /** documents → sampled-frame table (stub decode, real plumbing). */
   def sampledFrames(docs: DataFrame): DataFrame = frameSample(mediaTable(docs)).toDF()
+
+  /** 8-dim feature vector extracted from a payload. */
+  final case class Features(doc_id: Long, f0: Double, f1: Double, f2: Double,
+      f3: Double, f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** STUB FEATURE EXTRACTOR — stands in for an image/audio embedding
+    * model: 8 evenly-spaced payload bytes normalized to [0,1] (a real
+    * extractor would run a model over the decoded media; the
+    * per-partition batch shape — where a real impl would amortize model
+    * load per batch, exactly like a pandas_udf over mapInPandas — is
+    * the production plumbing). Output feeds the similarity operators
+    * (Similarity.cosinePairs / topK) unchanged: media → features →
+    * ANN is the composed pipeline. */
+  def featureExtract(media: DataFrame): Dataset[Features] = {
+    implicit val enc: Encoder[Features] = Encoders.product[Features]
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // (a real extractor initializes its model HERE, once per batch)
+        rows.map { row =>
+          val id = row.getLong(0)
+          val p = row.getAs[Array[Byte]](1)
+          val n = p.length
+          def f(i: Int): Double =
+            if (n == 0) 0.0 else (p((i * (n - 1)) / 7) & 0xff) / 255.0
+          Features(id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      }
+  }
+
+  /** documents → feature table (stub extract, real plumbing). */
+  def extractedFeatures(docs: DataFrame): DataFrame =
+    featureExtract(mediaTable(docs)).toDF()
 }
