@@ -12,12 +12,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table once so parquet footer reads,
-    // codegen and JIT don't land on whichever query happens to run first
+    // codegen and JIT don't land on whichever query happens to run
+    // first; one broadcast join and one micro-batch query warm the
+    // broadcast machinery and the streaming engine (state store,
+    // checkpoint IO) the same way
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    try {
+      import org.apache.spark.sql.functions.broadcast
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey")).count()
+      graft.streaming.StreamQueries.eventCounts(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
