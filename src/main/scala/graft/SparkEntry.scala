@@ -130,6 +130,25 @@ object SparkEntry {
   }
   private val stopListSql = Text.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
+  /** Mechanical SQL expansion of one rule's predicate — same parse
+    * semantics as the Catalyst expressions (Rules.parsedInRules /
+    * parsedFilterRules), so it works for ANY generated rule, not just
+    * the hand-expanded fixture five. */
+  private def rulePredSqlGen(t: String, r: RuleClassifier.Rule): String = {
+    val ins = Rules.parsedInRules(r.inRules)
+    val filts = Rules.parsedFilterRules(r.filterRules)
+    if (ins.isEmpty) "FALSE"
+    else {
+      val conj = ins.map(c => c.map(w => s"contains($t,'$w')")
+        .mkString("(", " AND ", ")")).mkString("(", " OR ", ")")
+      val veto =
+        if (filts.isEmpty) ""
+        else " AND NOT " + filts.map(f => s"contains($t,'$f')")
+          .mkString("(", " OR ", ")")
+      conj + veto
+    }
+  }
+
   /** VALUES literal of the fixture rules for the oracle (id + output cols). */
   private def rulesValuesSql: String =
     RuleClassifier.fixtureRules.map { r =>
@@ -511,6 +530,29 @@ object SparkEntry {
         '巨潮资讯网' AS webname, '新三板公告' AS srcType,
         srcUrl, pubTime, title
       FROM withonly r"""))),
+
+    // The centerpiece at REALISTIC rule cardinality: 120 generated
+    // rules (the production table holds hundreds) broadcast against
+    // every document — the oracle's join predicate is expanded
+    // mechanically from the same parse the Catalyst predicate uses, so
+    // this isn't limited to hand-written fixtures.
+    "p14_rule_match_scale" -> (((s: SparkSession, d: String) => {
+      val rules = RuleClassifier.rulesDim(s, RuleClassifier.generatedRules(120))
+      RuleClassifier.classify(Tables.documents(s, d), rules, col("text"))
+        .select(col("doc_id"), col("id").as("rule_id"),
+          col("eventCode"), col("emoScore"), col("impScore"))
+    }, Some {
+      val rules = RuleClassifier.generatedRules(120)
+      val values = rules.map(r =>
+        s"(CAST(${r.id} AS BIGINT),'${r.eventCode}',CAST(${r.emoScore} AS INT)," +
+          s"CAST(${r.impScore} AS INT))")
+        .mkString("(VALUES ", ",\n", ") AS r(id, eventCode, emoScore, impScore)")
+      val on = rules.map(r => s"(r.id=${r.id} AND (${rulePredSqlGen("d.text", r)}))")
+        .mkString("\n OR ")
+      s"""
+      SELECT d.doc_id, r.id AS rule_id, r.eventCode, r.emoScore, r.impScore
+      FROM documents d JOIN $values ON $on"""
+    })),
 
     // O2: payload deserialization — from_json over the message value
     // (the BSON.decode(each.value) boundary, kafka_s.py:157; fixtures

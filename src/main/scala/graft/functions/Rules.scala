@@ -68,18 +68,25 @@ object Rules {
       .when(impScore === 4, lit("重要"))
       .when(impScore === 5, lit("非常重要"))
 
+  /** Plain-Scala parse of `inRules` with the reference's exact
+    * semantics (kafka_s.py:243-244) — shared by the property-test
+    * oracle and the mechanical SQL expansion of generated rules. */
+  def parsedInRules(inRules: String): Seq[Seq[String]] =
+    if (inRules == null || inRules.isEmpty) Seq.empty
+    else inRules.split("、", -1).toSeq.map(d => stripPy(d).split("&", -1).toSeq)
+
+  /** Plain-Scala parse of `filterRules` (kafka_s.py:245, quirk Q2). */
+  def parsedFilterRules(filterRules: String): Seq[String] =
+    if (filterRules == null || filterRules.isEmpty) Seq.empty
+    else filterRules.split("、", -1).toSeq.map(stripPy)
+
   /** Reference-oracle reimplementation of `list_if` (kafka_s.py:252-285)
     * for property tests: plain Scala, used to cross-check the Catalyst
     * expressions on random inputs. */
   def listIfOracle(inRules: String, filterRules: String, title: String): Boolean = {
-    val inLists: Seq[Seq[String]] =
-      if (inRules == null || inRules.isEmpty) Seq.empty
-      else inRules.split("、", -1).toSeq.map(d => stripPy(d).split("&", -1).toSeq)
-    val filters: Seq[String] =
-      if (filterRules == null || filterRules.isEmpty) Seq.empty
-      else filterRules.split("、", -1).toSeq.map(stripPy)
-    val matched = inLists.exists(conj => conj.forall(w => title.contains(w)))
-    matched && !filters.exists(f => title.contains(f))
+    val matched =
+      parsedInRules(inRules).exists(conj => conj.forall(w => title.contains(w)))
+    matched && !parsedFilterRules(filterRules).exists(f => title.contains(f))
   }
 
   private def stripPy(s: String): String =

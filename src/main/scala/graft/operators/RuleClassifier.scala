@@ -47,6 +47,37 @@ object RuleClassifier {
     Rule(5L, "L1C", "一级C", "L2E", "二级E", "L3E", "三级E", "L4E", "四级E",
       "CF05", "E05", "键值事件", " group & data 、key&value", "customer", 0, 1, 0, 1, 1))
 
+  /** Deterministically generated rule table at a realistic cardinality
+    * (the reference's production table holds hundreds of rows; the
+    * 5-row fixture exercises quirks, this exercises SCALE — the
+    * broadcast cross-join cost is O(|facts| × Σ rule terms), all
+    * map-side). Vocabulary = the documents fixture's frequent words so
+    * match rates are realistic; shapes rotate through OR-of-AND,
+    * 3-conjunct, 2-disjunct and singleton forms, every 5th rule with a
+    * veto. */
+  def generatedRules(n: Int): Seq[Rule] = {
+    val vocab = Vector("join", "hash", "row", "batch", "scan", "column",
+      "customer", "filter", "small", "slow", "merge", "order", "vector",
+      "line", "table", "data", "agg", "value", "key", "stream", "window",
+      "spark", "part", "group", "big", "sort", "query", "fast", "dup")
+    (1 to n).map { i =>
+      val a = vocab(i % vocab.size)
+      val b = vocab((i * 7 + 3) % vocab.size)
+      val c = vocab((i * 13 + 5) % vocab.size)
+      val inR = (i % 4) match {
+        case 0 => s"$a&$b、$c"
+        case 1 => s"$a&$b&$c"
+        case 2 => s"$a、$b"
+        case _ => s"$a&$b"
+      }
+      val filt = if (i % 5 == 0) vocab((i * 11 + 2) % vocab.size) else ""
+      Rule(i.toLong, s"L1-${i % 7}", s"一级${i % 7}", s"L2-${i % 11}",
+        s"二级${i % 11}", s"L3-$i", s"三级$i", s"L4-$i", s"四级$i",
+        f"CF$i%03d", f"E$i%03d", s"事件$i", inR, filt,
+        (i % 3) - 1, i % 5 + 1, 0, 1, 1)
+    }
+  }
+
   /** Rules dim as a DataFrame with parsed rule arrays precomputed
     * (dim-side, once — not per fact row; SURVEY §2 O11). */
   def rulesDim(spark: SparkSession, rules: Seq[Rule] = fixtureRules): DataFrame = {
