@@ -42,31 +42,39 @@ object MinHashLsh {
       k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
     require(k % r == 0, "k must be a multiple of band width r")
     val b = k / r
-    val withSig = docs
-      .select(col(id), Text.shingleSet(col(text)).as("sset"))
+    val sets = docs
+      .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0) // empty sets would band-collide globally
-      .withColumn("sig", signature(col("sset"), k))
 
-    val banded = withSig.select(
-      col(id), col("sset"),
-      explode(array((0 until b).map(bi => struct(
-        lit(bi).as("band"),
-        concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
-          _.cast("string"))).as("key"))): _*)).as("bk"))
-      .select(col(id), col("sset"), col("bk.band"), col("bk.key"))
+    // banding index kept NARROW — (did, band, key) only. Carrying the
+    // shingle arrays through the b-way explode and the band join would
+    // copy every set b times and shuffle arrays for every candidate;
+    // instead the sets join back below for just the deduped candidate
+    // pairs (tiny: true dups + band collisions).
+    val banded = sets
+      .withColumn("sig", signature(col("sset"), k))
+      .select(col("did"),
+        explode(array((0 until b).map(bi => struct(
+          lit(bi).as("band"),
+          concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
+            _.cast("string"))).as("key"))): _*)).as("bk"))
+      .select(col("did"), col("bk.band"), col("bk.key"))
 
     val a = banded.as("a")
     val bb = banded.as("b")
     val candidates = a.join(bb,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
-        col("a.sset").as("a_set"), col("b.sset").as("b_set"))
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("a_id"), col("b.did").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
     val jac = size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
       size(array_union(col("a_set"), col("b_set")))
     candidates
+      .join(sets.select(col("did"), col("sset").as("a_set")), col("a_id") === col("did"))
+      .drop("did")
+      .join(sets.select(col("did"), col("sset").as("b_set")), col("b_id") === col("did"))
+      .drop("did")
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
