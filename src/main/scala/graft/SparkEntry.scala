@@ -30,9 +30,12 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference pipeline end-to-end: normalize →
+    * broadcast dim joins → industry pivot → rule classify → labels/ids
+    * → 34-col announcement record. */
   def entry(spark: SparkSession): DataFrame =
-    q("p05_rule_match")(spark, "/root/testdata/sf0.001")
+    q("p09_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   private def q(name: String): (SparkSession, String) => DataFrame =
     registry(name)._1
@@ -161,6 +164,62 @@ object SparkEntry {
       "(VALUES ", ",\n", ") AS r(id, firstLevelCode, firstLevelName, secondLevelCode, " +
         "secondLevelName, threeLevelCode, threeLevelName, fourLevelCode, fourLevelName, " +
         "cfEventCode, eventCode, eventName, emoScore, impScore)")
+
+  /** Full-pipeline oracle SQL, parameterized by the per-topic
+    * srcType constant (quirk Q7) — shared by p09 and p15. */
+  private def pipelineSql(srcType: String): String = s"""
+      WITH ev AS (
+        SELECT doc_id, source AS cmpShortName, CAST(doc_id AS VARCHAR) AS cmpCode,
+          text AS title,
+          strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND,
+                   '%Y-%m-%d %H:%M:%S') AS pubTime,
+          'http://doc/' || CAST(doc_id AS VARCHAR) AS srcUrl
+        FROM documents),
+      ind_p AS (
+        SELECT compName,
+          max(CASE WHEN constCode=3 THEN constValueDesc END) AS firstIndustry,
+          max(CASE WHEN constCode=3 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS firstIndustryCode,
+          max(CASE WHEN constCode=4 THEN constValueDesc END) AS secondIndustry,
+          max(CASE WHEN constCode=4 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS secondIndustryCode,
+          max(CASE WHEN constCode=5 THEN constValueDesc END) AS threeIndustry,
+          max(CASE WHEN constCode=5 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS threeIndustryCode
+        FROM ${Pipeline.industryDimSql} GROUP BY compName),
+      enr AS (
+        SELECT ev.*, name_dim.all_name AS companyName,
+          ind_p.firstIndustry, ind_p.firstIndustryCode,
+          ind_p.secondIndustry, ind_p.secondIndustryCode,
+          ind_p.threeIndustry, ind_p.threeIndustryCode
+        FROM ev
+        LEFT JOIN ${Pipeline.nameDimSql} ON ev.cmpShortName = name_dim.short_name
+        LEFT JOIN ind_p ON name_dim.all_name = ind_p.compName),
+      m AS (
+        SELECT e.*, r.*
+        FROM enr e JOIN $rulesValuesSql
+        ON ${ruleJoinCondSql("e.title")}),
+      withyq AS (
+        SELECT m.*, ${uuidBitsSql("md5(title || srcUrl || pubTime)")} AS yqid FROM m),
+      withonly AS (
+        SELECT w.*,
+          ${uuidBitsSql("md5(yqid || coalesce(companyName,'') || eventCode)")} AS onlyId
+        FROM withyq w)
+      SELECT yqid, onlyId, cmpShortName, coalesce(companyName,'') AS companyName,
+        cmpCode,
+        '' AS bondShortName, '' AS bondCode, '' AS bondFullName,
+        coalesce(firstIndustry,'') AS firstIndustry,
+        coalesce(firstIndustryCode,'') AS firstIndustryCode,
+        coalesce(secondIndustry,'') AS secondIndustry,
+        coalesce(secondIndustryCode,'') AS secondIndustryCode,
+        coalesce(threeIndustry,'') AS threeIndustry,
+        coalesce(threeIndustryCode,'') AS threeIndustryCode,
+        firstLevelCode, firstLevelName, secondLevelCode, secondLevelName,
+        threeLevelCode, threeLevelName, fourLevelCode,
+        coalesce(fourLevelName,'') AS fourLevelName,
+        eventCode, eventName,
+        emoScore, $emoLabelSql AS emoLabel,
+        impScore, $impLabelSql AS impLabel,
+        '巨潮资讯网' AS webname, '$srcType' AS srcType,
+        srcUrl, pubTime, title
+      FROM withonly r"""
 
   /** name -> (spark impl, optional DuckDB oracle). */
   private lazy val registry: Map[String, (Q, Option[String])] = Map(
@@ -477,59 +536,19 @@ object SparkEntry {
     // defaults, rule classify, labels, uuid ids, constants, 34-col output.
     "p09_pipeline_e2e" -> (((s: SparkSession, d: String) => {
       Pipeline.announcements(s, Tables.documents(s, d), RuleClassifier.rulesDim(s))
-    }, Some(s"""
-      WITH ev AS (
-        SELECT doc_id, source AS cmpShortName, CAST(doc_id AS VARCHAR) AS cmpCode,
-          text AS title,
-          strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND,
-                   '%Y-%m-%d %H:%M:%S') AS pubTime,
-          'http://doc/' || CAST(doc_id AS VARCHAR) AS srcUrl
-        FROM documents),
-      ind_p AS (
-        SELECT compName,
-          max(CASE WHEN constCode=3 THEN constValueDesc END) AS firstIndustry,
-          max(CASE WHEN constCode=3 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS firstIndustryCode,
-          max(CASE WHEN constCode=4 THEN constValueDesc END) AS secondIndustry,
-          max(CASE WHEN constCode=4 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS secondIndustryCode,
-          max(CASE WHEN constCode=5 THEN constValueDesc END) AS threeIndustry,
-          max(CASE WHEN constCode=5 THEN categoryCode || '##' || CAST(constCode AS VARCHAR) END) AS threeIndustryCode
-        FROM ${Pipeline.industryDimSql} GROUP BY compName),
-      enr AS (
-        SELECT ev.*, name_dim.all_name AS companyName,
-          ind_p.firstIndustry, ind_p.firstIndustryCode,
-          ind_p.secondIndustry, ind_p.secondIndustryCode,
-          ind_p.threeIndustry, ind_p.threeIndustryCode
-        FROM ev
-        LEFT JOIN ${Pipeline.nameDimSql} ON ev.cmpShortName = name_dim.short_name
-        LEFT JOIN ind_p ON name_dim.all_name = ind_p.compName),
-      m AS (
-        SELECT e.*, r.*
-        FROM enr e JOIN $rulesValuesSql
-        ON ${ruleJoinCondSql("e.title")}),
-      withyq AS (
-        SELECT m.*, ${uuidBitsSql("md5(title || srcUrl || pubTime)")} AS yqid FROM m),
-      withonly AS (
-        SELECT w.*,
-          ${uuidBitsSql("md5(yqid || coalesce(companyName,'') || eventCode)")} AS onlyId
-        FROM withyq w)
-      SELECT yqid, onlyId, cmpShortName, coalesce(companyName,'') AS companyName,
-        cmpCode,
-        '' AS bondShortName, '' AS bondCode, '' AS bondFullName,
-        coalesce(firstIndustry,'') AS firstIndustry,
-        coalesce(firstIndustryCode,'') AS firstIndustryCode,
-        coalesce(secondIndustry,'') AS secondIndustry,
-        coalesce(secondIndustryCode,'') AS secondIndustryCode,
-        coalesce(threeIndustry,'') AS threeIndustry,
-        coalesce(threeIndustryCode,'') AS threeIndustryCode,
-        firstLevelCode, firstLevelName, secondLevelCode, secondLevelName,
-        threeLevelCode, threeLevelName, fourLevelCode,
-        coalesce(fourLevelName,'') AS fourLevelName,
-        eventCode, eventName,
-        emoScore, $emoLabelSql AS emoLabel,
-        impScore, $impLabelSql AS impLabel,
-        '巨潮资讯网' AS webname, '新三板公告' AS srcType,
-        srcUrl, pubTime, title
-      FROM withonly r"""))),
+    }, Some(pipelineSql(srcType = "新三板公告")))),
+
+    // Quirk Q7 as DATA, not code: the same parameterized pipeline run
+    // for both reference topics (NEEQ + A-share configs) and unioned —
+    // the reference maintains two near-identical 640-line files for
+    // this.
+    "p15_pipeline_two_topics" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val rules = RuleClassifier.rulesDim(s)
+      Pipeline.announcements(s, docs, rules, Pipeline.neeq)
+        .unionAll(Pipeline.announcements(s, docs, rules, Pipeline.aShare))
+    }, Some(s"""SELECT * FROM (${pipelineSql("新三板公告")})
+      UNION ALL SELECT * FROM (${pipelineSql("A股公告")})"""))),
 
     // The centerpiece at REALISTIC rule cardinality: 120 generated
     // rules (the production table holds hundreds) broadcast against
@@ -799,6 +818,33 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT doc_id, lang FROM documents
       WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.8)"""))),
+
+    // The curation step a training-data pipeline actually ships:
+    // language + quality + length gates composed into the surviving
+    // corpus (n07/n08/n09 as a filter, not a report).
+    "n18_quality_filter" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      docs.select(
+          col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("lang_guess"),
+          Text.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          Text.qualityScore(col("text")).as("quality"))
+        .where(col("lang_guess") === "en" &&
+          col("n_tokens").between(8, 1000) && col("quality") > 0.5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+    }, Some(s"""
+      SELECT doc_id, lang, n_tokens, quality FROM (
+        SELECT doc_id, lang, n_tokens,
+          CASE WHEN stop_hits >= 2 THEN 'en'
+               WHEN n_tokens = 0 THEN 'empty' ELSE 'und' END AS lang_guess,
+          ((CAST(least(n_tokens, 50) AS DOUBLE) / 50.0) * 0.5
+            + (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3)
+            + least((CAST(len_sum AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.2 AS quality
+        FROM (SELECT doc_id, lang, len(toks) AS n_tokens,
+                len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits,
+                list_sum(list_transform(toks, t -> length(t))) AS len_sum
+              FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)))
+      WHERE lang_guess = 'en' AND n_tokens BETWEEN 8 AND 1000 AND quality > 0.5"""))),
 
     // Multimodal feature extraction: 8 evenly-spaced payload bytes
     // normalized to [0,1] per document (stub for a batch-amortized
