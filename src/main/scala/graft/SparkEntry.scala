@@ -870,6 +870,20 @@ object SparkEntry {
               unnest(range(octet_length(encode(text)) % 8)) AS frame_idx
             FROM documents)"""))),
 
+    // Corpus token histogram: explode → count → deterministic top-k
+    // (vocabulary statistics — the explode+agg shape every corpus-stats
+    // job uses; map-side partial agg bounds the shuffle at |vocab|).
+    "n19_token_histogram" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }, Some(s"""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest($toksSql) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20"""))),
+
     // ---------------------------------------------------------------- s*
     // Structured Streaming: real readStream → micro-batches → memory sink
     // (Trigger.AvailableNow), oracle-checked like any batch query.
