@@ -903,6 +903,14 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamDedup(s, d)
     }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
 
+    // The reference's E1 chain as a TRUE stream: full announcement
+    // pipeline under Structured Streaming (stream-static broadcast
+    // joins + broadcast rule match), same oracle as batch p09 —
+    // batch/stream duality made checkable.
+    "s08_stream_pipeline" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamPipeline(s, d)
+    }, Some(pipelineSql(srcType = "新三板公告")))),
+
     // Arbitrary stateful processing: flatMapGroupsWithState carrying
     // per-user running aggregates across micro-batches.
     "s04_stream_stateful" -> (((s: SparkSession, d: String) => {

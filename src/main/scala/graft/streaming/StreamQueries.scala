@@ -131,6 +131,29 @@ object StreamQueries {
         date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss").as("last_s"))
   }
 
+  /** Streaming documents source (file stand-in for the announcements
+    * topic; same glob trick as eventsStream). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(s"$dir/[d]ocuments.parquet")
+
+  /** THE reference pipeline (E1) as a true stream: the same
+    * `Pipeline.announcements` plan — normalize → broadcast name/industry
+    * dims (stream-static left joins) → broadcast rule cross-join +
+    * predicate → labels/uuids → 34-col record — fed by `readStream`
+    * instead of `read`, drained micro-batch by micro-batch into the
+    * sink. Batch/stream duality is the whole design (SURVEY §7.1): the
+    * oracle for this query is literally p09's SQL. No aggregation, so
+    * append mode with no watermark; every dim is broadcast per batch
+    * (the reference's poll-refresh, O10). */
+  def streamPipeline(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      graft.operators.Pipeline.announcements(spark,
+        documentsStream(spark, dir),
+        graft.operators.RuleClassifier.rulesDim(spark)),
+      "append")
+
   /** Session-window aggregation: per-user sessions closed by a 1-hour
     * inactivity gap (merging session state — the hardest windowing mode;
     * complete output so AvailableNow batching can't truncate emissions).
