@@ -884,6 +884,22 @@ object SparkEntry {
       FROM (SELECT unnest($toksSql) AS token FROM documents)
       GROUP BY token ORDER BY n DESC, token LIMIT 20"""))),
 
+    // Corpus-level MinHash sketches via the typed union Aggregator
+    // (MinHashAgg): one k-long sketch per language sub-corpus in a
+    // single aggregation pass. ROWS-ONLY: the sketch is xxhash-valued
+    // and not ANSI-SQL-expressible; its defining union property is
+    // verified in ShinglesSpec instead.
+    "n20_minhash_corpus" -> (((s: SparkSession, d: String) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("lang"),
+          MinHashLsh.signature(Text.shingleSet(col("text")),
+            graft.functions.MinHashAgg.K).as("sig"))
+      sigs.groupBy(col("lang"))
+        .agg(graft.functions.MinHashAgg.union(col("sig")).as("sketch"))
+        .select(col("lang"),
+          concat_ws(",", transform(col("sketch"), _.cast("string"))).as("sketch_csv"))
+    }, None)),
+
     // ---------------------------------------------------------------- s*
     // Structured Streaming: real readStream → micro-batches → memory sink
     // (Trigger.AvailableNow), oracle-checked like any batch query.

@@ -105,6 +105,29 @@ class ShinglesSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("MinHashAgg: group sketch == componentwise min of member sigs (union property)") {
+    import graft.functions.MinHashAgg
+    val docs = Seq(
+      (1L, "g1", "a b c d e f g"),
+      (2L, "g1", "x y z w v u t"),
+      (3L, "g2", "a b c d e f g")
+    ).toDF("id", "grp", "text")
+    val sigs = docs.select(col("id"), col("grp"),
+      MinHashLsh.signature(Text.shingleSet(col("text")), MinHashAgg.K).as("sig"))
+    val perDoc = sigs.select(col("id"), col("sig")).as[(Long, Seq[Long])]
+      .collect().toMap
+    val grouped = sigs.groupBy(col("grp"))
+      .agg(MinHashAgg.union(col("sig")).as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val want = perDoc(1L).zip(perDoc(2L)).map { case (a, b) => math.min(a, b) }
+    assert(grouped("g1") == want.toSeq)
+    assert(grouped("g2") == perDoc(3L))
+    // estimator sanity: identical groups => 1.0; g1 vs g2 in (0,1)
+    assert(MinHashAgg.estJaccard(grouped("g2"), perDoc(1L)) == 1.0)
+    val cross = MinHashAgg.estJaccard(grouped("g1"), grouped("g2"))
+    assert(cross >= 0.0 && cross < 1.0)
+  }
+
   implicit private class TupleMap(rows: Array[(Long, Long, Double)]) {
     def toMap1: Map[(Long, Long), Double] =
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
