@@ -927,6 +927,20 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamPipeline(s, d)
     }, Some(pipelineSql(srcType = "新三板公告")))),
 
+    // The reference's 3-sink fan-out (2 MySQL tables + Mongo with key
+    // dedup) under one foreachBatch: oracle checks each sink received
+    // every row (onlyId is unique per (doc,rule) on this rule set, so
+    // the deduped doc-store count equals distinct onlyIds).
+    "s09_stream_fanout" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamFanout(s, d)
+    }, Some {
+      val base = pipelineSql(srcType = "新三板公告")
+      s"""
+      SELECT 'gao' AS sink, count(*) AS n_rows FROM ($base)
+      UNION ALL SELECT 'yuqing', count(*) FROM ($base)
+      UNION ALL SELECT 'mongo', count(DISTINCT onlyId) FROM ($base)"""
+    })),
+
     // Arbitrary stateful processing: flatMapGroupsWithState carrying
     // per-user running aggregates across micro-batches.
     "s04_stream_stateful" -> (((s: SparkSession, d: String) => {

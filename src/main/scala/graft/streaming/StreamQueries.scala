@@ -199,6 +199,43 @@ object StreamQueries {
     spark.read.parquet(s"$out/data")
   }
 
+  /** The reference's sink FAN-OUT (O23+O24+O25: every matched row goes
+    * to two MySQL tables and one Mongo collection — kafka_s.py:510,554,
+    * 627): one streaming pipeline, one foreachBatch, THREE writes per
+    * micro-batch — batch.persist() so the fan-out scans the batch once,
+    * not three times. The query result reads the sinks back and
+    * reports per-sink row counts, so the oracle verifies every sink
+    * received every row. */
+  def streamFanout(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-fanout").toString
+    val announcements = graft.operators.Pipeline.announcements(spark,
+      documentsStream(spark, dir),
+      graft.operators.RuleClassifier.rulesDim(spark))
+    val q = announcements.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fanout-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        // sink 1: announcement table (33-col analog, kafka_s.py:477-509)
+        batch.drop("onlyId").write.mode("append").parquet(s"$out/gao")
+        // sink 2: sentiment table (34-col analog, kafka_s.py:520-553)
+        batch.write.mode("append").parquet(s"$out/yuqing")
+        // sink 3: doc store with key dedup (kafka_s.py:614-630)
+        batch.dropDuplicates("onlyId").write.mode("append").parquet(s"$out/mongo")
+        batch.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    def sinkCount(name: String): DataFrame =
+      spark.read.parquet(s"$out/$name")
+        .agg(count(lit(1)).as("n_rows")).withColumn("sink", lit(name))
+        .select(col("sink"), col("n_rows"))
+    sinkCount("gao").unionAll(sinkCount("yuqing")).unionAll(sinkCount("mongo"))
+  }
+
   /** Stream-static broadcast enrichment join (O6's shape under
     * Structured Streaming): the static dim is re-read per micro-batch
     * (which is how Spark subsumes the reference's poll-based dim
