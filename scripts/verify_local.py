@@ -68,9 +68,17 @@ def main():
         oracles = json.load(f)
 
     results = {}
+    # VERIFY_SKIP_ORACLE: comma-separated query names downgraded to a
+    # rows-only check — for large SFs where the DUCKDB side of an
+    # O(n^2) pair oracle is the bottleneck (the Spark side is fine)
+    skip_oracle = set(filter(None, os.environ.get("VERIFY_SKIP_ORACLE", "").split(",")))
     names = sorted(d for d in os.listdir(OUTDIR)
                    if os.path.isdir(os.path.join(OUTDIR, d)))
     for name in names:
+        if name in skip_oracle:
+            got_cols, got = canon_parquet(f"{OUTDIR}/{name}/*.parquet")
+            results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
+            continue
         got_cols, got = canon_parquet(f"{OUTDIR}/{name}/*.parquet")
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")

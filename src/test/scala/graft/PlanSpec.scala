@@ -43,4 +43,17 @@ class PlanSpec extends AnyFunSuite {
   test("top-n is a TakeOrdered, not a global sort") {
     assert(plan("p11_topn").contains("TakeOrderedAndProject"))
   }
+
+  test("scaled rule match broadcasts the rules, streams the fact side") {
+    val p = plan("p14_rule_match_scale")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning")) // no fact-side shuffle
+  }
+
+  test("embedding pair join precomputes norms outside the O(n^2) loop") {
+    // norm appears in a Project below the join, not inside the join filter
+    val p = plan("n13_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
