@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, MinHashSig, ShingleSet, SimHash64, Uuid3}
+
+/** Spark-native extension point: registers the engine's custom Catalyst
+  * expressions as SQL functions, so the full surface is usable from
+  * `spark.sql(...)` and `selectExpr`, not only the Scala Column API.
+  *
+  * Wire up via config (works for spark-submit and Connect alike):
+  *   spark.sql.extensions=graft.GraftExtensions
+  * or programmatically: `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Registered functions:
+  *   graft_uuid3(s)        — RFC-4122 v3 uuid over NAMESPACE_DNS, no dashes
+  *   graft_det_id(s)       — namespace-free md5 id with v3 bits (oracle-expressible)
+  *   graft_simhash64(arr)  — 64-bit SimHash hex of a token array
+  *   graft_shingle_set(s)  — distinct 3-word shingle set
+  *   graft_minhash_sig(a)  — 32-component MinHash signature of a shingle set
+  *   graft_dot(a, b)       — double-array dot product (left fold)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_uuid3"),
+      info("graft_uuid3", "uuid3(NAMESPACE_DNS, str), dashes stripped"),
+      (args: Seq[Expression]) => Uuid3(args.head, Uuid3.NamespaceDns)))
+    ext.injectFunction((FunctionIdentifier("graft_det_id"),
+      info("graft_det_id", "md5-based deterministic id with uuid-v3 bits"),
+      (args: Seq[Expression]) => Uuid3(args.head, Nil)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit SimHash hex digest of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set", "distinct 3-word shingle set of a text"),
+      (args: Seq[Expression]) => ShingleSet(args.head, 3)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "32-component MinHash signature of a string array"),
+      (args: Seq[Expression]) => MinHashSig(args.head, 32)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two double arrays (left fold)"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+  }
+}

@@ -17,6 +17,8 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom expressions as SQL functions (graft_uuid3, graft_dot, …)
+      .withExtensions(new GraftExtensions)
       // one partition per core locally; AQE re-coalesces at runtime
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // oracle compare and date_format are timezone-sensitive

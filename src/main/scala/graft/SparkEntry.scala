@@ -408,6 +408,21 @@ object SparkEntry {
                        WHERE o_orderstatus = 'P' GROUP BY o_custkey) o
       ON c_custkey = o_custkey"""))),
 
+    // The SQL frontend: the same engine surface through spark.sql with
+    // the library's functions registered via SparkSessionExtensions
+    // (GraftExtensions) — a user never has to touch the Column API.
+    "a13_sql_frontend" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id, graft_det_id(text || '|' || lang) AS det_id,
+               size(graft_shingle_set(text)) AS n_shingles
+        FROM graft_documents""")
+    }, Some(s"""
+      SELECT doc_id,
+        ${uuidBitsSql("md5(text || '|' || lang)")} AS det_id,
+        len($ssetSql) AS n_shingles
+      FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)"""))),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
