@@ -423,6 +423,28 @@ object SparkEntry {
         len($ssetSql) AS n_shingles
       FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)"""))),
 
+    // As-of join — the temporal operator Spark lacks natively: for
+    // every event, the user's most recent purchase at-or-before it.
+    // Union+window lowering (one key shuffle, no range explosion);
+    // oracle = DuckDB's native ASOF JOIN over the same µs-floored
+    // times (ns-precision on one side only could flip <= at µs ties).
+    "a14_asof_join" -> (((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      operators.AsOfJoin.asofBackward(ev, purchases,
+        key = "user_id", time = "us", tiebreak = "event_id", payloadCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+            WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id, p.event_id AS asof_event_id
+      FROM e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND p.us <= e.us"""))),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
