@@ -445,6 +445,30 @@ object SparkEntry {
       FROM e ASOF LEFT JOIN p
       ON e.user_id = p.user_id AND p.us <= e.us"""))),
 
+    // Range join: events matched to a tier-interval dimension on
+    // lo <= value < hi (no equi key). With a small interval dim the
+    // right plan is broadcast nested-loop — the fact side never
+    // shuffles; a large interval dim would first bucket both sides to
+    // make it an equi-join (same pattern as the similarity joins).
+    "a15_range_join" -> (((s: SparkSession, d: String) => {
+      import s.implicits._
+      val tiers = (0 until 25).map(i => (i, i * 20.0, (i + 1) * 20.0))
+        .toDF("tier", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("string").as("sum_value"))
+    }, Some {
+      val tiers = (0 until 25).map(i => s"($i, ${i * 20.0}, ${(i + 1) * 20.0})")
+        .mkString("(VALUES ", ",", ") AS t(tier, lo, hi)")
+      s"""
+      SELECT tier, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS sum_value
+      FROM events JOIN $tiers ON value >= lo AND value < hi
+      GROUP BY tier"""
+    })),
+
     // ---------------------------------------------------------------- p*
     // Reference-parity operators (SURVEY §2, kafka CDC pipeline).
 
