@@ -423,6 +423,31 @@ object SparkEntry {
         len($ssetSql) AS n_shingles
       FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)"""))),
 
+    // TPC-H Q14-flavored: part dim joined to lineitem with a
+    // conditional aggregate (promo revenue share) — completes star-
+    // schema coverage (part was the one unexercised table).
+    "a16_part_promo" -> (((s: SparkSession, d: String) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("string").as("revenue"),
+          sum(when(col("p_brand") === "Brand#2",
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(28,6)")).otherwise(lit(0).cast("decimal(28,6)")))
+            .cast("string").as("brand2_revenue"))
+    }, Some("""
+      SELECT p_type, count(*) AS n_lines,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS revenue,
+        CAST(sum(CASE WHEN p_brand = 'Brand#2'
+              THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))
+              ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS brand2_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type"""))),
+
     // As-of join — the temporal operator Spark lacks natively: for
     // every event, the user's most recent purchase at-or-before it.
     // Union+window lowering (one key shuffle, no range explosion);
