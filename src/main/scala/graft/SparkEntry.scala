@@ -885,11 +885,13 @@ object SparkEntry {
     // Dedup APPLIED: the corpus that survives near-dup removal (keep
     // the min-id member of each qualifying pair — greedy, single pass;
     // a production pipeline would union-find connected components in a
-    // few iterations of the same pair join). Composes n02's similarity
-    // join with an anti join.
+    // few iterations of the same pair join). Pairs come from the LSH
+    // detector (n03's verified operating point: S-curve ≈ 1 at t=0.8,
+    // so its output equals the exact answer the oracle computes) —
+    // composing the sketch path into curation, at the sketch's cost.
     "n16_dedup_apply" -> (((s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      val losers = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      val losers = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
         .select(col("b_id"))
       docs.join(losers, docs("doc_id") === losers("b_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
