@@ -49,19 +49,34 @@ object StreamQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Scoped shuffle-partition override while a bounded streaming query
+    * drains: stateful operators allocate one state-store instance per
+    * shuffle partition PER MICRO-BATCH (provider init, delta file,
+    * snapshot bookkeeping) — at harness scale that fixed cost dominates,
+    * so bounded drains run with fewer partitions. Restores the previous
+    * value even on failure; a real deployment sizes this to keep
+    * per-partition state in executor memory instead. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to completion into a memory sink, return the
     * result table. AvailableNow processes all available input then stops. */
-  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"graft-ckpt-$name").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = df.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-ckpt-$name").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   /** O27 as a streaming aggregation: running per-type counts. */
   def eventCounts(spark: SparkSession, dir: String): DataFrame =
@@ -181,7 +196,8 @@ object StreamQueries {
     * back, so the oracle verifies what was actually WRITTEN. Cross-
     * batch dedup is the streaming state's job, so content is
     * deterministic under any micro-batching. */
-  def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame = {
+  def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
     val out = Files.createTempDirectory("graft-sink").toString
     val q = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
@@ -206,7 +222,8 @@ object StreamQueries {
     * not three times. The query result reads the sinks back and
     * reports per-sink row counts, so the oracle verifies every sink
     * received every row. */
-  def streamFanout(spark: SparkSession, dir: String): DataFrame = {
+  def streamFanout(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
     val out = Files.createTempDirectory("graft-fanout").toString
     val announcements = graft.operators.Pipeline.announcements(spark,
       documentsStream(spark, dir),
@@ -234,7 +251,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_rows")).withColumn("sink", lit(name))
         .select(col("sink"), col("n_rows"))
     sinkCount("gao").unionAll(sinkCount("yuqing")).unionAll(sinkCount("mongo"))
-  }
+    }
 
   /** Stream-static broadcast enrichment join (O6's shape under
     * Structured Streaming): the static dim is re-read per micro-batch
