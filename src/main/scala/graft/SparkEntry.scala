@@ -423,6 +423,37 @@ object SparkEntry {
         len($ssetSql) AS n_shingles
       FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)"""))),
 
+    // lead/lag window surface: per-customer order sequence with
+    // day-gaps to the previous/next order (null at the edges).
+    "a17_lead_lag" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+          .as("days_to_next"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+        date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_to_next
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
+
+    // Distinct aggregates: exact count(DISTINCT) + plain count per group
+    // (Catalyst plans the expand+two-phase agg automatically).
+    "a18_distinct_agg" -> (((s: SparkSession, d: String) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+    }, Some("""
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        count(DISTINCT o_orderpriority) AS n_priorities, count(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus"""))),
+
     // TPC-H Q14-flavored: part dim joined to lineitem with a
     // conditional aggregate (promo revenue share) — completes star-
     // schema coverage (part was the one unexercised table).
