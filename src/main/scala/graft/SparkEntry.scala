@@ -1019,6 +1019,49 @@ object SparkEntry {
           concat_ws(",", transform(col("sketch"), _.cast("string"))).as("sketch_csv"))
     }, None)),
 
+    // Multimodal resize plumbing: aspect-fit into 64×64 over the fake
+    // decoded dims — integer math, exact oracle.
+    "n21_resize" -> (((s: SparkSession, d: String) => {
+      Multimodal.resizedMeta(Tables.documents(s, d))
+    }, Some("""
+      SELECT doc_id, width, height,
+        CASE WHEN greatest(width, height) <= 64 THEN width
+             ELSE width * 64 // greatest(width, height) END AS new_w,
+        CASE WHEN greatest(width, height) <= 64 THEN height
+             ELSE height * 64 // greatest(width, height) END AS new_h,
+        substr(md5(text), 1, 16) AS sig
+      FROM (SELECT doc_id, text,
+              CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+              CAST(octet_length(encode(text)) % 480 AS INT) AS height
+            FROM documents)"""))),
+
+    // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-
+    // hash scheme): positional 3-gram md5s, lexicographic min per
+    // sliding window of 4, distinct+sorted selection — guarantees any
+    // sufficiently long shared substring contributes a shared
+    // fingerprint hash. The selection set (csv) IS the signature.
+    "n22_winnow_fingerprint" -> (((s: SparkSession, d: String) => {
+      val hs = transform(Text.shinglesHof(col("text"), 3), sh => md5(sh))
+      val n = size(hs)
+      val wins = when(n >= 4,
+        transform(sequence(lit(0), n - 4), i => array_min(slice(hs, i + lit(1), lit(4)))))
+        .when(n > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat_ws(",", array_sort(array_distinct(wins))).as("winnow_csv"))
+    }, Some(s"""
+      SELECT doc_id, array_to_string(list_sort(list_distinct(
+        CASE WHEN len(hs) >= 4
+               THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE CAST([] AS VARCHAR[]) END)), ',') AS winnow_csv
+      FROM (SELECT doc_id, list_transform(
+              CASE WHEN len(toks) >= 3
+                THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+                ELSE CAST([] AS VARCHAR[]) END, g -> md5(g)) AS hs
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""))),
+
     // ---------------------------------------------------------------- s*
     // Structured Streaming: real readStream → micro-batches → memory sink
     // (Trigger.AvailableNow), oracle-checked like any batch query.

@@ -124,4 +124,36 @@ object Multimodal {
   /** documents → feature table (stub extract, real plumbing). */
   def extractedFeatures(docs: DataFrame): DataFrame =
     featureExtract(mediaTable(docs)).toDF()
+
+  /** Resize record: original fake dims + aspect-fit target dims. */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, sig: String)
+
+  /** STUB RESIZE — aspect-preserving fit into 64×64 over the fake
+    * decoded dimensions (integer math, exactly mirrored by the oracle;
+    * a real impl resamples pixels here). Same per-partition batch shape
+    * as the other media stubs. */
+  def resize(media: DataFrame, maxSide: Int = 64): Dataset[Resized] = {
+    implicit val enc: Encoder[Resized] = Encoders.product[Resized]
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { row =>
+          val id = row.getLong(0)
+          val p = row.getAs[Array[Byte]](1)
+          val w = p.length % 640
+          val h = p.length % 480
+          val scale = math.max(w, h)
+          val (nw, nh) =
+            if (scale <= maxSide) (w, h)
+            else (w * maxSide / scale, h * maxSide / scale)
+          md.reset()
+          val sig = md.digest(p).take(8).map("%02x".format(_)).mkString
+          Resized(id, w, h, nw, nh, sig)
+        }
+      }
+  }
+
+  /** documents → resized-media metadata (stub resample, real plumbing). */
+  def resizedMeta(docs: DataFrame): DataFrame = resize(mediaTable(docs)).toDF()
 }
