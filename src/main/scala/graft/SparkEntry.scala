@@ -454,6 +454,41 @@ object SparkEntry {
         count(DISTINCT o_orderpriority) AS n_priorities, count(*) AS n_orders
       FROM orders GROUP BY o_orderstatus"""))),
 
+    // Statistical aggregates (mean/variance/correlation) with exact
+    // cross-engine determinism: moments accumulate as EXACT decimal
+    // sums; the finishing arithmetic runs on doubles obtained via
+    // decimal→string→double (string parse is correctly rounded in both
+    // engines, unlike DuckDB's direct decimal→double cast) with the
+    // formula written identically on both sides. Built-in stddev/corr
+    // would float-accumulate in engine-specific order — hash-unstable.
+    "a19_stats_moments" -> (((s: SparkSession, d: String) => {
+      def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("string").cast("double")
+      val n = count(lit(1))
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        n.as("n"),
+        (dsum(q) / n).as("mean_qty"),
+        ((dsum(q * q) - dsum(q) * dsum(q) / n) / (n - lit(1))).as("var_qty"),
+        ((dsum(q * p) - dsum(q) * dsum(p) / n) /
+          (sqrt(dsum(q * q) - dsum(q) * dsum(q) / n) *
+           sqrt(dsum(p * p) - dsum(p) * dsum(p) / n))).as("corr_qty_price"))
+    }, Some {
+      def dsum(e: String) = s"CAST(CAST(sum(CAST($e AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+      val q = "l_quantity"
+      val qq = dsum(s"$q*$q"); val q1 = dsum(q)
+      val pp = dsum("l_extendedprice*l_extendedprice"); val p1 = dsum("l_extendedprice")
+      val qp = dsum(s"$q*l_extendedprice")
+      s"""
+      SELECT l_returnflag, count(*) AS n,
+        $q1 / count(*) AS mean_qty,
+        ($qq - $q1 * $q1 / count(*)) / (count(*) - 1) AS var_qty,
+        ($qp - $q1 * $p1 / count(*)) /
+          (sqrt($qq - $q1 * $q1 / count(*)) * sqrt($pp - $p1 * $p1 / count(*)))
+          AS corr_qty_price
+      FROM lineitem GROUP BY l_returnflag"""
+    })),
+
     // TPC-H Q14-flavored: part dim joined to lineitem with a
     // conditional aggregate (promo revenue share) — completes star-
     // schema coverage (part was the one unexercised table).
