@@ -27,24 +27,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity check up front — otherwise a wrong-arg-count call surfaces
+    * as an IndexOutOfBoundsException from the builder. */
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n,
+      s"$name takes $n argument(s), got ${args.length}")
+    args
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_uuid3"),
       info("graft_uuid3", "uuid3(NAMESPACE_DNS, str), dashes stripped"),
-      (args: Seq[Expression]) => Uuid3(args.head, Uuid3.NamespaceDns)))
+      (args: Seq[Expression]) => Uuid3(arity("graft_uuid3", 1)(args).head, Uuid3.NamespaceDns)))
     ext.injectFunction((FunctionIdentifier("graft_det_id"),
       info("graft_det_id", "md5-based deterministic id with uuid-v3 bits"),
-      (args: Seq[Expression]) => Uuid3(args.head, Nil)))
+      (args: Seq[Expression]) => Uuid3(arity("graft_det_id", 1)(args).head, Nil)))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "64-bit SimHash hex digest of a token array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(arity("graft_simhash64", 1)(args).head)))
     ext.injectFunction((FunctionIdentifier("graft_shingle_set"),
       info("graft_shingle_set", "distinct 3-word shingle set of a text"),
-      (args: Seq[Expression]) => ShingleSet(args.head, 3)))
+      (args: Seq[Expression]) => ShingleSet(arity("graft_shingle_set", 1)(args).head, 3)))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "32-component MinHash signature of a string array"),
-      (args: Seq[Expression]) => MinHashSig(args.head, 32)))
+      (args: Seq[Expression]) => MinHashSig(arity("graft_minhash_sig", 1)(args).head, 32)))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "dot product of two double arrays (left fold)"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val a = arity("graft_dot", 2)(args); DotProduct(a(0), a(1))
+      }))
   }
 }

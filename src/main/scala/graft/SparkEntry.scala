@@ -48,16 +48,9 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Hand-expanded SQL predicate for each fixture rule (must mirror
-    * RuleClassifier.fixtureRules through kafka_s.py:243-245 parse
-    * semantics). `t` is the title column reference. */
-  private def rulePred(t: String, id: Int): String = id match {
-    case 1 => s"((contains($t,'join') AND contains($t,'filter')) OR contains($t,'stream')) AND NOT contains($t,'slow')"
-    case 2 => s"contains($t,'window') AND contains($t,'sort')"
-    case 3 => s"contains($t,'hash') AND contains($t,'scan') AND contains($t,'merge') AND NOT (contains($t,'slow') OR contains($t,'error'))"
-    case 4 => s"contains($t,'spark') AND NOT contains($t,'batch&query')"
-    case 5 => s"((contains($t,'group ') AND contains($t,' data')) OR (contains($t,'key') AND contains($t,'value'))) AND NOT contains($t,'customer')"
-  }
+  // (fixture-rule SQL predicates are generated mechanically by
+  // rulePredSqlGen below — one source of truth with the Catalyst parse,
+  // so editing RuleClassifier.fixtureRules cannot drift the oracles)
 
   /** DuckDB twin of the uuid-v3 bit layout over a 32-char md5 hex column. */
   private def uuidBitsSql(h: String): String =
@@ -66,7 +59,9 @@ object SparkEntry {
       s"substr($h,18,15)"
 
   private def ruleJoinCondSql(t: String): String =
-    (1 to 5).map(i => s"(r.id=$i AND (${rulePred(t, i)}))").mkString("\n OR ")
+    RuleClassifier.fixtureRules
+      .map(r => s"(r.id=${r.id} AND (${rulePredSqlGen(t, r)}))")
+      .mkString("\n OR ")
 
   private val emoLabelSql =
     "CASE r.emoScore WHEN 1 THEN '正向' WHEN -1 THEN '负向' WHEN 0 THEN '中性' END"
@@ -530,8 +525,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_event_id"))
     }, Some("""
       WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
-      p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
-            WHERE event_type = 'purchase')
+      -- one row per (user, us): max event_id, matching the Spark window's
+      -- (time, side, event_id) tie order — ASOF's pick among equal times
+      -- is otherwise unspecified
+      p AS (SELECT max(event_id) AS event_id, user_id, us
+            FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+                  WHERE event_type = 'purchase')
+            GROUP BY user_id, us)
       SELECT e.event_id, e.user_id, p.event_id AS asof_event_id
       FROM e ASOF LEFT JOIN p
       ON e.user_id = p.user_id AND p.us <= e.us"""))),
@@ -645,7 +645,11 @@ object SparkEntry {
     // aggregate — the oracle aggregates the parquet directly, so the
     // roundtrip must be lossless.
     "p06_csv_roundtrip" -> (((s: SparkSession, d: String) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      // fresh dir per invocation: a fixed shared path would let two
+      // concurrent harness JVMs (e.g. Verify + Bench) clobber each
+      // other's roundtrip data
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_csv_roundtrip").toString
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").option("header", "true").csv(dir)

@@ -33,6 +33,10 @@ object AsOfJoin {
     * carry (key, time, tiebreak); only `right` needs `payloadCol`. */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       time: String, tiebreak: String, payloadCol: String): DataFrame = {
+    require(!left.columns.exists(Set("_side", "_pay")),
+      "asofBackward reserves working columns _side/_pay; rename them on the left side")
+    require(!left.columns.contains(s"asof_$payloadCol"),
+      s"left side already has output column asof_$payloadCol")
     val payT = right.schema(payloadCol).dataType
     val l = left
       .withColumn("_side", lit(1))

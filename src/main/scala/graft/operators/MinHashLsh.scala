@@ -42,9 +42,15 @@ object MinHashLsh {
       k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
     require(k % r == 0, "k must be a multiple of band width r")
     val b = k / r
+    // persisted: referenced by the banding pass AND both candidate
+    // back-joins — without it the parquet scan + shingle kernel run 3×
+    // per query (only identical exchanges get plan-level reuse). Tiny
+    // at harness scale; a 100 TB deployment would persist to disk or
+    // recompute, and unpersists when the result is consumed.
     val sets = docs
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0) // empty sets would band-collide globally
+      .persist()
 
     // banding index kept NARROW — (did, band, key) only. Carrying the
     // shingle arrays through the b-way explode and the band join would

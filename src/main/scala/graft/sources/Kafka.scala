@@ -44,7 +44,15 @@ object Kafka {
       formatTime = false, srcType = "A股公告")
 
   /** Oplog-envelope schema for a topic: `{"o": {...fields, "$set": ...}}`
-    * (kafka_s.py:170-174; `$set` present ⇒ partial update, dropped). */
+    * (kafka_s.py:170-174; `$set` present ⇒ partial update, dropped).
+    *
+    * `$set` is VARIANT, not STRING: in a real oplog its value is a JSON
+    * OBJECT, and under Spark's partial-results JSON parsing a
+    * mistyped field silently becomes null — which would let partial
+    * updates through the insert filter as if `$set` were absent.
+    * Variant accepts any JSON shape, so `isNull` = key truly absent.
+    * (Micro-divergence accepted: the reference's truthiness check keeps
+    * a pathological `"$set": {}`; we drop any present `$set`.) */
   def envelopeSchema(cfg: TopicConfig): StructType = {
     val timeType = if (cfg.formatTime) TimestampType else StringType
     StructType(Seq(StructField("o", StructType(Seq(
@@ -53,7 +61,7 @@ object Kafka {
       StructField("title", StringType),
       StructField(cfg.timeField, timeType),
       StructField("url", StringType),
-      StructField("$set", StringType))))))
+      StructField("$set", VariantType))))))
   }
 
   /** O2-O4: decode envelope JSON → CDC insert filter → canonical

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * same plan runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
   * Reads go through `spark.read.parquet` so Catalyst gets vectorized scans,
   * predicate pushdown and column pruning for free.
+  *
+  * SESSION REQUIREMENT: oracle parity of every `date_format`-bearing query
+  * assumes `spark.sql.session.timeZone=UTC` (the DuckDB oracle is TZ-naive).
+  * GraftSession pins it; a caller-owned session in another zone would render
+  * shifted wall-clock strings. It cannot be defensively forced here — the
+  * conf always reports a value (the JVM default), so "explicitly set by the
+  * user" is indistinguishable from "unset".
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -63,19 +63,36 @@ object StreamQueries {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Bounded-drain checkpoint dir, deleted after the query terminates —
+    * a per-invocation temp checkpoint that outlives its query is pure
+    * disk leak (a bench round starts dozens of queries). Long-running
+    * production queries keep a STABLE checkpoint path instead; deletion
+    * is only correct because AvailableNow drains to completion. */
+  private def withTempCheckpoint[T](body: String => T): T = {
+    val dir = Files.createTempDirectory("graft-ckpt")
+    try body(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(dir)
+      val paths = try stream.iterator().asScala.toVector finally stream.close()
+      paths.sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Run a streaming frame to completion into a memory sink, return the
     * result table. AvailableNow processes all available input then stops. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
     withStreamPartitions(spark, 8) {
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val q = df.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation",
-          Files.createTempDirectory(s"graft-ckpt-$name").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      withTempCheckpoint { ckpt =>
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        val q = df.writeStream
+          .format("memory").queryName(name).outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(name)
+      }
     }
 
   /** O27 as a streaming aggregation: running per-type counts. */
@@ -197,15 +214,14 @@ object StreamQueries {
     * batch dedup is the streaming state's job, so content is
     * deterministic under any micro-batching. */
   def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
     val out = Files.createTempDirectory("graft-sink").toString
     val q = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("append").parquet(s"$out/data")
@@ -213,7 +229,7 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$out/data")
-  }
+  } }
 
   /** The reference's sink FAN-OUT (O23+O24+O25: every matched row goes
     * to two MySQL tables and one Mongo collection — kafka_s.py:510,554,
@@ -223,15 +239,14 @@ object StreamQueries {
     * reports per-sink row counts, so the oracle verifies every sink
     * received every row. */
   def streamFanout(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
     val out = Files.createTempDirectory("graft-fanout").toString
     val announcements = graft.operators.Pipeline.announcements(spark,
       documentsStream(spark, dir),
       graft.operators.RuleClassifier.rulesDim(spark))
     val q = announcements.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-fanout-ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
@@ -251,7 +266,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_rows")).withColumn("sink", lit(name))
         .select(col("sink"), col("n_rows"))
     sinkCount("gao").unionAll(sinkCount("yuqing")).unionAll(sinkCount("mongo"))
-    }
+    } }
 
   /** Stream-static broadcast enrichment join (O6's shape under
     * Structured Streaming): the static dim is re-read per micro-batch

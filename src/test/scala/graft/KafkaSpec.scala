@@ -18,6 +18,9 @@ class KafkaSpec extends AnyFunSuite {
             "publish_date": "2024-01-02T03:04:05.000Z", "url": "http://x/1"}}""",
       """{"o": {"st_name": "乙公司", "st_code": "830002", "title": "t",
             "publish_date": "2024-01-02T03:04:05.000Z", "url": "u", "$set": "price"}}""",
+      """{"o": {"st_name": "丁公司", "st_code": "830003", "title": "t2",
+            "publish_date": "2024-01-02T03:04:05.000Z", "url": "u2",
+            "$set": {"title": "updated"}}}""",
       """{"op": "n"}"""
     ).toDF("value")
     val got = Kafka.normalize(Kafka.Neeq)(values).collect()
