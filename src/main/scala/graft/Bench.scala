@@ -34,8 +34,13 @@ object Bench {
       // speedup)
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        // noop sink, not count(): count lets Catalyst prune every
+        // unreferenced projection (a map-only query would be timed as
+        // a row count); noop materializes the full output row
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }

@@ -1080,15 +1080,23 @@ object SparkEntry {
     // sufficiently long shared substring contributes a shared
     // fingerprint hash. The selection set (csv) IS the signature.
     "n22_winnow_fingerprint" -> (((s: SparkSession, d: String) => {
-      val hs = transform(Text.shinglesHof(col("text"), 3), sh => md5(sh))
-      val n = size(hs)
+      // hs MUST be bound to a column before the windowing lambda:
+      // interpreted HOF lambdas have no common-subexpression
+      // elimination, so referencing the hs expression TREE inside
+      // transform() re-ran the md5-per-shingle chain once per window
+      // (measured 101 s at sf0.1; bound-attribute form is ~1 s)
+      val hsCol = col("hs")
+      val n = size(hsCol)
       val wins = when(n >= 4,
-        transform(sequence(lit(0), n - 4), i => array_min(slice(hs, i + lit(1), lit(4)))))
-        .when(n > 0, array(array_min(hs)))
+        transform(sequence(lit(0), n - 4),
+          i => array_min(slice(hsCol, i + lit(1), lit(4)))))
+        .when(n > 0, array(array_min(hsCol)))
         .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        concat_ws(",", array_sort(array_distinct(wins))).as("winnow_csv"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(Text.shinglesHof(col("text"), 3), sh => md5(sh)).as("hs"))
+        .select(col("doc_id"),
+          concat_ws(",", array_sort(array_distinct(wins))).as("winnow_csv"))
     }, Some(s"""
       SELECT doc_id, array_to_string(list_sort(list_distinct(
         CASE WHEN len(hs) >= 4

@@ -45,8 +45,9 @@ object MinHashLsh {
     // persisted: referenced by the banding pass AND both candidate
     // back-joins — without it the parquet scan + shingle kernel run 3×
     // per query (only identical exchanges get plan-level reuse). Tiny
-    // at harness scale; a 100 TB deployment would persist to disk or
-    // recompute, and unpersists when the result is consumed.
+    // at harness scale (the cache lives until session end); a 100 TB
+    // deployment would persist to disk with an explicit unpersist, or
+    // accept recompute.
     val sets = docs
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0) // empty sets would band-collide globally
