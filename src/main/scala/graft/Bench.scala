@@ -48,11 +48,23 @@ object Bench {
       if (times.isEmpty) { failed += name; name -> -1.0 }
       else name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds rounded to ms: full detail goes to a file and to an
+    // EARLY stdout line. The FINAL stdout line stays short (<200 bytes) —
+    // the driver's tail capture truncated the ~3.3 KB single-line form in
+    // r01/r02 mid-queries-dict, leaving the bench gate unevaluable.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = ms(results.values.filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":$failedJson}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":$failedJson}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(detail)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"nqueries":${results.size},"failed":$failedJson,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

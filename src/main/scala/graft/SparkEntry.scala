@@ -1044,19 +1044,35 @@ object SparkEntry {
 
     // Corpus-level MinHash sketches via the typed union Aggregator
     // (MinHashAgg): one k-long sketch per language sub-corpus in a
-    // single aggregation pass. ROWS-ONLY: the sketch is xxhash-valued
-    // and not ANSI-SQL-expressible; its defining union property is
-    // verified in ShinglesSpec instead.
+    // single aggregation pass. Hash-gated: uses the md5-based signature
+    // mode (first 60 bits of md5(shingle || '#' || seed)), which DuckDB
+    // expresses exactly; the XXH64 kernel stays the production path
+    // (n03) and its union property is verified in ShinglesSpec. The
+    // oracle exploits min-distributivity: the union sketch's component
+    // i is the min over ALL (doc, shingle) pairs in the group — doc
+    // boundaries and shingle distinctness are irrelevant under min.
     "n20_minhash_corpus" -> (((s: SparkSession, d: String) => {
       val sigs = Tables.documents(s, d)
         .select(col("lang"),
-          MinHashLsh.signature(Text.shingleSet(col("text")),
+          graft.functions.Shingles.minhashSigMd5(Text.shingleSet(col("text")),
             graft.functions.MinHashAgg.K).as("sig"))
       sigs.groupBy(col("lang"))
         .agg(graft.functions.MinHashAgg.union(col("sig")).as("sketch"))
         .select(col("lang"),
           concat_ws(",", transform(col("sketch"), _.cast("string"))).as("sketch_csv"))
-    }, None)),
+    }, Some(s"""
+      WITH sh AS (
+        SELECT lang, unnest($ssetSql) AS s
+        FROM (SELECT lang, $toksSql AS toks FROM documents)
+      ),
+      comp AS (
+        SELECT lang, r.i AS i,
+               min(('0x' || substr(md5(s || '#' || CAST(r.i AS VARCHAR)), 1, 15))::UBIGINT) AS m
+        FROM sh CROSS JOIN range(${graft.functions.MinHashAgg.K}) r(i)
+        GROUP BY lang, r.i
+      )
+      SELECT lang, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sketch_csv
+      FROM comp GROUP BY lang"""))),
 
     // Multimodal resize plumbing: aspect-fit into 64×64 over the fake
     // decoded dims — integer math, exact oracle.

@@ -32,18 +32,18 @@ case class ShingleSet(child: Expression, w: Int)
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
-    ShingleSet.eval(input.asInstanceOf[UTF8String], w)
+    ShingleSet.kernel(input.asInstanceOf[UTF8String], w)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleSet.eval($c, $w);")
+      s"${ev.value} = graft.functions.ShingleSet.kernel($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 
 object ShingleSet {
-  def eval(text: UTF8String, w: Int): ArrayData = {
+  def kernel(text: UTF8String, w: Int): ArrayData = {
     val toks = tokenize(text.toString)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
@@ -97,24 +97,26 @@ object ShingleSet {
   * join-inert because real minima are astronomically unlikely to all
   * equal MaxValue).
   */
-case class MinHashSig(child: Expression, k: Int)
+case class MinHashSig(child: Expression, k: Int, md5Mode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[ArrayData], k)
+    if (md5Mode) MinHashSig.kernelMd5(input.asInstanceOf[ArrayData], k)
+    else MinHashSig.kernel(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSig.eval($c, $k);")
+      if (md5Mode) s"${ev.value} = graft.functions.MinHashSig.kernelMd5($c, $k);"
+      else s"${ev.value} = graft.functions.MinHashSig.kernel($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
 object MinHashSig {
-  def eval(arr: ArrayData, k: Int): ArrayData = {
+  def kernel(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -133,6 +135,37 @@ object MinHashSig {
     }
     new GenericArrayData(mins.map(Long.box(_)).toArray[Any])
   }
+
+  /** ANSI-expressible variant for oracle-checked sketches: component i =
+    * min over shingles of the first 60 bits (15 hex chars) of
+    * md5(shingle || '#' || i), i.e. the DuckDB expression
+    * `('0x' || substr(md5(s || '#' || i), 1, 15))::UBIGINT`. 60 bits
+    * keeps the value positive in a signed long, so signed and unsigned
+    * min agree across engines. XXH64 (`eval`) stays the production path —
+    * this exists so the sketch itself can be hash-gated against DuckDB.
+    */
+  def kernelMd5(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var seed = 0
+      while (seed < k) {
+        md.reset()
+        val d = md.digest((s + "#" + seed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var be = 0L
+        var b = 0
+        while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
+        val h = be >>> 4
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_)).toArray[Any])
+  }
 }
 
 object Shingles {
@@ -143,4 +176,8 @@ object Shingles {
   /** Column API: k-component MinHash signature (native kernel). */
   def minhashSig(shingleSet: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingleSet), k))
+
+  /** Column API: md5-based signature (ANSI-expressible; oracle path). */
+  def minhashSigMd5(shingleSet: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingleSet), k, md5Mode = true))
 }

@@ -28,11 +28,11 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    DotProduct.eval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    DotProduct.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.eval($a, $b);")
+      s"${ev.value} = graft.functions.DotProduct.kernel($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -40,7 +40,10 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  def eval(a: ArrayData, b: ArrayData): Double = {
+  // named `kernel`, not `eval`: the class inherits eval(InternalRow), which
+  // suppresses the static forwarder — generated Java calling X.eval(args)
+  // then fails janino compile and the whole stage silently de-codegens
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0

@@ -128,6 +128,43 @@ class ShinglesSpec extends AnyFunSuite {
     assert(cross >= 0.0 && cross < 1.0)
   }
 
+  test("kernelMd5 golden: first 60 bits of md5(shingle || '#' || seed)") {
+    // golden from: echo -n 'hello world#3' | md5 → first 15 hex chars as int,
+    // cross-checked against DuckDB ('0x' || substr(md5(s||'#'||i),1,15))::UBIGINT
+    import graft.functions.MinHashSig
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](UTF8String.fromString("hello world")))
+    val sig = MinHashSig.kernelMd5(arr, 4)
+    assert(sig.getLong(3) == 393483953809384980L)
+    // all components positive (60-bit) so signed/unsigned min agree
+    (0 until 4).foreach(i => assert(sig.getLong(i) > 0))
+  }
+
+  test("contract: native kernels stay inside whole-stage codegen (no janino fallback)") {
+    // The class inherits eval(InternalRow), which suppresses the object's
+    // static `eval` forwarder — generated Java calling X.eval(args) then
+    // fails janino compile and Spark silently de-codegens the stage (this
+    // happened through r2: kernels named `eval` were never codegen'd).
+    // codegen.fallback=false turns that silent fallback into a hard error.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.functions.{Shingles, Vec}
+      val df = Seq(("a b c d e", Array(1.0, 2.0)), ("x y z w v", Array(3.0, 4.0)))
+        .toDF("text", "emb")
+      val out = df.select(
+        Shingles.minhashSig(Text.shingleSet(col("text")), 4).as("sig"),
+        Shingles.minhashSigMd5(Text.shingleSet(col("text")), 4).as("sigMd5"),
+        Vec.dot(col("emb"), col("emb")).as("d"))
+        .collect()
+      assert(out.length == 2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   implicit private class TupleMap(rows: Array[(Long, Long, Double)]) {
     def toMap1: Map[(Long, Long), Double] =
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
