@@ -647,9 +647,9 @@ object SparkEntry {
     "p06_csv_roundtrip" -> (((s: SparkSession, d: String) => {
       // fresh dir per invocation: a fixed shared path would let two
       // concurrent harness JVMs (e.g. Verify + Bench) clobber each
-      // other's roundtrip data
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_csv_roundtrip").toString
+      // other's roundtrip data; shutdown-hook cleanup — the returned
+      // frame reads the dir lazily, so it can't be deleted here
+      val dir = TempDirs.create("graft_csv_roundtrip")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -886,6 +886,39 @@ object SparkEntry {
          FROM v a JOIN v b ON a.vec_id < b.vec_id)
       WHERE cos >= 0.45"""))),
 
+    // Same pairs, scale-safe plan: grid-distributed equi-join (1-bucket-
+    // theta) instead of n13's broadcast NLJ — identical result set, so
+    // the oracle is n13's brute-force SQL verbatim. The exact mid-
+    // threshold regime admits no candidate filter (fixture pairs at
+    // cos>=0.45 span all SRP Hamming distances), so the fix at 100 TB is
+    // the join TOPOLOGY: bounded per-task size, uniform shuffle, no
+    // fact-table broadcast. PlanSpec pins equi-join, no NLJ.
+    "n23_embed_neardup_grid" -> (((s: SparkSession, d: String) => {
+      Similarity.cosinePairsGrid(Tables.embeddings(s, d), 0.45)
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM embeddings)
+      SELECT a_id, b_id, cos FROM
+        (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      WHERE cos >= 0.45"""))),
+
+    // SRP-bucketed near-dup pairs for the high-similarity regime:
+    // candidates restricted to bucket Hamming distance <= 1 (part of the
+    // semantics — the oracle mirrors the bucket predicate bit-exactly,
+    // like n12/n15 do for query-ANN), exact cosine verify inside.
+    "n24_embed_neardup_lsh" -> (((s: SparkSession, d: String) => {
+      Similarity.cosinePairsBucketed(Tables.embeddings(s, d), 0.45, probeHamming = 1)
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm,
+                        ($srpBucketSql) AS bkt FROM embeddings)
+      SELECT a_id, b_id, cos FROM
+        (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+         FROM v a JOIN v b
+           ON a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 1)
+      WHERE cos >= 0.45"""))),
+
     // Language-ID heuristic (stopword scoring).
     "n07_lang_id" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d)
@@ -977,6 +1010,42 @@ object SparkEntry {
       SELECT doc_id, lang FROM documents
       WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.8)"""))),
 
+    // Union-find dedup apply — the production semantics n16's greedy
+    // pass approximates: connected components over the near-dup pairs
+    // (min-label propagation to a fixpoint), keep exactly ONE doc (the
+    // min id) per component. Transitive chains A~B~C with A≁C keep A
+    // only — greedy would also drop C's pair-partner B twice but keep
+    // docs greedily per-pair. Oracle: recursive-CTE reachability
+    // closure (min reachable id == component min, edges symmetric).
+    "n25_dedup_components" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs)
+      val losers = labels.where(col("comp") =!= col("id"))
+        .select(col("id").as("loser"))
+      docs.join(losers, docs("doc_id") === col("loser"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }, Some(s"""
+      WITH RECURSIVE
+      s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)"""))),
+
     // The curation step a training-data pipeline actually ships:
     // language + quality + length gates composed into the surviving
     // corpus (n07/n08/n09 as a filter, not a report).
@@ -1010,10 +1079,16 @@ object SparkEntry {
     "n17_features" -> (((s: SparkSession, d: String) => {
       Multimodal.extractedFeatures(Tables.documents(s, d))
     }, Some {
+      // byte-indexed like the Spark side (UTF-8 payload bytes via
+      // hex-pair extraction), not char-indexed — a char-based oracle
+      // only agrees while the fixture text is pure ASCII (ADVICE r02)
       val fs = (0 until 8).map(i =>
-        s"ascii(substr(text, 1 + ($i * (length(text) - 1)) // 7, 1)) / 255.0 AS f$i")
+        s"CASE WHEN n = 0 THEN 0.0 ELSE " +
+          s"('0x' || substr(hx, 2 * (($i * (n - 1)) // 7) + 1, 2))::INT / 255.0 END AS f$i")
         .mkString(",\n        ")
-      s"SELECT doc_id, $fs FROM documents"
+      s"""SELECT doc_id, $fs
+        FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+                hex(encode(text)) AS hx FROM documents)"""
     })),
 
     // Multimodal frame-sampling plumbing: per-document 0..n frame

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Temp directories whose contents must outlive the creating call (a
+  * returned DataFrame lazily reads them back), deleted at JVM exit via
+  * one shared shutdown hook — without this, every sink/roundtrip query
+  * leaks a copy of its output per invocation (ADVICE r02; a bench round
+  * at iters=2 ran each such query twice). */
+object TempDirs {
+  private val registered = new ConcurrentLinkedQueue[Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = registered.poll()
+      while (p != null) { deleteRecursively(p); p = registered.poll() }
+    }))
+
+  /** Create a temp dir cleaned up at JVM exit; returns its path. */
+  def create(prefix: String): String = {
+    hookInstalled
+    val d = Files.createTempDirectory(prefix)
+    registered.add(d)
+    d.toString
+  }
+
+  private def deleteRecursively(dir: Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val stream = Files.walk(dir)
+      val paths = try stream.iterator().asScala.toVector finally stream.close()
+      paths.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () } // exit-time best effort
+}

@@ -35,6 +35,8 @@ object AsOfJoin {
       time: String, tiebreak: String, payloadCol: String): DataFrame = {
     require(!left.columns.exists(Set("_side", "_pay")),
       "asofBackward reserves working columns _side/_pay; rename them on the left side")
+    require(!Seq(key, time, tiebreak).exists(Set("_side", "_pay")),
+      "asofBackward reserves _side/_pay; rename the right side's key/time/tiebreak columns")
     require(!left.columns.contains(s"asof_$payloadCol"),
       s"left side already has output column asof_$payloadCol")
     val payT = right.schema(payloadCol).dataType

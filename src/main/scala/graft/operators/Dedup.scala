@@ -55,7 +55,11 @@ object Dedup {
     * join, matching the oracle; Some(cap) trades recall on pairs whose
     * overlap is exclusively boilerplate for a hard bound on join
     * fan-out (the standard ssjoin mitigation next to AQE skew-join
-    * splitting and PPJoin prefix ordering). */
+    * splitting and PPJoin prefix ordering). NOTE the bias direction:
+    * capped shingles are dropped from the intersection count while
+    * a_n/b_n keep full set sizes, so emitted jaccard values are LOWER
+    * BOUNDS of the true similarity, and pairs near the threshold may be
+    * dropped — not just "recall loss" on all-boilerplate pairs. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
       w: Int = 3, threshold: Double = 0.55,
       maxDf: Option[Int] = None): DataFrame = {
@@ -88,5 +92,50 @@ object Dedup {
         (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over a near-dup pair list: `(id, comp)` where
+    * `comp` is the component's minimum member id — the canonical
+    * union-find semantics for "keep one doc per duplicate cluster"
+    * (transitive chains A~B~C collapse to ONE survivor, unlike a greedy
+    * min-id-per-pair pass, which keeps A but drops both B and C even
+    * when A≁C).
+    *
+    * Pregel-style min-label propagation run to a fixpoint: each round,
+    * every vertex takes the min of its own label and its neighbors'.
+    * Rounds needed = graph diameter; duplicate clusters are short
+    * chains in practice, and the iteration space is only the PAIRED
+    * vertex set (≪ corpus — singletons never enter the loop, the caller
+    * anti-joins losers against the full table). Each round is one
+    * equi-join + partial-agg shuffle on the edge key;
+    * `localCheckpoint` truncates the growing self-join lineage (a real
+    * cluster would use a reliable checkpoint dir). A convergence probe
+    * (`limit(1)` over changed labels) stops the loop as soon as a round
+    * is a no-op.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true) // pair-detection lineage must not re-run per round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
   }
 }

@@ -36,11 +36,14 @@ object Tables {
     * `nanosAsLong` is pinned at session construction by every entry
     * point this library owns (Verify / Bench / SparkTestSession), so a
     * table load never mutates shared session state mid-run (ADVICE
-    * r01). The defensive set below remains ONLY for driver-owned
-    * sessions that call `SparkEntry.queries` directly without our
-    * builders; it is a no-op under our own sessions. */
+    * r01). The defensive set below remains ONLY for caller-owned
+    * sessions that run `SparkEntry.queries` directly without our
+    * builders; it is a no-op under our own sessions. Probe the
+    * EFFECTIVE value, not presence: `getOption` on a registered conf
+    * returns its default ("false") even when unset, so an
+    * `isEmpty` guard would never fire (ADVICE r02). */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -39,8 +39,10 @@ object StreamQueries {
   /** Streaming events source (file-based stand-in for the Kafka topic). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // pinned at session construction by our builders; defensive set only
-    // for driver-owned sessions (see Tables.events)
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // for caller-owned sessions — probe the effective value, since
+    // getOption returns the registered default even when unset (see
+    // Tables.events)
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
@@ -215,7 +217,7 @@ object StreamQueries {
     * deterministic under any micro-batching. */
   def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
-    val out = Files.createTempDirectory("graft-sink").toString
+    val out = graft.TempDirs.create("graft-sink")
     val q = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -240,7 +242,7 @@ object StreamQueries {
     * received every row. */
   def streamFanout(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
-    val out = Files.createTempDirectory("graft-fanout").toString
+    val out = graft.TempDirs.create("graft-fanout")
     val announcements = graft.operators.Pipeline.announcements(spark,
       documentsStream(spark, dir),
       graft.operators.RuleClassifier.rulesDim(spark))

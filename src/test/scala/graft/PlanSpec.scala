@@ -56,4 +56,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("grid pair join is an EQUI-join on the block key — no NLJ, no cartesian") {
+    val p = plan("n23_embed_neardup_grid")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("SRP-bucketed pair join is an EQUI-join on the probe key — no NLJ") {
+    val p = plan("n24_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
 }

@@ -128,6 +128,17 @@ class ShinglesSpec extends AnyFunSuite {
     assert(cross >= 0.0 && cross < 1.0)
   }
 
+  test("connectedComponents: transitive chain collapses to one survivor per component") {
+    // chain 1–2–…–9 (diameter 8 forces multi-round propagation) + pair (20,21)
+    val pairs = ((1L to 8L).map(i => (i, i + 1)) :+ (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 9L).foreach(i => assert(got(i) == 1L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    // survivors (comp == id): exactly one per component
+    assert(got.count { case (id, c) => id == c } == 2)
+  }
+
   test("kernelMd5 golden: first 60 bits of md5(shingle || '#' || seed)") {
     // golden from: echo -n 'hello world#3' | md5 → first 15 hex chars as int,
     // cross-checked against DuckDB ('0x' || substr(md5(s||'#'||i),1,15))::UBIGINT

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The pair-join variants agree with the brute-force reference on real
+  * fixture data (independently of the DuckDB oracle). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    df.select(col("a_id").cast("long"), col("b_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("grid equi-join == brute-force NLJ (identical pairs AND identical doubles)") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = pairSet(Similarity.cosinePairs(emb, 0.45))
+    val grid = pairSet(Similarity.cosinePairsGrid(emb, 0.45, blocks = 7))
+    assert(grid == brute)
+    assert(brute.nonEmpty) // fixture must actually exercise the join
+  }
+
+  test("bucketed pair join == brute force restricted to Hamming<=1 buckets") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val bucketed = pairSet(Similarity.cosinePairsBucketed(emb, 0.45, probeHamming = 1))
+    // reference: brute pairs, re-joined with each side's bucket
+    val bkt = emb
+      .select(col("vec_id").cast("long").as("vid"),
+        Similarity.srpBucket(col("embedding").cast("array<double>")).as("bkt"))
+      .as[(Long, Int)].collect().toMap
+    val want = pairSet(Similarity.cosinePairs(emb, 0.45))
+      .filter { case (a, b, _) => Integer.bitCount(bkt(a) ^ bkt(b)) <= 1 }
+    assert(bucketed == want)
+    assert(bucketed.nonEmpty && bucketed.size < pairSet(Similarity.cosinePairs(emb, 0.45)).size)
+  }
+}
