@@ -1278,6 +1278,17 @@ object SparkEntry {
       graft.streaming.StreamQueries.sinkDedupToDir(s, d)
     }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
 
+    // Idempotent keyed-upsert sink under a FORCED FULL REPLAY (the
+    // at-least-once worst case): the stream runs twice with fresh
+    // checkpoints into one sink; min-merge on the key makes the replay
+    // a no-op, so the oracle (one row per key, first event wins) holds
+    // by hash after the double-run.
+    "s10_stream_upsert" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.upsertReplay(s, d)
+    }, Some("""
+      SELECT user_id, event_type, min(event_id) AS first_event_id
+      FROM events GROUP BY user_id, event_type"""))),
+
     // Stream-static broadcast enrichment join + streaming aggregation
     // (O6 under Structured Streaming; static side re-read per batch =
     // the reference's poll-based dim refresh O10).

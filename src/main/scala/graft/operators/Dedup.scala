@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -88,6 +89,70 @@ object Dedup {
         col("a.n").as("a_n"), col("b.n").as("b_n"))
       .agg(count(lit(1)).as("inter"))
     counted
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** PPJoin-style prefix-filtered variant of [[jaccardPairs]] — same
+    * exact result, fewer candidates.
+    *
+    * Prefix-filter theorem (Chaudhuri et al. ICDE'06; Xiao et al.
+    * WWW'08): order every shingle by a GLOBAL total order (document
+    * frequency ascending, then lexicographic — rarest first); if
+    * J(A,B) ≥ t, the first |A| − ⌈t·|A|⌉ + 1 shingles of A and the
+    * first |B| − ⌈t·|B|⌉ + 1 of B must share at least one shingle. So
+    * only the PREFIX of each doc enters the inverted index (~1−t of
+    * each set at the threshold), cutting the Σdf² join fan-out on
+    * exactly the most frequent — most explosive — shingles. Candidates
+    * then verify against the FULL sets (`array_intersect` on the two
+    * shingle arrays; same int/int division as the count-based form, so
+    * jaccard doubles are bit-identical and the oracle is unchanged).
+    *
+    * Extra cost vs [[jaccardPairs]]: a global df aggregation plus a
+    * per-doc window sort to take the prefix — both shuffles bounded by
+    * the index size. MEASURED at sf0.1 (5k docs, benign df
+    * distribution): candidates drop 505k → ~350k but steady-state time
+    * goes 2.4 s → 3.4 s — the 30% candidate cut does not amortize the
+    * extra shuffles, so n02 stays on [[jaccardPairs]]. The regime where
+    * this variant wins is a skewed df distribution (boilerplate
+    * shingles with df in the thousands, Σdf² quadratic), where the
+    * prefix bound removes exactly the explosive tail — the standard
+    * corpus shape at 100 TB, not at harness scale. */
+  def jaccardPairsPrefix(docs: DataFrame, id: String, text: String,
+      w: Int = 3, threshold: Double = 0.55): DataFrame = {
+    val sized = docs
+      .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
+      .select(col("did"), col("sset"), size(col("sset")).as("n"))
+      .where(col("n") > 0)
+    val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
+    val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // eps INSIDE ceil keeps the prefix from shrinking when t·n lands a
+    // hair above an integer in doubles (shorter prefix = unsound)
+    val eps = 1e-9
+    val prefixLen = (col("n") - ceil(col("n") * threshold - eps) + 1).cast("int")
+    val rn = row_number().over(
+      Window.partitionBy(col("did")).orderBy(col("df").asc, col("sh").asc))
+    val prefix = inv.join(freq, "sh")
+      .withColumn("rn", rn)
+      .where(col("rn") <= prefixLen)
+      .select(col("did"), col("n"), col("sh"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
+          col("a.n") >= col("b.n") * threshold - eps &&
+          col("b.n") >= col("a.n") * threshold - eps)
+      .select(col("a.did").as("a_id"), col("b.did").as("b_id"))
+      .distinct()
+    val verify = candidates
+      .join(sized.select(col("did").as("a_id"), col("sset").as("a_sset"),
+        col("n").as("a_n")), "a_id")
+      .join(sized.select(col("did").as("b_id"), col("sset").as("b_sset"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sset"), col("b_sset"))))
+    verify
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
           .as("jaccard"))

@@ -87,6 +87,17 @@ object Kafka {
         lit(cfg.srcType).as("srcType"))
   }
 
+  /** O2, BSON wire form: the reference's topic carries BSON oplog
+    * documents decoded with `BSON.decode` (kafka_s.py:157). Decode the
+    * binary `value` to canonical JSON with the native
+    * [[graft.functions.BsonToJson]] expression, then reuse the exact
+    * JSON normalize path — one envelope code path for both wire
+    * formats. Malformed BSON rows decode to null and are dropped by
+    * the insert filter, mirroring PERMISSIVE JSON parsing. */
+  def normalizeBson(cfg: TopicConfig)(raw: DataFrame): DataFrame =
+    normalize(cfg)(raw.select(
+      graft.functions.Bson.bsonToJson(col("value")).as("value")))
+
   /** O1: the streaming source itself (earliest offsets, one topic —
     * kafka_s.py:68). Runtime-requires the kafka connector package. */
   def source(spark: SparkSession, bootstrapServers: String,

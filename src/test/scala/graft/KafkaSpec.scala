@@ -44,4 +44,68 @@ class KafkaSpec extends AnyFunSuite {
     assert(r.getAs[String]("pubTime") == "2024-03-04 05:06:07") // no reformat
     assert(r.getAs[String]("srcType") == "A股公告")
   }
+
+  // ---- BSON wire form (kafka_s.py:157 BSON.decode) ----------------
+  // Test-side mini-encoder, written independently against the public
+  // BSON 1.1 spec (bsonspec.org): document = int32 total length (LE),
+  // elements (type byte, cstring key, value), 0x00 terminator.
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le64(v: Long): Array[Byte] =
+    (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes("UTF-8") :+ 0.toByte
+  private def bstr(k: String, v: String): Array[Byte] = {
+    val b = v.getBytes("UTF-8")
+    Array(0x02.toByte) ++ cstr(k) ++ le32(b.length + 1) ++ b :+ 0.toByte
+  }
+  private def bdoc(k: String, inner: Array[Byte]): Array[Byte] =
+    Array(0x03.toByte) ++ cstr(k) ++ inner
+  private def bdate(k: String, epochMs: Long): Array[Byte] =
+    Array(0x09.toByte) ++ cstr(k) ++ le64(epochMs)
+  private def bint(k: String, v: Int): Array[Byte] =
+    Array(0x10.toByte) ++ cstr(k) ++ le32(v)
+  private def doc(elements: Array[Byte]*): Array[Byte] = {
+    val body = elements.flatten.toArray
+    le32(4 + body.length + 1) ++ body :+ 0.toByte
+  }
+
+  test("BsonToJson golden: the bsonspec.org example document decodes exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // spec front-page example: {"hello": "world"} =
+    // \x16\x00\x00\x00\x02hello\x00\x06\x00\x00\x00world\x00\x00
+    val spec = Array[Int](0x16, 0, 0, 0, 0x02, 'h', 'e', 'l', 'l', 'o', 0,
+      0x06, 0, 0, 0, 'w', 'o', 'r', 'l', 'd', 0, 0).map(_.toByte)
+    assert(doc(bstr("hello", "world")).sameElements(spec)) // encoder sanity
+    assert(graft.functions.BsonToJson.kernel(spec) ==
+      UTF8String.fromString("""{"hello":"world"}"""))
+    // malformed input → null, not an exception
+    assert(graft.functions.BsonToJson.kernel(spec.dropRight(2)) == null)
+    assert(graft.functions.BsonToJson.kernel(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("BSON oplog envelope: decode + normalize; $set partial dropped; junk dropped") {
+    val epochMs = 1704164645000L // 2024-01-02T03:04:05Z
+    val insert = doc(bdoc("o", doc(
+      bstr("st_name", "甲公司"), bstr("st_code", "830001"),
+      bstr("title", "债券临时报告"), bdate("publish_date", epochMs),
+      bstr("url", "http://x/1"))))
+    val partial = doc(bdoc("o", doc(
+      bstr("st_name", "乙公司"), bstr("st_code", "830002"),
+      bstr("title", "t"), bdate("publish_date", epochMs), bstr("url", "u"),
+      bdoc("$set", doc(bstr("title", "updated"))))))
+    val junk = Array[Byte](0x7f, 0x00, 0x01)
+    val other = doc(bint("op", 1))
+    val values = Seq(insert, partial, junk, other).toDF("value")
+    val got = Kafka.normalizeBson(Kafka.Neeq)(values).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("cmpShortName") == "甲公司")
+    assert(r.getAs[String]("cmpCode") == "830001")
+    assert(r.getAs[String]("title") == "债券临时报告")
+    assert(r.getAs[String]("pubTime") == "2024-01-02 03:04:05")
+    assert(r.getAs[String]("srcUrl") == "http://x/1")
+  }
 }
