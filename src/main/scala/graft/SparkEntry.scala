@@ -1278,6 +1278,24 @@ object SparkEntry {
       graft.streaming.StreamQueries.sinkDedupToDir(s, d)
     }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
 
+    // Skew-salted equi-join: deterministic fact-side salt + dim
+    // replicated per salt value — the hot key's rows spread over
+    // `buckets` tasks instead of one straggler. Result identical to the
+    // plain join (the oracle IS the plain join); PlanSpec pins the
+    // shuffle-hash topology and the (key, _salt) join keys.
+    "p16_salted_join" -> (((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedEquiJoin(ev, cust, "user_id", "c_custkey", "event_id", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_events
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment"""))),
+
     // Idempotent keyed-upsert sink under a FORCED FULL REPLAY (the
     // at-least-once worst case): the stream runs twice with fresh
     // checkpoints into one sink; min-merge on the key makes the replay

@@ -144,17 +144,25 @@ object MinHashSig {
     * min agree across engines. XXH64 (`eval`) stays the production path —
     * this exists so the sketch itself can be hash-gated against DuckDB.
     */
+  // "#<seed>" suffix bytes, precomputed — building the concatenated
+  // string per (shingle, seed) cost ~k string encodes per shingle
+  private val seedSuffix: Array[Array[Byte]] =
+    Array.tabulate(256)(i => ("#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def kernelMd5(arr: ArrayData, k: Int): ArrayData = {
+    require(k <= seedSuffix.length, s"md5 minhash supports k <= ${seedSuffix.length}")
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i).toString
+      val sBytes = arr.getUTF8String(i).getBytes
       var seed = 0
       while (seed < k) {
         md.reset()
-        val d = md.digest((s + "#" + seed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(sBytes)
+        md.update(seedSuffix(seed))
+        val d = md.digest()
         var be = 0L
         var b = 0
         while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }

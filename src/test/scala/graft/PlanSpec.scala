@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("salted join shuffles on (key, salt) — no broadcast, no single hot partition") {
+    val p = plan("p16_salted_join")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("_salt"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
   test("SRP-bucketed pair join is an EQUI-join on the probe key — no NLJ") {
     val p = plan("n24_embed_neardup_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"))
