@@ -437,6 +437,48 @@ object SparkEntry {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
 
+    // RANGE-frame window (value-based, not row-based): trailing 30-day
+    // order count per customer. Spark's rangeBetween needs a numeric
+    // order key, so the date becomes epoch-days on BOTH sides — count
+    // output keeps it float-free and order-insensitive.
+    "a20_range_frame" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("d"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_last_30d"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        count(*) OVER (PARTITION BY o_custkey ORDER BY d
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+      FROM (SELECT o_custkey, o_orderkey,
+              date_diff('day', DATE '1970-01-01', o_orderdate) AS d
+            FROM orders)"""))),
+
+    // Distribution window functions: ntile/percent_rank/cume_dist over a
+    // total order (tie-broken by the unique key so bucket assignment is
+    // engine-independent).
+    "a21_distribution_rank" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment,
+        ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""))),
+
     // Distinct aggregates: exact count(DISTINCT) + plain count per group
     // (Catalyst plans the expand+two-phase agg automatically).
     "a18_distinct_agg" -> (((s: SparkSession, d: String) => {
@@ -1171,23 +1213,14 @@ object SparkEntry {
     // sufficiently long shared substring contributes a shared
     // fingerprint hash. The selection set (csv) IS the signature.
     "n22_winnow_fingerprint" -> (((s: SparkSession, d: String) => {
-      // hs MUST be bound to a column before the windowing lambda:
-      // interpreted HOF lambdas have no common-subexpression
-      // elimination, so referencing the hs expression TREE inside
-      // transform() re-ran the md5-per-shingle chain once per window
-      // (measured 101 s at sf0.1; bound-attribute form is ~1 s)
-      val hsCol = col("hs")
-      val n = size(hsCol)
-      val wins = when(n >= 4,
-        transform(sequence(lit(0), n - 4),
-          i => array_min(slice(hsCol, i + lit(1), lit(4)))))
-        .when(n > 0, array(array_min(hsCol)))
-        .otherwise(array().cast("array<string>"))
+      // native single-pass kernel (functions/Winnow) — the former HOF
+      // pipeline was five interpreted passes and carried a md5-per-
+      // window CSE trap (101 s regression caught in r2); the HOF form
+      // survives as the WinnowSpec property-test reference
       Tables.documents(s, d)
         .select(col("doc_id"),
-          transform(Text.shinglesHof(col("text"), 3), sh => md5(sh)).as("hs"))
-        .select(col("doc_id"),
-          concat_ws(",", array_sort(array_distinct(wins))).as("winnow_csv"))
+          concat_ws(",", graft.functions.Winnow.winnowSet(col("text"), 3, 4))
+            .as("winnow_csv"))
     }, Some(s"""
       SELECT doc_id, array_to_string(list_sort(list_distinct(
         CASE WHEN len(hs) >= 4
