@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, ShingleSet, SimHash64, Uuid3}
+import graft.functions.{BsonToJson, DotProduct, MinHashSig, ShingleSet, SimHash64, Uuid3, Winnow}
 
 /** Spark-native extension point: registers the engine's custom Catalyst
   * expressions as SQL functions, so the full surface is usable from
@@ -21,6 +21,8 @@ import graft.functions.{DotProduct, MinHashSig, ShingleSet, SimHash64, Uuid3}
   *   graft_shingle_set(s)  — distinct 3-word shingle set
   *   graft_minhash_sig(a)  — 32-component MinHash signature of a shingle set
   *   graft_dot(a, b)       — double-array dot product (left fold)
+  *   graft_bson_to_json(b) — BSON document binary → canonical JSON text
+  *   graft_winnow(s)       — winnowing fingerprint selection (w=3, win=4)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,5 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         val a = arity("graft_dot", 2)(args); DotProduct(a(0), a(1))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_bson_to_json"),
+      info("graft_bson_to_json", "BSON document binary to canonical JSON text"),
+      (args: Seq[Expression]) => BsonToJson(arity("graft_bson_to_json", 1)(args).head)))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "winnowing fingerprint selection (3-grams, window 4)"),
+      (args: Seq[Expression]) => Winnow(arity("graft_winnow", 1)(args).head, 3, 4)))
   }
 }

@@ -32,6 +32,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.length == 32)
   }
 
+  test("graft_bson_to_json and graft_winnow are SQL-reachable") {
+    import spark.implicits._
+    // {"hello":"world"} per the bsonspec.org front-page example
+    val json = spark.sql(
+      "SELECT graft_bson_to_json(X'160000000268656C6C6F0006000000776F726C640000') AS j")
+      .as[String].collect()(0)
+    assert(json == """{"hello":"world"}""")
+    val sel = spark.sql("SELECT graft_winnow('a b c d e f g') AS s")
+      .as[Seq[String]].collect()(0)
+    assert(sel.nonEmpty && sel.forall(_.length == 32))
+  }
+
   test("bad input types fail at analysis time (ExpectsInputTypes)") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_simhash64(42)").collect()
