@@ -86,6 +86,33 @@ class KafkaSpec extends AnyFunSuite {
     assert(graft.functions.BsonToJson.kernel(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("BsonToJson: full type coverage — double, bool, null, int32/64, array, ObjectId, binary") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bdouble(k: String, v: Double): Array[Byte] =
+      Array(0x01.toByte) ++ cstr(k) ++ le64(java.lang.Double.doubleToLongBits(v))
+    def bbool(k: String, v: Boolean): Array[Byte] =
+      Array(0x08.toByte) ++ cstr(k) :+ (if (v) 1 else 0).toByte
+    def bnull(k: String): Array[Byte] = Array(0x0A.toByte) ++ cstr(k)
+    def blong(k: String, v: Long): Array[Byte] =
+      Array(0x12.toByte) ++ cstr(k) ++ le64(v)
+    def barr(k: String, inner: Array[Byte]): Array[Byte] =
+      Array(0x04.toByte) ++ cstr(k) ++ inner
+    def boid(k: String, hex12: Array[Byte]): Array[Byte] =
+      Array(0x07.toByte) ++ cstr(k) ++ hex12
+    def bbin(k: String, bytes: Array[Byte]): Array[Byte] =
+      Array(0x05.toByte) ++ cstr(k) ++ le32(bytes.length) ++ Array(0x00.toByte) ++ bytes
+    val oid = (1 to 12).map(_.toByte).toArray
+    val b = doc(
+      bdouble("d", 2.5), bbool("t", true), bbool("f", false), bnull("z"),
+      bint("i", -7), blong("l", 1234567890123L),
+      barr("a", doc(bstr("0", "x"), bint("1", 2))), // BSON arrays key by index
+      boid("_id", oid), bbin("bin", Array(1.toByte, 2.toByte)))
+    val got = graft.functions.BsonToJson.kernel(b)
+    assert(got == UTF8String.fromString(
+      """{"d":2.5,"t":true,"f":false,"z":null,"i":-7,"l":1234567890123,""" +
+        """"a":["x",2],"_id":"0102030405060708090a0b0c","bin":"AQI="}"""))
+  }
+
   test("BSON oplog envelope: decode + normalize; $set partial dropped; junk dropped") {
     val epochMs = 1704164645000L // 2024-01-02T03:04:05Z
     val insert = doc(bdoc("o", doc(
