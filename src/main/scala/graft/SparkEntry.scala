@@ -479,6 +479,62 @@ object SparkEntry {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""))),
 
+    // Time-series resample + gap-fill: hourly bins per user over each
+    // user's own span (dense spine via sequence+explode), event counts
+    // per bin, and the last observed value carried forward through
+    // empty bins. Determinism: the in-bin "last" is picked by
+    // row_number over (µs, event_id) — total order, same on both
+    // engines; the carried value is a bit-exact copy (no arithmetic).
+    "a22_resample_gapfill" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_trunc("hour", col("ts")).as("bin"),
+          unix_micros(col("ts")).as("us"))
+      val wLast = Window.partitionBy(col("user_id"), col("bin"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val lastPerBin = ev.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("bin"), col("value").as("lastv"))
+      val counts = ev.groupBy(col("user_id"), col("bin"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
+      val wFf = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(counts, Seq("user_id", "bin"), "left")
+        .join(lastPerBin, Seq("user_id", "bin"), "left")
+        .select(col("user_id"),
+          date_format(col("bin"), "yyyy-MM-dd HH:00").as("bin_ts"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("lastv"), ignoreNulls = true).over(wFf).as("value_ff"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, date_trunc('hour', ts) AS bin,
+               epoch_ns(ts) // 1000 AS us FROM events),
+      counts AS (
+        SELECT user_id, bin, count(*) AS n_events FROM e GROUP BY 1, 2),
+      lastv AS (
+        SELECT user_id, bin, value AS lastv FROM (
+          SELECT user_id, bin, value, row_number() OVER (
+            PARTITION BY user_id, bin ORDER BY us DESC, event_id DESC) AS rn
+          FROM e) WHERE rn = 1),
+      spine AS (
+        SELECT user_id,
+          unnest(generate_series(min(bin), max(bin), INTERVAL 1 HOUR)) AS bin
+        FROM e GROUP BY user_id)
+      SELECT s.user_id, strftime(s.bin, '%Y-%m-%d %H:00') AS bin_ts,
+        coalesce(c.n_events, 0) AS n_events,
+        last_value(l.lastv IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.bin
+          ROWS UNBOUNDED PRECEDING) AS value_ff
+      FROM spine s
+      LEFT JOIN counts c ON s.user_id = c.user_id AND s.bin = c.bin
+      LEFT JOIN lastv l ON s.user_id = l.user_id AND s.bin = l.bin"""))),
+
     // Distinct aggregates: exact count(DISTINCT) + plain count per group
     // (Catalyst plans the expand+two-phase agg automatically).
     "a18_distinct_agg" -> (((s: SparkSession, d: String) => {
@@ -1310,6 +1366,28 @@ object SparkEntry {
     "s06_stream_sink" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.sinkDedupToDir(s, d)
     }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
+
+    // Bucketed co-located join: both sides written bucketed on the join
+    // key, so the join itself runs WITHOUT a shuffle — the write-once/
+    // join-many pattern that amortizes partitioning across jobs at
+    // scale. PlanSpec pins "no Exchange below the join"; the oracle is
+    // the plain join aggregate.
+    "p17_bucketed_join" -> (((s: SparkSession, d: String) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Bucketing
+        .coLocatedJoin(s, orders, cust, "o_custkey", "c_custkey", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("string")
+            .as("sum_price"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""))),
 
     // Skew-salted equi-join: deterministic fact-side salt + dim
     // replicated per salt value — the hot key's rows spread over

@@ -191,13 +191,15 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      // prev label rides along into the checkpoint, so the convergence
+      // probe is a filter over materialized rows — not another join
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
+          labels("comp").as("prev"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
+      val changed = next.where(col("comp") =!= col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       it += 1
     }

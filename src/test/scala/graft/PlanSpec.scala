@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("bucketed join is shuffle-free below the join (only the agg exchanges)") {
+    val p = plan("p17_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    // exactly ONE Exchange in the whole plan: the post-join groupBy's.
+    // Both scan sides are bucket-partitioned, so the join itself
+    // introduces none — the write-once/join-many contract.
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("salted join shuffles on (key, salt) — no broadcast, no single hot partition") {
     val p = plan("p16_salted_join")
     assert(p.contains("ShuffledHashJoin"))
