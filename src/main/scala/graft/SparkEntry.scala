@@ -918,6 +918,26 @@ object SparkEntry {
         SimHash.simhash64(Text.tokens(col("text"))).as("simhash"))
     }, Some(simhashSql))),
 
+    // SimHash near-dup pairs via EXACT banding (pigeonhole: Hamming<=3
+    // over 4 disjoint 16-bit bands forces a shared band) — candidates
+    // from a band equi-join, exact chunk-wise Hamming verify, oracle =
+    // the brute-force all-pairs query.
+    "n26_simhash_neardup" -> (((s: SparkSession, d: String) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    }, Some {
+      val ham = (0 until 4).map { b =>
+        val ax = s"('0x' || substr(a.simhash, ${1 + 4 * b}, 4))::INT"
+        val bx = s"('0x' || substr(b.simhash, ${1 + 4 * b}, 4))::INT"
+        s"bit_count(xor($ax, $bx))"
+      }.mkString(" + ")
+      s"""
+      WITH s AS ($simhashSql)
+      SELECT a_id, b_id, hamming FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, $ham AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      WHERE hamming <= 3"""
+    })),
+
     // Brute-force cosine similarity above threshold (bit-exact fold).
     "n05_ann_threshold" -> (((s: SparkSession, d: String) => {
       Similarity.aboveThreshold(Tables.embeddings(s, d), 0.2)

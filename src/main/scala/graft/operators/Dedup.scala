@@ -159,6 +159,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs with an EXACT banding guarantee: all pairs
+    * whose 64-bit SimHashes differ in at most `maxHamming` bits, found
+    * via a band equi-join — and unlike MinHash-LSH banding this is
+    * deterministically complete, not probabilistic: by pigeonhole,
+    * Hamming distance ≤ 3 over 4 disjoint 16-bit bands forces at least
+    * one band to match exactly. So candidates = pairs sharing ≥ 1 band
+    * (an equi-join on (band index, band bits), the 100 TB shape), and
+    * the exact Hamming filter inside yields EXACTLY the brute-force
+    * result — the oracle is the all-pairs query, no operating-point
+    * argument needed. Requires maxHamming < number of bands.
+    *
+    * Hamming is computed chunk-wise from the hex digest (4 × 16-bit
+    * xor popcounts) with integer ops both engines share bit-exactly.
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming <= 3")
+    val sh = docs.select(col(id).as("did"),
+      graft.functions.SimHash.simhash64(Text.tokens(col(text))).as("sim"))
+    val banded = sh.select(col("did"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), substring(col("sim"), 1 + 4 * b, 4).as("bits"))): _*))
+        .as("band"))
+      .select(col("did"), col("sim"), col("band.b"), col("band.bits"))
+    def chunk(c: Column, b: Int): Column =
+      conv(substring(c, 1 + 4 * b, 4), 16, 10).cast("int")
+    val hamming = (0 until 4).map(b =>
+      bit_count(chunk(col("a.sim"), b).bitwiseXOR(chunk(col("b.sim"), b))))
+      .reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bits") === col("b.bits") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("a_id"), col("b.did").as("b_id"),
+        hamming.as("hamming"))
+      // a pair can share several bands → distinct AFTER the exact filter
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair list: `(id, comp)` where
     * `comp` is the component's minimum member id — the canonical
     * union-find semantics for "keep one doc per duplicate cluster"

@@ -64,6 +64,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("simhash banding is an equi-join on (band, bits), never cartesian") {
+    val p = plan("n26_simhash_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed join is shuffle-free below the join (only the agg exchanges)") {
     val p = plan("p17_bucketed_join")
     assert(p.contains("SortMergeJoin"))
