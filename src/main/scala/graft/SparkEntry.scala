@@ -345,6 +345,25 @@ object SparkEntry {
         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))),
 
+    // Explicit GROUPING SETS with grouping_id — the general form rollup
+    // and cube specialize; the id column disambiguates "NULL because
+    // grouped out" from a NULL group value.
+    "a23_grouping_sets" -> (((s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("string").as("sum_qty"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        grouping(l_returnflag, l_linestatus) AS gid, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))"""))),
+
     "a08_anti_join" -> (((s: SparkSession, d: String) => {
       val c = Tables.customer(s, d)
       val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
@@ -841,6 +860,34 @@ object SparkEntry {
     }, Some("""
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events"""))),
+
+    // Corrupt-input tolerance (the reference's try/except around every
+    // decode): 1/3 of payloads deterministically corrupted, PERMISSIVE
+    // from_json degrades them to null instead of failing the job, and
+    // the per-type parse rate is the observable the oracle checks
+    // (DuckDB twin: json_valid on the same corrupted column).
+    "p18_corrupt_tolerant" -> (((s: SparkSession, d: String) => {
+      // corruption PREPENDS '{' — an appended token is ambiguous (the
+      // Jackson stream parser accepts trailing garbage after the root)
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(3)) === 0,
+          concat(lit("{"), col("props"))).otherwise(col("props")).as("raw"))
+      // PERMISSIVE from_json yields a non-null all-null struct for bad
+      // input, so malformed-ness is observed the canonical way: route
+      // the raw text into a corrupt-record column and count its nulls
+      ev.select(col("event_type"),
+          from_json(col("raw"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
+            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("p._corrupt").isNull, lit(1))).as("n_parsed"))
+    }, Some("""
+      SELECT event_type, count(*) AS n_total,
+        count(*) FILTER (WHERE json_valid(
+          CASE WHEN event_id % 3 = 0 THEN '{' || props ELSE props END))
+          AS n_parsed
+      FROM events GROUP BY event_type"""))),
 
     // O10: dim change-detection probe — count(*) WHERE ts >= last-check
     // (kafka_s.py:198-219).
