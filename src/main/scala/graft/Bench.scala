@@ -63,7 +63,9 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(detail)
+    // prefixed so a parser keying on a JSON line can only match the
+    // short final line; full per-query JSON stays greppable + in file
+    println(s"BENCH_QUERIES $detail")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"nqueries":${results.size},"failed":$failedJson,"detail":"$detailPath"}""")
     spark.stop()
   }
