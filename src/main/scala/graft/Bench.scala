@@ -59,7 +59,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":$failedJson}"""
+    // escaped before JSON interpolation: a quote/backslash in a
+    // caller-supplied path must not invalidate the line the driver parses
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -1292,9 +1292,16 @@ object SparkEntry {
     // i is the min over ALL (doc, shingle) pairs in the group — doc
     // boundaries and shingle distinctness are irrelevant under min.
     "n20_minhash_corpus" -> (((s: SparkSession, d: String) => {
+      // empty shingle sets are dropped BEFORE signing: an all-MaxValue
+      // signature is a no-op under min-union, but a language whose docs
+      // are ALL too short would emit a MaxValue sketch row here while
+      // the oracle's unnest produces no row for it — filter so both
+      // sides agree the group is absent
       val sigs = Tables.documents(s, d)
+        .select(col("lang"), Text.shingleSet(col("text")).as("sset"))
+        .where(size(col("sset")) > 0)
         .select(col("lang"),
-          graft.functions.Shingles.minhashSigMd5(Text.shingleSet(col("text")),
+          graft.functions.Shingles.minhashSigMd5(col("sset"),
             graft.functions.MinHashAgg.K).as("sig"))
       sigs.groupBy(col("lang"))
         .agg(graft.functions.MinHashAgg.union(col("sig")).as("sketch"))
@@ -1442,7 +1449,7 @@ object SparkEntry {
     "p17_bucketed_join" -> (((s: SparkSession, d: String) => {
       val orders = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_totalprice"))
-      val cust = s.read.parquet(s"$d/customer.parquet")
+      val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
       graft.operators.Bucketing
         .coLocatedJoin(s, orders, cust, "o_custkey", "c_custkey", buckets = 8)
@@ -1463,7 +1470,7 @@ object SparkEntry {
     // shuffle-hash topology and the (key, _salt) join keys.
     "p16_salted_join" -> (((s: SparkSession, d: String) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
-      val cust = s.read.parquet(s"$d/customer.parquet")
+      val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
       graft.operators.SkewJoin
         .saltedEquiJoin(ev, cust, "user_id", "c_custkey", "event_id", buckets = 8)

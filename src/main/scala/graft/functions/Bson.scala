@@ -74,12 +74,23 @@ object BsonToJson {
       first = false
       if (!array) { appendJsonString(sb, key); sb.append(':') }
       t match {
-        case 0x01 => sb.append(java.lang.Double.toString(buf.getDouble()))
+        case 0x01 =>
+          val d = buf.getDouble()
+          // NaN/Infinity are legal BSON but not JSON — emit as strings
+          // (the lossless textual forms) rather than bare tokens that
+          // would invalidate the whole document downstream
+          if (java.lang.Double.isFinite(d)) sb.append(java.lang.Double.toString(d))
+          else appendJsonString(sb, java.lang.Double.toString(d))
         case 0x02 => appendJsonString(sb, string(buf))
         case 0x03 => decodeDoc(buf, sb, array = false)
         case 0x04 => decodeDoc(buf, sb, array = true)
         case 0x05 =>
           val n = buf.getInt(); buf.get() // subtype dropped
+          // validate BEFORE allocating: a corrupt length field must
+          // null the row, not OOM the executor (OutOfMemoryError is an
+          // Error — it would sail past the malformed-input catch)
+          if (n < 0 || n > buf.remaining())
+            throw new RuntimeException(s"bad binary length $n")
           val b = new Array[Byte](n); buf.get(b)
           appendJsonString(sb, java.util.Base64.getEncoder.encodeToString(b))
         case 0x07 =>

@@ -64,8 +64,9 @@ object ShingleSet {
   }
 
   /** split on single space, drop empties (Spark `split(c, " ")` + remove
-    * "" — consecutive/leading/trailing spaces collapse). */
-  private def tokenize(s: String): Array[String] = {
+    * "" — consecutive/leading/trailing spaces collapse). Shared with
+    * [[Winnow]] — the cross-engine oracles assume ONE tokenization. */
+  private[functions] def tokenize(s: String): Array[String] = {
     val out = mutable.ArrayBuilder.make[String]
     var start = 0
     var i = 0

@@ -96,21 +96,10 @@ object Winnow {
       selected.iterator.map(UTF8String.fromString(_)).toArray[Any])
   }
 
-  /** split on single space, drop empties — same tokenization as
-    * [[ShingleSet]] and the `toksSql` oracle helper. */
-  private def tokenize(s: String): Array[String] = {
-    val out = mutable.ArrayBuilder.make[String]
-    var start = 0
-    var i = 0
-    while (i <= s.length) {
-      if (i == s.length || s.charAt(i) == ' ') {
-        if (i > start) out += s.substring(start, i)
-        start = i + 1
-      }
-      i += 1
-    }
-    out.result()
-  }
+  // tokenization is shared with ShingleSet — the oracles and the
+  // w+win-1 sharing guarantee both assume the two agree exactly, so
+  // there must be exactly one implementation of it
+  private def tokenize(s: String): Array[String] = ShingleSet.tokenize(s)
 
   /** Column API: sorted distinct winnowing selection. */
   def winnowSet(text: Column, w: Int = 3, win: Int = 4): Column =

@@ -28,9 +28,17 @@ object Bucketing {
 
   private val tableSeq = new AtomicInteger
 
+  /** NOTE on lifecycle: the two catalog tables this creates are named
+    * uniquely (JVM counter + random suffix, so a persistent metastore
+    * holding names from an earlier JVM can never collide) and their
+    * data lives under an exit-cleaned temp path, but the CATALOG
+    * entries persist until session end — a long-lived caller that
+    * no longer needs the join result should `DROP TABLE` them (they
+    * cannot be dropped here: the returned frame reads them lazily). */
   def coLocatedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, buckets: Int = 8): DataFrame = {
-    val id = tableSeq.incrementAndGet()
+    val id = s"${tableSeq.incrementAndGet()}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     val lt = s"graft_bkt_l_$id"
     val rt = s"graft_bkt_r_$id"
     left.write.bucketBy(buckets, leftKey).sortBy(leftKey)

@@ -242,6 +242,12 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // silently returning partial labels would make the caller keep
+    // several "survivors" inside one duplicate cluster — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters")
     labels
   }
 }

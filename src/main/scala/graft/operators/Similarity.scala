@@ -194,25 +194,32 @@ object Similarity {
     * [[cosinePairsBucketed]] for the high-similarity regime where
     * bucketing does apply). What CAN be fixed at scale is the join
     * topology: a broadcast NLJ ships one full side to every executor —
-    * impossible at 10⁹ rows — whereas this grid join (1-bucket-theta,
-    * Okcan & Riedewald SIGMOD'11) hash-assigns the right side to
-    * `blocks` blocks, replicates the left side once per block, and
-    * meets every pair exactly once under an equi key. Work stays O(n²)
-    * dot products (it must — the result is exact) but each task holds
-    * only n/blocks right-rows, the shuffle is uniform by construction
-    * (hash blocks — no skew), and `blocks` scales with the cluster, not
-    * the data. Same result set as [[cosinePairs]]: verified against the
-    * identical brute-force oracle.
+    * impossible at 10⁹ rows — whereas this √g×√g grid join
+    * (1-bucket-theta, Okcan & Riedewald SIGMOD'11) hash-assigns each
+    * side a block in [0,√g), replicates each side √g times (left
+    * across its row's cells, right down its column's cells), and meets
+    * every pair exactly once in one grid cell — an equi-join on the
+    * cell key. Work stays O(n²) dot products (it must — the result is
+    * exact), shuffle volume is 2n·√g (vs n·g for one-sided
+    * replication), each cell holds ~n/√g rows per side, the layout is
+    * uniform by construction (hash blocks — no skew), and `gridCells`
+    * scales with the cluster, not the data. Same result set as
+    * [[cosinePairs]]: verified against the identical brute-force
+    * oracle.
     */
-  def cosinePairsGrid(embeddings: DataFrame, t: Double, blocks: Int = 32): DataFrame = {
+  def cosinePairsGrid(embeddings: DataFrame, t: Double, gridCells: Int = 36): DataFrame = {
+    val g = math.max(1, math.round(math.sqrt(gridCells.toDouble)).toInt)
     val v = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Vec.norm(col("v")))
-    val b = v.withColumn("blk", pmod(hash(col("vec_id")), lit(blocks))).as("b")
-    val a = v.withColumn("probe",
-      explode(array((0 until blocks).map(lit): _*))).as("a")
+    val a = v.withColumn("rb", pmod(hash(col("vec_id")), lit(g)))
+      .withColumn("cb", explode(array((0 until g).map(lit): _*))).as("a")
+    val b = v.withColumn("cb", pmod(hash(col("vec_id")), lit(g)))
+      .withColumn("rb", explode(array((0 until g).map(lit): _*))).as("b")
     val cos = Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    a.join(b, col("a.probe") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b,
+        col("a.rb") === col("b.rb") && col("a.cb") === col("b.cb") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), cos.as("cos"))
       .where(col("cos") >= t)
   }

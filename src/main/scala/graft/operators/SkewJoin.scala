@@ -30,6 +30,8 @@ object SkewJoin {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, saltBy: String,
       buckets: Int = 8): DataFrame = {
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedEquiJoin reserves the working column _salt; rename it on the input")
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(col(saltBy)), lit(buckets)))
     val saltedDim = dim.withColumn("_salt",

@@ -21,7 +21,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("grid equi-join == brute-force NLJ (identical pairs AND identical doubles)") {
     val emb = Tables.embeddings(spark, sf)
     val brute = pairSet(Similarity.cosinePairs(emb, 0.45))
-    val grid = pairSet(Similarity.cosinePairsGrid(emb, 0.45, blocks = 7))
+    val grid = pairSet(Similarity.cosinePairsGrid(emb, 0.45, gridCells = 9))
     assert(grid == brute)
     assert(brute.nonEmpty) // fixture must actually exercise the join
   }
