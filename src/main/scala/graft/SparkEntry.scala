@@ -965,6 +965,61 @@ object SparkEntry {
         SimHash.simhash64(Text.tokens(col("text"))).as("simhash"))
     }, Some(simhashSql))),
 
+    // Reproducible corpus splitting: train/val/test assignment by a
+    // CONTENT-DERIVED hash bucket (md5 of the doc id, first 16 bits,
+    // mod 100 → 80/10/10), so the split is stable across runs, racks,
+    // and engines — never rand(). The same md5-prefix arithmetic is
+    // ANSI-expressible, so the oracle reproduces the assignment
+    // bit-exactly (the n20/uuid3 trick applied to sampling).
+    "n27_hash_split" -> (((s: SparkSession, d: String) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          Text.tokenCountWs(col("text")).cast("long").as("tok"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    }, Some(s"""
+      SELECT lang, split, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM (SELECT lang, len($toksSql) AS tok,
+              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT lang, text,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+                  FROM documents))
+      GROUP BY lang, split"""))),
+
+    // Sequence packing (concat-then-chop): documents in deterministic
+    // order are laid end-to-end per language and chopped into
+    // budget-token packs; a doc's pack = its starting offset div the
+    // budget. Pure integer window arithmetic — exact on both engines —
+    // and the plan is one partitioned window sum + partial agg, the
+    // shape that packs a 100 TB corpus without any driver-side loop.
+    "n28_sequence_pack" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          Text.tokenCountWs(col("text")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("lang"), col("tok"),
+          expr("(cum - tok) div 512").as("pack_id"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+    }, Some(s"""
+      SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS pack_tokens
+      FROM (SELECT lang, tok, CAST((cum - tok) // 512 AS BIGINT) AS pack_id
+            FROM (SELECT lang, tok, sum(tok) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM (SELECT lang, doc_id, len($toksSql) AS tok
+                        FROM documents)))
+      GROUP BY lang, pack_id"""))),
+
     // SimHash near-dup pairs via EXACT banding (pigeonhole: Hamming<=3
     // over 4 disjoint 16-bit bands forces a shared band) — candidates
     // from a band equi-join, exact chunk-wise Hamming verify, oracle =
