@@ -1547,6 +1547,23 @@ object SparkEntry {
       SELECT user_id, event_type, min(event_id) AS first_event_id
       FROM events GROUP BY user_id, event_type"""))),
 
+    // Stream-stream interval join with watermark-bounded state: clicks
+    // joined to the same user's purchases within 1 hour; bounded drain
+    // == the batch join (checked by hash). The µs-floored event times
+    // format identically on both engines.
+    "s11_stream_stream_join" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamStreamJoin(s, d)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type,
+                   make_timestamp(epoch_ns(ts) // 1000) AS t FROM events)
+      SELECT c.user_id,
+        strftime(c.t, '%Y-%m-%d %H:%M:%S') AS click_at,
+        strftime(b.t, '%Y-%m-%d %H:%M:%S') AS buy_at
+      FROM e c JOIN e b
+        ON c.user_id = b.user_id AND c.event_type = 'click'
+       AND b.event_type = 'purchase'
+       AND b.t >= c.t AND b.t <= c.t + INTERVAL 1 HOUR"""))),
+
     // Stream-static broadcast enrichment join + streaming aggregation
     // (O6 under Structured Streaming; static side re-read per batch =
     // the reference's poll-based dim refresh O10).

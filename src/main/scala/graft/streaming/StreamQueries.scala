@@ -314,6 +314,35 @@ object StreamQueries {
     spark.read.parquet(cur)
   }
 
+  /** Stream-STREAM inner join with event-time range condition and
+    * watermarks on both sides: each click joined to the same user's
+    * purchases within the following hour. The interval bound plus the
+    * two watermarks is what lets the engine EXPIRE join state — without
+    * them a stream-stream join buffers both sides forever, the
+    * difference between a pipeline that runs for a year and one that
+    * OOMs in an afternoon. Bounded drain (AvailableNow) makes the
+    * result equal the batch join, which is exactly what the oracle
+    * checks (stream/batch duality, the s08 argument applied to the
+    * two-stream case). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("c_user").as("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+        date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_at"))
+    runToTable(spark, joined, "append")
+  }
+
   /** Stream-static broadcast enrichment join (O6's shape under
     * Structured Streaming): the static dim is re-read per micro-batch
     * (which is how Spark subsumes the reference's poll-based dim
