@@ -45,6 +45,17 @@ class KafkaSpec extends AnyFunSuite {
     assert(r.getAs[String]("srcType") == "A股公告")
   }
 
+  test("Kafka.source reaches connector resolution (fails finding kafka, not before)") {
+    // no spark-sql-kafka jar in the sandbox; resolution failure proves
+    // the builder wiring is live (same proof shape as JdbcSpec/MongoSpec)
+    val e = intercept[Throwable] {
+      Kafka.source(spark, "localhost:9092", Kafka.Neeq)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.toLowerCase.contains("kafka"), msgs)
+  }
+
   // ---- BSON wire form (kafka_s.py:157 BSON.decode) ----------------
   // Test-side mini-encoder, written independently against the public
   // BSON 1.1 spec (bsonspec.org): document = int32 total length (LE),
