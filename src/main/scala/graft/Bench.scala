@@ -59,17 +59,17 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":$failedJson}"""
-    // escaped before JSON interpolation: a quote/backslash in a
-    // caller-supplied path must not invalidate the line the driver parses
+    // escape ONLY at JSON interpolation — the raw path opens the file;
+    // escaping the variable itself would write to a mangled filename
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-      .replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // prefixed so a parser keying on a JSON line can only match the
     // short final line; full per-query JSON stays greppable + in file
     println(s"BENCH_QUERIES $detail")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"nqueries":${results.size},"failed":$failedJson,"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","iters":$iters,"nqueries":${results.size},"failed":$failedJson,"detail":"${esc(detailPath)}"}""")
     spark.stop()
   }
 }

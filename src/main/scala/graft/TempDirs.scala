@@ -25,11 +25,13 @@ object TempDirs {
     d.toString
   }
 
-  private def deleteRecursively(dir: Path): Unit =
+  /** Best-effort recursive delete (shared with withTempCheckpoint — a
+    * cleanup IOException must never mask the result being returned). */
+  private[graft] def deleteRecursively(dir: Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val stream = Files.walk(dir)
       val paths = try stream.iterator().asScala.toVector finally stream.close()
       paths.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () } // exit-time best effort
+    } catch { case _: java.io.IOException => () }
 }

@@ -56,12 +56,19 @@ object BsonToJson {
     try {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val sb = new java.lang.StringBuilder(bytes.length * 2)
-      decodeDoc(buf, sb, array = false)
+      decodeDoc(buf, sb, array = false, depth = 0)
       UTF8String.fromString(sb.toString)
     } catch { case _: RuntimeException | _: java.nio.BufferUnderflowException => null }
 
+  /** Recursion ceiling: corrupt bytes that are thousands of nested doc
+    * headers would otherwise StackOverflowError (an Error — it would
+    * sail past the malformed-input catch like the OOM the 0x05 branch
+    * guards). Real oplog envelopes nest a handful of levels. */
+  private val MaxDepth = 64
+
   private def decodeDoc(buf: ByteBuffer, sb: java.lang.StringBuilder,
-      array: Boolean): Unit = {
+      array: Boolean, depth: Int): Unit = {
+    if (depth > MaxDepth) throw new RuntimeException("document nests too deep")
     val start = buf.position()
     val len = buf.getInt()
     val end = start + len - 1 // position of the 0x00 terminator
@@ -82,8 +89,8 @@ object BsonToJson {
           if (java.lang.Double.isFinite(d)) sb.append(java.lang.Double.toString(d))
           else appendJsonString(sb, java.lang.Double.toString(d))
         case 0x02 => appendJsonString(sb, string(buf))
-        case 0x03 => decodeDoc(buf, sb, array = false)
-        case 0x04 => decodeDoc(buf, sb, array = true)
+        case 0x03 => decodeDoc(buf, sb, array = false, depth + 1)
+        case 0x04 => decodeDoc(buf, sb, array = true, depth + 1)
         case 0x05 =>
           val n = buf.getInt(); buf.get() // subtype dropped
           // validate BEFORE allocating: a corrupt length field must

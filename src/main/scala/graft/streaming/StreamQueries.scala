@@ -72,13 +72,10 @@ object StreamQueries {
     * is only correct because AvailableNow drains to completion. */
   private def withTempCheckpoint[T](body: String => T): T = {
     val dir = Files.createTempDirectory("graft-ckpt")
+    // guarded shared helper: a cleanup IOException (e.g. a state-store
+    // thread still holding a file) must not mask body's result
     try body(dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.walk(dir)
-      val paths = try stream.iterator().asScala.toVector finally stream.close()
-      paths.sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    finally graft.TempDirs.deleteRecursively(dir)
   }
 
   /** Run a streaming frame to completion into a memory sink, return the

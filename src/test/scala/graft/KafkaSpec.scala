@@ -95,6 +95,13 @@ class KafkaSpec extends AnyFunSuite {
     // malformed input → null, not an exception
     assert(graft.functions.BsonToJson.kernel(spec.dropRight(2)) == null)
     assert(graft.functions.BsonToJson.kernel(Array[Byte](1, 2, 3)) == null)
+    // nesting bomb → null, not StackOverflowError (depth cap)
+    val bomb = (1 to 5000).foldLeft(doc()) { (inner, _) => doc(bdoc("k", inner)) }
+    assert(graft.functions.BsonToJson.kernel(bomb) == null)
+    // moderate nesting still decodes
+    val nested = doc(bdoc("a", doc(bdoc("b", doc(bstr("c", "v"))))))
+    assert(graft.functions.BsonToJson.kernel(nested) ==
+      org.apache.spark.unsafe.types.UTF8String.fromString("""{"a":{"b":{"c":"v"}}}"""))
   }
 
   test("BsonToJson: full type coverage — double, bool, null, int32/64, array, ObjectId, binary") {
