@@ -384,6 +384,22 @@ object SparkEntry {
       WHERE EXISTS (SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')"""))),
 
+    // Scalar subqueries in a predicate (Catalyst plans each as a
+    // one-row subquery broadcast): customers above the global average
+    // balance, written as bal·n > Σbal so every term is exact decimal/
+    // integer arithmetic — an avg would be DOUBLE in DuckDB and its
+    // partial-sum order could flip boundary rows.
+    "a24_scalar_subquery" -> (((s: SparkSession, d: String) => {
+      s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("customer_a24")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM customer_a24
+        WHERE CAST(c_acctbal AS DECIMAL(28,6)) * (SELECT count(*) FROM customer_a24) >
+          (SELECT sum(CAST(c_acctbal AS DECIMAL(28,6))) FROM customer_a24)""")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE CAST(c_acctbal AS DECIMAL(28,6)) * (SELECT count(*) FROM customer) >
+        (SELECT sum(CAST(c_acctbal AS DECIMAL(28,6))) FROM customer)"""))),
+
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
@@ -1019,6 +1035,34 @@ object SparkEntry {
                   FROM (SELECT lang, doc_id, len($toksSql) AS tok
                         FROM documents)))
       GROUP BY lang, pack_id"""))),
+
+    // Symmetric int8 quantization of the embedding column — the
+    // storage-efficiency step before shipping vectors at corpus scale
+    // (4 B → 1 B per component). floor(x·127/max|x|) everywhere:
+    // identical doubles → identical floor on both engines (round would
+    // hang the parity on half-even vs half-away semantics). The scale
+    // factor (max|x|) rides along for dequantization.
+    "n29_embed_quantize" -> (((s: SparkSession, d: String) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mx", aggregate(col("v"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))))
+        .select(col("vec_id"), col("mx"),
+          concat_ws(",", transform(col("v"), x =>
+            when(col("mx") === 0.0, lit(0L))
+              .otherwise(floor(x * lit(127.0) / col("mx"))).cast("string")))
+            .as("qcsv"))
+    }, Some("""
+      SELECT vec_id, mx,
+        array_to_string(list_transform(emb, x ->
+          CAST(CAST(CASE WHEN mx = 0 THEN 0
+                         ELSE floor(x * 127.0 / mx) END AS BIGINT) AS VARCHAR)), ',')
+          AS qcsv
+      FROM (SELECT vec_id, emb,
+              list_max(list_transform(emb, x -> abs(x))) AS mx
+            FROM (SELECT vec_id,
+                    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb
+                  FROM embeddings))"""))),
 
     // SimHash near-dup pairs via EXACT banding (pigeonhole: Hamming<=3
     // over 4 disjoint 16-bit bands forces a shared band) — candidates
