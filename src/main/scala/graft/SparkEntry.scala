@@ -905,6 +905,34 @@ object SparkEntry {
           AS n_parsed
       FROM events GROUP BY event_type"""))),
 
+    // SCD2 dimension history from the CDC event stream: each change
+    // event becomes a versioned row whose validity interval runs to the
+    // user's next event (open-ended for the current version) — the
+    // standard slowly-changing-dimension build, one window pass, no
+    // self-join. Total order (µs, event_id) fixes tie handling across
+    // engines.
+    "p19_scd2_history" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          when(lead(col("ts"), 1).over(w).isNull, 1).otherwise(0)
+            .as("is_current"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   make_timestamp(epoch_ns(ts) // 1000) AS t FROM events)
+      SELECT user_id, event_type,
+        strftime(t, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(lead(t) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        CASE WHEN lead(t) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)"""))),
+
     // O10: dim change-detection probe — count(*) WHERE ts >= last-check
     // (kafka_s.py:198-219).
     "p10_refresh_probe" -> (((s: SparkSession, d: String) => {
