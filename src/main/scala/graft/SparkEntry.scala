@@ -1064,6 +1064,31 @@ object SparkEntry {
                         FROM documents)))
       GROUP BY lang, pack_id"""))),
 
+    // Text cleaning / PII-style redaction — the scrub step every
+    // training corpus passes through: mask email-shaped tokens and long
+    // digit runs, normalize whitespace, report counts. Patterns use
+    // only character classes + bounded quantifiers so Java regex and
+    // RE2 agree; Spark replaces all matches by default, DuckDB needs
+    // the 'g' flag.
+    "n30_redact_clean" -> (((s: SparkSession, d: String) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+      val longNum = "[0-9]{7,}"
+      val masked = regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"), longNum, "<NUM>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(longNum)).as("n_longnums"),
+        regexp_replace(trim(masked), "  +", " ").as("clean"))
+    }, Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_emails,
+        len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnums,
+        regexp_replace(trim(regexp_replace(regexp_replace(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g')), '  +', ' ', 'g') AS clean
+      FROM documents"""))),
+
     // Symmetric int8 quantization of the embedding column — the
     // storage-efficiency step before shipping vectors at corpus scale
     // (4 B → 1 B per component). floor(x·127/max|x|) everywhere:
