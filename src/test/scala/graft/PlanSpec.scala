@@ -64,6 +64,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("sequence packing is ONE shuffle end-to-end (window partitioning reused by the agg)") {
+    // Exchange on lang feeds the window AND satisfies the (lang,
+    // pack_id) grouping — a second exchange would mean the packing
+    // pipeline re-shuffles the corpus for no reason
+    val p = plan("n28_sequence_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("resample/gap-fill never degenerates to a cartesian") {
+    val p = plan("a22_resample_gapfill")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash banding is an equi-join on (band, bits), never cartesian") {
     val p = plan("n26_simhash_neardup")
     assert(!p.contains("CartesianProduct"))
