@@ -14,7 +14,9 @@ class ShinglesSpec extends AnyFunSuite {
 
   test("property: native shingleSet == HOF shingles+distinct on random text") {
     val rnd = new scala.util.Random(42)
-    val vocab = Vector("aa", "bb", "cc", "dd", "e", "", " ")
+    // multi-byte vocab entries stress the UTF-8 byte paths (XXH64 off
+    // UTF8String memory, md5 of getBytes) against the char-based HOFs
+    val vocab = Vector("aa", "bb", "cc", "dd", "e", "", " ", "héllo", "世界", "emoji🙂")
     val texts = Seq.fill(300) {
       Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
     }
