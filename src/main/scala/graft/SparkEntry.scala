@@ -1644,6 +1644,15 @@ object SparkEntry {
       SELECT user_id, event_type, min(event_id) AS first_event_id
       FROM events GROUP BY user_id, event_type"""))),
 
+    // n01's streaming twin: exact content dedup with digest-keyed
+    // state across micro-batches, counts per lang after the drain.
+    "s12_stream_doc_dedup" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamDocDedup(s, d)
+    }, Some("""
+      SELECT lang, count(*) AS n_unique
+      FROM (SELECT lang, md5(text) AS h FROM documents GROUP BY lang, md5(text))
+      GROUP BY lang"""))),
+
     // Stream-stream interval join with watermark-bounded state: clicks
     // joined to the same user's purchases within 1 hour; bounded drain
     // == the batch join (checked by hash). The µs-floored event times

@@ -169,6 +169,24 @@ object StreamQueries {
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .parquet(s"$dir/[d]ocuments.parquet")
 
+  /** Exact content dedup as a STREAM (n01's streaming twin): state
+    * keyed on (lang, digest) drops re-arrivals across micro-batches —
+    * the continuous-ingest form of corpus dedup, where the state store
+    * IS the seen-set and scales by key partitioning. The dedup key is
+    * scoped per language deliberately: a GLOBAL digest key would make
+    * the surviving row's lang depend on arrival order (the sf0.1
+    * fixture has cross-language duplicate texts), i.e. a
+    * nondeterministic result no oracle could pin. Bounded drain ==
+    * batch distinct (checked by the oracle). */
+  def streamDocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = documentsStream(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("lang", "content_hash")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+    runToTable(spark, deduped, "complete")
+  }
+
   /** THE reference pipeline (E1) as a true stream: the same
     * `Pipeline.announcements` plan — normalize → broadcast name/industry
     * dims (stream-static left joins) → broadcast rule cross-join +
