@@ -57,12 +57,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ms(results.values.filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"failed":$failedJson}"""
     // escape ONLY at JSON interpolation — the raw path opens the file;
     // escaping the variable itself would write to a mangled filename
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -390,7 +390,7 @@ object SparkEntry {
     // integer arithmetic — an avg would be DOUBLE in DuckDB and its
     // partial-sum order could flip boundary rows.
     "a24_scalar_subquery" -> (((s: SparkSession, d: String) => {
-      s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("customer_a24")
+      Tables.customer(s, d).createOrReplaceTempView("customer_a24")
       s.sql("""
         SELECT c_custkey, c_mktsegment FROM customer_a24
         WHERE CAST(c_acctbal AS DECIMAL(28,6)) * (SELECT count(*) FROM customer_a24) >
@@ -1098,6 +1098,10 @@ object SparkEntry {
     "n29_embed_quantize" -> (((s: SparkSession, d: String) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // null/empty vectors are filtered on BOTH sides: the engines
+        // disagree on the degenerate forms (Spark's aggregate seed
+        // gives mx=0.0 where DuckDB's list_max of [] gives NULL)
+        .where(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("mx", aggregate(col("v"), lit(0.0),
           (acc, x) => greatest(acc, abs(x))))
         .select(col("vec_id"), col("mx"),
@@ -1115,7 +1119,8 @@ object SparkEntry {
               list_max(list_transform(emb, x -> abs(x))) AS mx
             FROM (SELECT vec_id,
                     list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb
-                  FROM embeddings))"""))),
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) > 0))"""))),
 
     // SimHash near-dup pairs via EXACT banding (pigeonhole: Hamming<=3
     // over 4 disjoint 16-bit bands forces a shared band) — candidates
