@@ -26,6 +26,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty) // fixture must actually exercise the join
   }
 
+  test("reserved-column guards fire before silent clobbering") {
+    import spark.implicits._
+    val withSalt = Seq((1L, 2L, 3L)).toDF("k", "v", "_salt")
+    val dim = Seq((1L, "x")).toDF("k2", "name")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedEquiJoin(withSalt, dim, "k", "k2", "v")
+    }
+    assert(e1.getMessage.contains("_salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashPairs(withSalt.toDF("a", "b", "c"), "a", "b",
+        maxHamming = 4)
+    }
+    assert(e2.getMessage.contains("pigeonhole"))
+  }
+
   test("bucketed pair join == brute force restricted to Hamming<=1 buckets") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
