@@ -400,6 +400,32 @@ object SparkEntry {
       WHERE CAST(c_acctbal AS DECIMAL(28,6)) * (SELECT count(*) FROM customer) >
         (SELECT sum(CAST(c_acctbal AS DECIMAL(28,6))) FROM customer)"""))),
 
+    // UNPIVOT (wide → long): measures melted to (metric, value) rows —
+    // the inverse of p04's pivot. Spark's unpivot lowers to Expand;
+    // per-metric decimal sums keep the compare exact.
+    "a25_unpivot" -> (((s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(28,6)").as("qty"),
+          col("l_extendedprice").cast("decimal(28,6)").as("price"),
+          col("l_discount").cast("decimal(28,6)").as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "val")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(sum(col("val")).cast("string").as("sum_val"))
+    }, Some("""
+      SELECT l_returnflag, metric, CAST(sum(val) AS VARCHAR) AS sum_val
+      FROM (
+        SELECT l_returnflag, 'qty' AS metric,
+               CAST(l_quantity AS DECIMAL(28,6)) AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', CAST(l_extendedprice AS DECIMAL(28,6))
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'disc', CAST(l_discount AS DECIMAL(28,6))
+        FROM lineitem)
+      GROUP BY l_returnflag, metric"""))),
+
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
