@@ -27,7 +27,8 @@ import graft.functions.{BsonToJson, DotProduct, MinHashSig, ShingleSet, SimHash6
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Arity check up front — otherwise a wrong-arg-count call surfaces
     * as an IndexOutOfBoundsException from the builder. */

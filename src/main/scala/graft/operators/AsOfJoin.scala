@@ -54,6 +54,6 @@ object AsOfJoin {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(s"asof_$payloadCol", last(col("_pay"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(left.columns.map(col) :+ col(s"asof_$payloadCol"): _*)
+      .select(left.columns.toIndexedSeq.map(col) :+ col(s"asof_$payloadCol"): _*)
   }
 }
