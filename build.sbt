@@ -9,6 +9,8 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// keep deprecation/unchecked warnings visible so API drift surfaces
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
 // pass the forked process's stdout through RAW: sbt's default logger

@@ -1090,6 +1090,33 @@ object SparkEntry {
                         FROM documents)))
       GROUP BY lang, pack_id"""))),
 
+    // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
+    // distinct shingles with any "benchmark" doc (id <= 20, a
+    // deterministic fixture split). Absolute-overlap threshold, not
+    // jaccard — a short eval question inside a long document is the
+    // case that matters. Worst offender per doc via struct-max
+    // (overlap, bench_id): ties on overlap break to the HIGHEST bench
+    // id on both engines.
+    "n31_decontaminate" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminated(
+        docs.where(col("doc_id") > 20), docs.where(col("doc_id") <= 20),
+        "doc_id", "text", w = 3, minOverlap = 3)
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($ssetSql) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      hits AS (
+        SELECT c.doc_id AS doc, b.doc_id AS bench, count(*) AS overlap
+        FROM sh c JOIN sh b ON c.sh = b.sh
+        WHERE c.doc_id > 20 AND b.doc_id <= 20
+        GROUP BY c.doc_id, b.doc_id
+        HAVING count(*) >= 3)
+      SELECT doc AS doc_id,
+        (max({'o': overlap, 'b': bench})).b AS bench_id,
+        CAST(max(overlap) AS BIGINT) AS overlap
+      FROM hits GROUP BY doc"""))),
+
     // Text cleaning / PII-style redaction — the scrub step every
     // training corpus passes through: mask email-shaped tokens and long
     // digit runs, normalize whitespace, report counts. Patterns use

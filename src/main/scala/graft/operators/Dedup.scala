@@ -159,6 +159,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct w-gram shingles with ANY benchmark document
+    * — the contamination check a training pipeline runs against held-
+    * out eval sets before training. Same inverted-index shape as
+    * [[jaccardPairs]] (the only wide shuffle is the equi-join on the
+    * shingle), but the threshold is ABSOLUTE overlap, not jaccard: a
+    * 50-token eval question buried in a 10k-token document has
+    * negligible jaccard yet is exactly what must be caught.
+    *
+    * Returns one row per contaminated corpus doc: its id, the worst-
+    * overlap benchmark doc, and that overlap count.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, w: Int = 3, minOverlap: Int = 3): DataFrame = {
+    def index(df: DataFrame, as: String) = df
+      .select(col(id).as(as), Text.shingleSet(col(text), w).as("sset"))
+      .select(col(as), explode(col("sset")).as("sh"))
+    val c = index(corpus, "doc")
+    val b = index(benchmark, "bench")
+    c.join(b, "sh")
+      .groupBy(col("doc"), col("bench"))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .groupBy(col("doc"))
+      .agg(max(struct(col("overlap"), col("bench"))).as("worst"))
+      .select(col("doc").as("doc_id"),
+        col("worst.bench").as("bench_id"), col("worst.overlap").as("overlap"))
+  }
+
   /** SimHash near-dup pairs with an EXACT banding guarantee: all pairs
     * whose 64-bit SimHashes differ in at most `maxHamming` bits, found
     * via a band equi-join — and unlike MinHash-LSH banding this is
