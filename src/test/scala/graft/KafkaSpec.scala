@@ -131,6 +131,23 @@ class KafkaSpec extends AnyFunSuite {
         """"a":["x",2],"_id":"0102030405060708090a0b0c","bin":"AQI="}"""))
   }
 
+  test("fuzz: BsonToJson never throws — random bytes and single-byte mutations of valid docs") {
+    val rnd = new scala.util.Random(9)
+    (1 to 2000).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      graft.functions.BsonToJson.kernel(b) // null or a value; must not throw
+    }
+    val valid = doc(bstr("hello", "world"), bint("n", 7),
+      bdoc("o", doc(bstr("st_name", "x"), bdate("d", 1704164645000L))))
+    valid.indices.foreach { i =>
+      (0 until 4).foreach { _ =>
+        val mutated = valid.clone()
+        mutated(i) = rnd.nextInt(256).toByte
+        graft.functions.BsonToJson.kernel(mutated)
+      }
+    }
+  }
+
   test("BSON oplog envelope: decode + normalize; $set partial dropped; junk dropped") {
     val epochMs = 1704164645000L // 2024-01-02T03:04:05Z
     val insert = doc(bdoc("o", doc(
