@@ -78,6 +78,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination join shuffles only on the shingle, never cartesian") {
+    val p = plan("n31_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash banding is an equi-join on (band, bits), never cartesian") {
     val p = plan("n26_simhash_neardup")
     assert(!p.contains("CartesianProduct"))
