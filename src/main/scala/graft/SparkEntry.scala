@@ -1090,6 +1090,40 @@ object SparkEntry {
                         FROM documents)))
       GROUP BY lang, pack_id"""))),
 
+    // Intra-document repetition (the duplicate-n-gram quality signal in
+    // Gopher-style corpus filtering): fraction of positional 3-grams
+    // that are repeats of an earlier one. dup_frac = 1 − distinct/total
+    // — one int division, exact on both engines; the keep flag applies
+    // the filter at a 0.2 ceiling.
+    "n32_repetition" -> (((s: SparkSession, d: String) => {
+      val grams = Text.shinglesHof(col("text"), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          when(col("n_grams") === 0, 0.0)
+            .otherwise(lit(1.0) -
+              col("n_distinct").cast("double") / col("n_grams").cast("double"))
+            .as("dup_frac"))
+        .withColumn("keep",
+          when(col("dup_frac") <= 0.2, 1).otherwise(0))
+    }, Some(s"""
+      SELECT doc_id, n_grams, n_distinct,
+        CASE WHEN n_grams = 0 THEN 0.0
+             ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        END AS dup_frac,
+        CASE WHEN (CASE WHEN n_grams = 0 THEN 0.0
+                        ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   END) <= 0.2 THEN 1 ELSE 0 END AS keep
+      FROM (SELECT doc_id,
+              CAST(len(grams) AS INT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS INT) AS n_distinct
+            FROM (SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+                  FROM (SELECT doc_id, $toksSql AS toks FROM documents)))"""))),
+
     // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
     // distinct shingles with any "benchmark" doc (id <= 20, a
     // deterministic fixture split). Absolute-overlap threshold, not
