@@ -931,6 +931,38 @@ object SparkEntry {
           AS n_parsed
       FROM events GROUP BY event_type"""))),
 
+    // Fuzzy entity matching — the production form of the reference's
+    // exact full-name lookup (O5/O32): each probe string (a mutated
+    // fixture name) finds its minimum-levenshtein customer. Both
+    // engines implement the same DP edit distance, so values are
+    // integer-identical; the tiny probe side broadcasts against the
+    // full scan (the right topology when the entity table is the big
+    // side), and struct-min (dist, key) makes the winner deterministic
+    // under ties.
+    "p20_fuzzy_match" -> (((s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val probes = cust.where(col("c_custkey") <= 5)
+        .select(col("c_custkey").as("pid"),
+          concat(col("c_name"), lit("x")).as("probe"))
+      cust.join(broadcast(probes))
+        .select(col("pid"), col("probe"), col("c_custkey"),
+          levenshtein(col("probe"), col("c_name")).as("dist"))
+        .groupBy(col("pid"), col("probe"))
+        .agg(min(struct(col("dist"), col("c_custkey"))).as("best"))
+        .select(col("pid"), col("probe"),
+          col("best.c_custkey").as("match_id"), col("best.dist").as("dist"))
+    }, Some("""
+      WITH probes AS (
+        SELECT c_custkey AS pid, c_name || 'x' AS probe
+        FROM customer WHERE c_custkey <= 5)
+      SELECT pid, probe,
+        (min({'d': dist, 'k': c_custkey})).k AS match_id,
+        (min({'d': dist, 'k': c_custkey})).d AS dist
+      FROM (SELECT p.pid, p.probe, c.c_custkey,
+              levenshtein(p.probe, c.c_name) AS dist
+            FROM probes p CROSS JOIN customer c)
+      GROUP BY pid, probe"""))),
+
     // SCD2 dimension history from the CDC event stream: each change
     // event becomes a versioned row whose validity interval runs to the
     // user's next event (open-ended for the current version) — the
