@@ -1768,6 +1768,14 @@ object SparkEntry {
       SELECT user_id, event_type, min(event_id) AS first_event_id
       FROM events GROUP BY user_id, event_type"""))),
 
+    // n05's streaming twin: stateless ANN threshold filter over the
+    // embedding stream — same plan as the batch query, no state store.
+    "s13_stream_ann" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamAnnThreshold(s, d, 0.2)
+    }, Some(s"""
+      SELECT vec_id, $annCosSql AS cos FROM embeddings
+      WHERE $annCosSql > 0.2"""))),
+
     // n01's streaming twin: exact content dedup with digest-keyed
     // state across micro-batches, counts per lang after the drain.
     "s12_stream_doc_dedup" -> (((s: SparkSession, d: String) => {

@@ -169,6 +169,28 @@ object StreamQueries {
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .parquet(s"$dir/[d]ocuments.parquet")
 
+  /** Streaming embeddings source (file stand-in, like the others). */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(s"$dir/[e]mbeddings.parquet")
+
+  /** ANN threshold filter as a STREAM (n05's streaming twin): each
+    * arriving vector is scored against the probe with the native dot
+    * kernel and passed through when above threshold — stateless
+    * map+filter, so the micro-batch plan is byte-identical to the batch
+    * plan and there is no state store at all: the shape of continuous
+    * embedding-ingest filtering at scale. */
+  def streamAnnThreshold(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    import graft.operators.Similarity
+    val emb = embeddingsStream(spark, dir)
+    val v = col("embedding").cast("array<double>")
+    val scored = emb.select(col("vec_id"),
+      Similarity.cosine(v, Similarity.queryVecLit).as("cos"))
+      .where(col("cos") > t)
+    runToTable(spark, scored, "append")
+  }
+
   /** Exact content dedup as a STREAM (n01's streaming twin): state
     * keyed on (lang, digest) drops re-arrivals across micro-batches —
     * the continuous-ingest form of corpus dedup, where the state store
