@@ -26,8 +26,15 @@ object Bench {
     // per-query codegen compilation and JIT, which a long-running
     // cluster job pays once, not per query
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // optional comma-separated query filter for isolating a regression
+    // (SPARK_GRAFT_BENCH_QUERIES=a07_rollup,a23_grouping_sets); unset =
+    // the full surface, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) })
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // a failed attempt must never become the reported min — record
       // successes only; a query with zero successes reports -1 and is
       // listed in "failed" (silent shrinking totals would misread as a

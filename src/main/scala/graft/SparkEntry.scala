@@ -916,11 +916,24 @@ object SparkEntry {
           concat(lit("{"), col("props"))).otherwise(col("props")).as("raw"))
       // PERMISSIVE from_json yields a non-null all-null struct for bad
       // input, so malformed-ness is observed the canonical way: route
-      // the raw text into a corrupt-record column and count its nulls
+      // the raw text into a corrupt-record column and count its nulls.
+      // Each bad row costs a Jackson exception (+ Spark's bad-record
+      // bookkeeping) inside from_json — ~100x a clean parse — so a
+      // CONSERVATIVE structural pre-screen short-circuits rows that are
+      // provably malformed for an object schema: '{' followed (after
+      // whitespace) by a character that can start neither a key ('"',
+      // and '\'' since Spark's JSON options allow single quotes) nor
+      // close the object ('}'). Only such provably-bad rows skip the
+      // parser; every other row still takes the full tolerant parse, so
+      // the corrupt-column observable is identical on ANY input, not
+      // just this fixture's.
+      val provablyBad = col("raw").rlike("""^\{\s*[^\s"'}]""")
       ev.select(col("event_type"),
-          from_json(col("raw"),
+          when(provablyBad,
+            struct(lit(null).cast("int").as("k"), col("raw").as("_corrupt")))
+          .otherwise(from_json(col("raw"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
-            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+            Map("columnNameOfCorruptRecord" -> "_corrupt"))).as("p"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_total"),
           count(when(col("p._corrupt").isNull, lit(1))).as("n_parsed"))
@@ -1128,10 +1141,16 @@ object SparkEntry {
     // — one int division, exact on both engines; the keep flag applies
     // the filter at a 0.2 ceiling.
     "n32_repetition" -> (((s: SparkSession, d: String) => {
-      val grams = Text.shinglesHof(col("text"), 3)
+      // Positional 3-gram COUNT is pure arithmetic (len(toks)-2, floored
+      // at 0) and the DISTINCT count is the native single-pass shingle
+      // kernel — no gram array is ever materialized, and nothing here
+      // falls out of whole-stage codegen (the HOF form this replaced was
+      // interpreted per row and 15x slower; ShingleKernelSpec pins
+      // native==HOF equivalence and PlanSpec pins no-codegen-fallback).
       Tables.documents(s, d)
-        .select(col("doc_id"), size(grams).as("n_grams"),
-          size(array_distinct(grams)).as("n_distinct"))
+        .select(col("doc_id"),
+          greatest(size(Text.tokens(col("text"))) - 2, lit(0)).as("n_grams"),
+          size(Text.shingleSet(col("text"), 3)).as("n_distinct"))
         .select(col("doc_id"), col("n_grams"), col("n_distinct"),
           when(col("n_grams") === 0, 0.0)
             .otherwise(lit(1.0) -
