@@ -335,6 +335,11 @@ object SparkEntry {
         (SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier)"""))),
 
+    // Bench note: an r3 full-surface run recorded 3.71s here with code
+    // unchanged since the 0.73s r2 run. Isolated re-bench (3 fresh JVMs,
+    // iters=3, sf0.1) measures a stable 0.78-0.83s, matching the
+    // same-shaped a23 grouping-sets query — the outlier was
+    // bench-environment variance (JIT/GC/machine heat), not the plan.
     "a07_rollup" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -92,8 +92,17 @@ object Pipeline {
   /** Full chain: normalize → enrich (name + industry dims) → classify →
     * assemble the wide announcement record (O19-O22 subset). */
   def announcements(spark: SparkSession, docs: DataFrame,
+      rules: DataFrame, config: Config = neeq): DataFrame =
+    enrich(spark, normalize(docs), rules, config)
+
+  /** The chain from CANONICAL events onward — the entry point for a real
+    * Kafka topic, whose [[graft.sources.Kafka.normalize]] already emits
+    * this schema (cmpShortName, cmpCode, title, pubTime, srcUrl).
+    * [[announcements]] is normalize∘enrich over the documents fixture;
+    * IntegrationSmoke is Kafka.source∘enrich over a live topic — same
+    * plan either way. */
+  def enrich(spark: SparkSession, events: DataFrame,
       rules: DataFrame, config: Config = neeq): DataFrame = {
-    val events = normalize(docs)
     val names = nameDim(spark)
     val indPivot = industryPivot(industryDim(spark))
 

@@ -112,4 +112,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("repetition gate stays native: no HOF in the plan, no gram array, no join") {
+    // the r3 regression put an interpreted higher-order-function kernel
+    // in this hot path (15x); the fixed plan is pure arithmetic + the
+    // codegen'd shingleSet kernel, a single scan-project-filter
+    val p = plan("n32_repetition")
+    assert(!p.toLowerCase.contains("lambdafunction"), p) // no HOF survived
+    assert(!p.contains("transform("), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("*(1)"), p) // whole-stage codegen'd, single stage
+  }
+
+  test("rollup is a single Expand + partial/final aggregate — one shuffle") {
+    // a07's bench outlier was environment variance, not the plan; pin the
+    // plan shape so a real regression (extra Exchange, lost partial agg)
+    // is distinguishable from noise
+    val p = plan("a07_rollup")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
 }
