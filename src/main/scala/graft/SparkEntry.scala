@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Ids, Rules, SimHash, Text}
-import graft.operators.{Dedup, MinHashLsh, Multimodal, Pipeline, RuleClassifier, Similarity}
+import graft.operators.{Clustering, Dedup, MinHashLsh, Multimodal, Pipeline, RuleClassifier, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -127,6 +127,72 @@ object SparkEntry {
               FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
   }
   private val stopListSql = Text.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** BM25 fixture query (n33): one rare-ish, one mid, one stopword-class
+    * term, so idf spread is exercised. k1=1.25/b=0.75 (standard range)
+    * are chosen BINARY-EXACT: a 1.2-style literal is not a binary
+    * double, and DuckDB parses decimal literals as DECIMAL whose
+    * →DOUBLE conversion is not correctly rounded — exact literals make
+    * both engines see identical constants. */
+  private val Bm25Terms = Seq("spark", "vector", "the")
+  private val Bm25K1 = 1.25
+  private val Bm25B = 0.75
+
+  /** DuckDB twin of the n34 k-means run. Long-format centroid sums
+    * (exact BIGINT), unrolled 64-term dot-product folds in the same
+    * ascending order as the native kernel, the same argmax when-chain
+    * (first j whose cosine >= every later one = lowest-index argmax). */
+  private def kmeansOracleSql: String = {
+    val qeList = "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DOUBLE) " +
+      "for i in range(1, 65)]"
+    def dotQC = foldSql((1 to 64).map(i => s"(q.qe[$i] * c.c[$i])"))
+    def dotCC = foldSql((1 to 64).map(i => s"(c.c[$i] * c.c[$i])"))
+    val argmax = "CASE " + (0 until 3).map { j =>
+      val ge = (j + 1 until 4).map(m => s"cos$j >= cos$m").mkString(" AND ")
+      s"WHEN $ge THEN $j"
+    }.mkString(" ") + " ELSE 3 END"
+    s"""
+      WITH q0 AS (SELECT vec_id, $qeList AS qe FROM embeddings),
+      q AS (SELECT vec_id, qe,
+              sqrt(${foldSql((1 to 64).map(i => s"(qe[$i] * qe[$i])"))}) AS qn
+            FROM q0),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS c FROM q WHERE vec_id < 4),
+      a1 AS (SELECT vec_id, $argmax AS cluster
+             FROM (SELECT p.vec_id,
+                     ${(0 until 4).map(j =>
+                       s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
+                       .mkString(", ")}
+                   FROM (SELECT q.vec_id, c.cluster,
+                           ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
+                         FROM q CROSS JOIN c0 c) p
+                   GROUP BY p.vec_id)),
+      sums AS (SELECT a1.cluster, gi.i,
+                 CAST(sum(CAST(q.qe[gi.i] AS BIGINT)) AS DOUBLE) AS s
+               FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, 65) gi(i)
+               GROUP BY a1.cluster, gi.i),
+      c1 AS (SELECT cluster, list(s ORDER BY i) AS c FROM sums GROUP BY cluster),
+      a2 AS (SELECT vec_id, $argmax AS cluster
+             FROM (SELECT p.vec_id,
+                     ${(0 until 4).map(j =>
+                       s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
+                       .mkString(", ")}
+                   FROM (SELECT q.vec_id, c.cluster,
+                           ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
+                         FROM q CROSS JOIN c1 c) p
+                   GROUP BY p.vec_id))
+      SELECT vec_id, cluster FROM a2"""
+  }
+
+  /** DuckDB twin of the n33 score — the same left fold over terms, each
+    * term the same rational-idf × saturation form, so every double op
+    * happens in the same order as the Spark column expression. */
+  private def bm25ScoreSql: String =
+    Bm25Terms.foldLeft("0.0") { (acc, t) =>
+      val tf = s"CAST(len(toks) - len(list_filter(toks, x -> x <> '$t')) AS DOUBLE)"
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))"
+      val denom = s"($tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      s"($acc + (($idf * ($tf * ${Bm25K1 + 1.0})) / $denom))"
+    }
 
   /** Mechanical SQL expansion of one rule's predicate — same parse
     * semantics as the Catalyst expressions (Rules.parsedInRules /
@@ -1179,6 +1245,151 @@ object SparkEntry {
                       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
                       ELSE CAST([] AS VARCHAR[]) END AS grams
                   FROM (SELECT doc_id, $toksSql AS toks FROM documents)))"""))),
+
+    // BM25 top-k retrieval over the corpus for a fixed query-term set —
+    // the classic lexical retrieval scorer a training-data pipeline uses
+    // for quality-by-query filtering and eval-set mining. Zero explode,
+    // zero per-term join: tf(t) = len(toks) - len(array_remove(toks, t))
+    // is pure codegen'd array arithmetic per row, and the corpus stats
+    // (N, avgdl, df per term) are ONE scalar aggregate broadcast to
+    // every row — at 100 TB that is a map-side-combined 1-row shuffle
+    // plus a broadcast, then a single codegen'd scan + TakeOrdered.
+    // Rational idf (N - df + .5)/(df + .5) instead of the usual log():
+    // same ranking (log is monotone), but ln() is a libm call whose last
+    // ulp differs across engines while +,*,/ are IEEE-identical — the
+    // whole score is bit-exact on both sides.
+    "n33_bm25" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl").cast("long")).as("sum_dl") +: Bm25Terms.map(t =>
+          count(when(array_contains(col("toks"), t), lit(1))).as(s"df_$t"))): _*)
+      val scored = docs.crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      val score = Bm25Terms.foldLeft(lit(0.0)) { (acc, t) =>
+        val tf = (size(col("toks")) - size(array_remove(col("toks"), t)))
+          .cast("double")
+        val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double")
+          + 0.5) / (col(s"df_$t").cast("double") + 0.5)
+        val denom = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))
+        acc + (idf * (tf * lit(Bm25K1 + 1.0))) / denom
+      }
+      scored.select(col("doc_id"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id, toks, len(toks) AS dl
+                    FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+                  ${Bm25Terms.map(t =>
+                    s"count(CASE WHEN list_contains(toks, '$t') THEN 1 END) AS df_$t")
+                    .mkString(", ")}
+                FROM docs)
+      SELECT doc_id, ${bm25ScoreSql} AS score
+      FROM docs CROSS JOIN stats
+      ORDER BY score DESC, doc_id LIMIT 10"""))),
+
+    // Stratified sampling: per-language deterministic hash sampling at
+    // per-stratum rates (down-sample the dominant language, keep the
+    // rest) — the domain/language rebalancing step of corpus curation.
+    // The sample membership is a pure function of doc_id (md5 bucket),
+    // so it is reproducible run-to-run, cluster-to-cluster, and
+    // incremental (new docs don't reshuffle old members) — the property
+    // that matters when re-materializing a 100 TB mixture. Map-only
+    // until the final per-lang count.
+    "n35_stratified_sample" -> (((s: SparkSession, d: String) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100)
+      val rate = when(col("lang") === "en", 10).otherwise(50)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          Text.tokenCountWs(col("text")).cast("long").as("tok"),
+          when(bucket < rate, 1).otherwise(0).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).as("n_sampled"),
+          sum(when(col("keep") === 1, col("tok"))).as("sampled_tokens"))
+    }, Some(s"""
+      SELECT lang, count(*) AS n_total,
+        CAST(sum(keep) AS BIGINT) AS n_sampled,
+        CAST(sum(CASE WHEN keep = 1 THEN tok END) AS BIGINT) AS sampled_tokens
+      FROM (SELECT lang, len($toksSql) AS tok,
+              CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+                        < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+                   THEN 1 ELSE 0 END AS keep
+            FROM documents)
+      GROUP BY lang"""))),
+
+    // Text normalization / boilerplate stripping: drop function-word
+    // tokens (the fixture's boilerplate class), re-join, and emit a
+    // content signature over the cleaned text — the cleanup pass that
+    // runs before dedup so signatures reflect content, not connectives.
+    // array_remove chain instead of a filter() HOF: HOFs are
+    // CodegenFallback (interpreted per element); the chain stays inside
+    // whole-stage codegen. Map-only — no shuffle at any scale.
+    "n36_text_normalize" -> (((s: SparkSession, d: String) => {
+      val cleaned = Text.Stopwords.foldLeft(Text.tokens(col("text")))(
+        (acc, sw) => array_remove(acc, sw))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          cleaned.as("ctoks"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("ctoks")).as("n_clean"),
+          (col("n_tokens") - size(col("ctoks"))).as("n_removed"),
+          md5(concat_ws(" ", col("ctoks"))).as("clean_sig"))
+    }, Some(s"""
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        CAST(len(ctoks) AS INT) AS n_clean,
+        CAST(len(toks) - len(ctoks) AS INT) AS n_removed,
+        md5(array_to_string(ctoks, ' ')) AS clean_sig
+      FROM (SELECT doc_id, toks,
+              list_filter(toks, t -> t NOT IN $stopListSql) AS ctoks
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""))),
+
+    // Unigram language-model scoring (the CCNet/perplexity-filter shape
+    // with a unigram model): corpus token frequencies -> per-token
+    // parts-per-billion probability (integer-quantized so both engines
+    // are exact) -> per-doc mean token log-prob proxy. The vocab
+    // aggregate is one shuffle on token; the scoring join broadcasts the
+    // vocab (a natural-language vocab is ~1e5-1e8 rows — when it
+    // outgrows broadcast, the same plan shuffle-joins on token and AQE
+    // picks that automatically since no hint forces broadcast here).
+    "n37_unigram_score" -> (((s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+      val total = vocab.agg(sum(col("n_t")).as("total"))
+      val freq = vocab.crossJoin(broadcast(total))
+        .select(col("token"),
+          expr("n_t * 1000000000L div total").as("freq_ppb"))
+      toks.join(freq, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("freq_ppb")).as("freq_sum"))
+        .select(col("doc_id"), col("n_tok"), col("freq_sum"),
+          expr("freq_sum div n_tok").as("mean_freq_ppb"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+      vocab AS (SELECT token, count(*) AS n_t FROM toks GROUP BY token),
+      freq AS (SELECT token, n_t * 1000000000 // (SELECT sum(n_t) FROM vocab) AS freq_ppb
+               FROM vocab)
+      SELECT doc_id, count(*) AS n_tok,
+        CAST(sum(freq_ppb) AS BIGINT) AS freq_sum,
+        CAST(sum(freq_ppb) // count(*) AS BIGINT) AS mean_freq_ppb
+      FROM toks JOIN freq USING (token)
+      GROUP BY doc_id"""))),
+
+    // K-means corpus clustering (2 Lloyd iterations, k=4, deterministic
+    // init from the first k vectors): broadcast-centroid assignment is a
+    // zero-shuffle codegen'd scan; the update is one k-row aggregate.
+    // See Clustering's scaladoc for the integer-quantization contract
+    // that makes the whole iteration bit-exact across engines.
+    "n34_kmeans" -> (((s: SparkSession, d: String) => {
+      Clustering.kmeans(Tables.embeddings(s, d), k = 4, iters = 2)
+    }, Some(kmeansOracleSql))),
 
     // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
     // distinct shingles with any "benchmark" doc (id <= 20, a

@@ -124,6 +124,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p) // whole-stage codegen'd, single stage
   }
 
+  test("k-means assignment is shuffle-free: the only hash shuffle is the k-row centroid update") {
+    // centroids ride in on a 1-row broadcast (BNLJ cross with a 1-row
+    // build side is the broadcast, not a data explosion); the native
+    // dotproduct kernel does the per-row scoring inside codegen
+    val p = plan("n34_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("dotproduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("rollup is a single Expand + partial/final aggregate — one shuffle") {
     // a07's bench outlier was environment variance, not the plan; pin the
     // plan shape so a real regression (extra Exchange, lost partial agg)
