@@ -138,50 +138,53 @@ object SparkEntry {
   private val Bm25K1 = 1.25
   private val Bm25B = 0.75
 
-  /** DuckDB twin of the n34 k-means run. Long-format centroid sums
-    * (exact BIGINT), unrolled 64-term dot-product folds in the same
-    * ascending order as the native kernel, the same argmax when-chain
-    * (first j whose cosine >= every later one = lowest-index argmax). */
-  private def kmeansOracleSql: String = {
-    val qeList = "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DOUBLE) " +
-      "for i in range(1, 65)]"
-    def dotQC = foldSql((1 to 64).map(i => s"(q.qe[$i] * c.c[$i])"))
-    def dotCC = foldSql((1 to 64).map(i => s"(c.c[$i] * c.c[$i])"))
+  /** DuckDB twin of the n34/s14 k-means plans. Long-format centroid
+    * sums (exact BIGINT), unrolled 64-term dot-product folds in the
+    * same ascending order as the native kernel, the same argmax
+    * when-chain (first j whose cosine >= every later one =
+    * lowest-index argmax). [[kmeansA1Sql]] is the shared WITH prefix up
+    * to the first assignment (also the s14 streaming-twin oracle);
+    * [[kmeansOracleSql]] extends it with the centroid update + second
+    * assignment. */
+  private def kmeansAssignSql(cents: String): String = {
+    val dotQC = foldSql((1 to 64).map(i => s"(q.qe[$i] * c.c[$i])"))
+    val dotCC = foldSql((1 to 64).map(i => s"(c.c[$i] * c.c[$i])"))
     val argmax = "CASE " + (0 until 3).map { j =>
       val ge = (j + 1 until 4).map(m => s"cos$j >= cos$m").mkString(" AND ")
       s"WHEN $ge THEN $j"
     }.mkString(" ") + " ELSE 3 END"
+    s"""SELECT vec_id, $argmax AS cluster
+        FROM (SELECT p.vec_id,
+                ${(0 until 4).map(j =>
+                  s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
+                  .mkString(", ")}
+              FROM (SELECT q.vec_id, c.cluster,
+                      ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
+                    FROM q CROSS JOIN $cents c) p
+              GROUP BY p.vec_id)"""
+  }
+
+  private def kmeansA1Sql: String = {
+    val qeList = "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DOUBLE) " +
+      "for i in range(1, 65)]"
     s"""
       WITH q0 AS (SELECT vec_id, $qeList AS qe FROM embeddings),
       q AS (SELECT vec_id, qe,
               sqrt(${foldSql((1 to 64).map(i => s"(qe[$i] * qe[$i])"))}) AS qn
             FROM q0),
       c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS c FROM q WHERE vec_id < 4),
-      a1 AS (SELECT vec_id, $argmax AS cluster
-             FROM (SELECT p.vec_id,
-                     ${(0 until 4).map(j =>
-                       s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
-                       .mkString(", ")}
-                   FROM (SELECT q.vec_id, c.cluster,
-                           ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
-                         FROM q CROSS JOIN c0 c) p
-                   GROUP BY p.vec_id)),
+      a1 AS (${kmeansAssignSql("c0")})"""
+  }
+
+  private def kmeansOracleSql: String = s"""
+      $kmeansA1Sql,
       sums AS (SELECT a1.cluster, gi.i,
                  CAST(sum(CAST(q.qe[gi.i] AS BIGINT)) AS DOUBLE) AS s
                FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, 65) gi(i)
                GROUP BY a1.cluster, gi.i),
       c1 AS (SELECT cluster, list(s ORDER BY i) AS c FROM sums GROUP BY cluster),
-      a2 AS (SELECT vec_id, $argmax AS cluster
-             FROM (SELECT p.vec_id,
-                     ${(0 until 4).map(j =>
-                       s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
-                       .mkString(", ")}
-                   FROM (SELECT q.vec_id, c.cluster,
-                           ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
-                         FROM q CROSS JOIN c1 c) p
-                   GROUP BY p.vec_id))
+      a2 AS (${kmeansAssignSql("c1")})
       SELECT vec_id, cluster FROM a2"""
-  }
 
   /** DuckDB twin of the n33 score — the same left fold over terms, each
     * term the same rational-idf × saturation form, so every double op
@@ -2010,6 +2013,16 @@ object SparkEntry {
     }, Some(s"""
       SELECT vec_id, $annCosSql AS cos FROM embeddings
       WHERE $annCosSql > 0.2"""))),
+
+    // n34's streaming twin: each arriving vector is classified against
+    // a FIXED centroid table (model-serving shape: the "trained"
+    // centroids are a static broadcast, the stream never shuffles), with
+    // per-cluster running counts as the observable.
+    "s14_stream_kmeans" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamKmeansAssign(s, d)
+    }, Some(s"""
+      $kmeansA1Sql
+      SELECT cluster, count(*) AS n_vecs FROM a1 GROUP BY cluster"""))),
 
     // n01's streaming twin: exact content dedup with digest-keyed
     // state across micro-batches, counts per lang after the drain.

@@ -191,6 +191,25 @@ object StreamQueries {
     runToTable(spark, scored, "append")
   }
 
+  /** K-means assignment as a STREAM (n34's streaming twin — the
+    * model-serving shape): arriving vectors are classified against a
+    * FIXED centroid table built once from the static side (the first k
+    * vectors, n34's deterministic init). The centroids ride in on a
+    * 1-row broadcast, so the per-batch plan is the same zero-shuffle
+    * codegen'd scan as the batch assignment; only the per-cluster
+    * running count keeps state. */
+  def streamKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val init = Clustering.prepare(graft.sources.Tables.embeddings(spark, dir))
+      .where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+    val assigned = Clustering.assign(
+      Clustering.prepare(embeddingsStream(spark, dir)), init, k = 4)
+    runToTable(spark,
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs")),
+      "complete")
+  }
+
   /** Exact content dedup as a STREAM (n01's streaming twin): state
     * keyed on (lang, digest) drops re-arrivals across micro-batches —
     * the continuous-ingest form of corpus dedup, where the state store

