@@ -1258,9 +1258,11 @@ object SparkEntry {
     // every row — at 100 TB that is a map-side-combined 1-row shuffle
     // plus a broadcast, then a single codegen'd scan + TakeOrdered.
     // Rational idf (N - df + .5)/(df + .5) instead of the usual log():
-    // same ranking (log is monotone), but ln() is a libm call whose last
-    // ulp differs across engines while +,*,/ are IEEE-identical — the
-    // whole score is bit-exact on both sides.
+    // a deliberate BM25 VARIANT, not an equivalent reformulation — the
+    // per-term transform is monotone but a sum over terms can still
+    // reorder docs vs log-idf. Chosen because ln() is a libm call whose
+    // last ulp differs across engines while +,*,/ are IEEE-identical,
+    // so this scorer is bit-exact on both sides.
     "n33_bm25" -> (((s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))

@@ -83,12 +83,20 @@ object Clustering {
       .select(col("cluster"),
         array((1 to Dims).map(i => col(s"s$i").cast("double")): _*).as("c"))
 
+  /** Deterministic init: the first k vectors by vec_id become the k
+    * centroids. THE single definition of the seed rule — the batch run,
+    * the s14 streaming twin, and the spec all build init through here,
+    * so changing the seed (e.g. to k-means||) changes all three and
+    * their oracles together. */
+  def initCentroids(prepared: DataFrame, k: Int): DataFrame =
+    prepared.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+
   /** Full run: init from the first k vectors, `iters` assignment passes
     * with a centroid update between each. Returns (vec_id, cluster). */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val prepared = prepare(embeddings)
-    val init = prepared.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+    val init = initCentroids(prepared, k)
     val finalAssign = (1 until iters).foldLeft(assign(prepared, init, k)) {
       (a, _) => assign(prepared, recompute(a), k)
     }

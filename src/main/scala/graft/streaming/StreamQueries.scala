@@ -200,9 +200,8 @@ object StreamQueries {
     * running count keeps state. */
   def streamKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
-    val init = Clustering.prepare(graft.sources.Tables.embeddings(spark, dir))
-      .where(col("vec_id") < 4)
-      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+    val init = Clustering.initCentroids(
+      Clustering.prepare(graft.sources.Tables.embeddings(spark, dir)), 4)
     val assigned = Clustering.assign(
       Clustering.prepare(embeddingsStream(spark, dir)), init, k = 4)
     runToTable(spark,

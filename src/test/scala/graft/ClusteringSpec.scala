@@ -18,8 +18,7 @@ class ClusteringSpec extends AnyFunSuite {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
     val prepared = Clustering.prepare(emb)
-    val init = prepared.where(col("vec_id") < 4)
-      .select(col("vec_id").cast("int").as("cluster"), col("qe").as("c"))
+    val init = Clustering.initCentroids(prepared, 4)
     val assigned = Clustering.assign(prepared, init, 4)
       .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
 
@@ -50,14 +49,38 @@ class ClusteringSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
-  test("k-means converges on the fixture: iteration 2 reassigns fewer vectors than iteration 1 moves") {
+  test("Lloyd invariant: re-assignment never lowers total cosine under the updated centroids") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
+    val prepared = Clustering.prepare(emb)
     val a1 = Clustering.kmeans(emb, 4, iters = 1).as[(Long, Int)].collect().toMap
     val a2 = Clustering.kmeans(emb, 4, iters = 2).as[(Long, Int)].collect().toMap
     assert(a1.keySet == a2.keySet)
     // every cluster stays populated through the update (guards the
     // null-centroid fallthrough path from silently absorbing everything)
     assert((0 until 4).forall(j => a2.values.exists(_ == j)))
+
+    // recompute c1 driver-side from a1, then check the assignment step
+    // really optimizes: for the FIXED centroids c1, the iteration-2
+    // assignment's total cosine >= iteration-1's (per-vector argmax can
+    // only improve) — a broken update/assignment loop fails this
+    val vecs = prepared.select(col("vec_id"), col("qe")).as[(Long, Seq[Double])]
+      .collect().toMap
+    // m.keys is a Set — go through .toSeq BEFORE mapping to vectors, or
+    // the fixture's deliberate duplicate embeddings collapse and the
+    // reconstructed sums silently drop rows
+    val c1: Map[Int, Seq[Double]] = a1.groupBy(_._2).map { case (cl, m) =>
+      cl -> m.keys.toSeq.map(id => vecs(id).toSeq).transpose
+        .map(_.map(_.toLong).sum.toDouble)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def objective(assign: Map[Long, Int]): Double =
+      assign.iterator.map { case (id, cl) => cos(vecs(id), c1(cl)) }.sum
+    assert(objective(a2) >= objective(a1) - 1e-9,
+      s"iteration 2 lowered the objective: ${objective(a2)} < ${objective(a1)}")
   }
 }
