@@ -138,6 +138,16 @@ object SparkEntry {
   private val Bm25K1 = 1.25
   private val Bm25B = 0.75
 
+  /** n38 per-stratum token budgets: en is down-sampled at every SF
+    * (actual en tokens exceed 10k from sf0.01 up), the rest keep
+    * rate 1 — both branches of the min(1, budget/actual) cap stay
+    * exercised. */
+  private val MixBudgetEn = 10000L
+  private val MixBudgetOther = 100000L
+
+  /** n39 source-node id offset (doc_ids stay far below this). */
+  private val SrcNodeBase = 2000000000L
+
   /** DuckDB twin of the n34/s14 k-means plans. Long-format centroid
     * sums (exact BIGINT), unrolled 64-term dot-product folds in the
     * same ascending order as the native kernel, the same argmax
@@ -1395,6 +1405,117 @@ object SparkEntry {
     "n34_kmeans" -> (((s: SparkSession, d: String) => {
       Clustering.kmeans(Tables.embeddings(s, d), k = 4, iters = 2)
     }, Some(kmeansOracleSql))),
+
+    // Domain-mixture reweighting: down-sample each language to a target
+    // token budget (the "mixture weights" step that balances a corpus
+    // before training). Pass 1 aggregates actual token counts per
+    // stratum (map-side-combined, tiny); the per-stratum keep-rate
+    // min(1, budget/actual) is integer-quantized to ppm and applied as
+    // a deterministic md5-bucket threshold, so membership is
+    // reproducible and incremental like n35. Two small shuffles total
+    // at any scale; the rates ride back on a broadcast.
+    "n38_mixture_weight" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          Text.tokenCountWs(col("text")).cast("long").as("tok"))
+      val rates = docs.groupBy(col("lang"))
+        .agg(sum(col("tok")).as("actual"))
+        .select(col("lang"),
+          least(lit(1000000L), expr(
+            s"(CASE WHEN lang = 'en' THEN ${MixBudgetEn}L ELSE ${MixBudgetOther}L END)" +
+              " * 1000000L div actual")).as("rate_ppm"))
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L)
+      docs.join(broadcast(rates), "lang")
+        .select(col("lang"), col("tok"), col("rate_ppm"),
+          when(bucket < col("rate_ppm"), 1).otherwise(0).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+          sum(when(col("keep") === 1, col("tok"))).as("kept_tokens"),
+          first(col("rate_ppm")).as("rate_ppm"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, doc_id, len($toksSql) AS tok FROM documents),
+      rates AS (SELECT lang,
+                  least(1000000::BIGINT,
+                        (CASE WHEN lang = 'en' THEN ${MixBudgetEn}::BIGINT
+                              ELSE ${MixBudgetOther}::BIGINT END) * 1000000
+                        // CAST(sum(tok) AS BIGINT)) AS rate_ppm
+                FROM docs GROUP BY lang)
+      SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep = 1 THEN tok END) AS BIGINT) AS kept_tokens,
+        CAST(min(rate_ppm) AS BIGINT) AS rate_ppm
+      FROM (SELECT d.lang, d.tok, r.rate_ppm,
+              CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 < r.rate_ppm THEN 1 ELSE 0 END AS keep
+            FROM docs d JOIN rates r USING (lang))
+      GROUP BY lang"""))),
+
+    // PageRank over the bipartite doc <-> source containment graph (the
+    // host-graph quality-propagation shape of web-corpus curation:
+    // CommonCrawl-style pipelines rank hosts by link mass and propagate
+    // that to documents). Damping d=3/4 (binary-exact) and ranks held
+    // in integer ppb with floor divisions, so 3 unrolled power
+    // iterations are exact on both engines. Each iteration is one
+    // equi-join (rank x edges) + one aggregate — the canonical
+    // distributed PageRank plan, linear in edges at any scale; the
+    // node-count scalar rides on a broadcast. Dangling mass is dropped
+    // (non-stochastic simple variant), documented and mirrored exactly.
+    "n39_pagerank" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (lit(SrcNodeBase) + substring(col("source"), 4, 10).cast("long"))
+            .as("src_node"))
+      // materialize the graph ONCE: every unrolled iteration (and deg/
+      // nodes) reuses these partitions instead of re-deriving the edge
+      // list from the corpus scan 3x — same localCheckpoint pattern as
+      // n25's propagation loop
+      val edges = docs.select(col("doc_id").as("src"), col("src_node").as("dst"))
+        .unionAll(docs.select(col("src_node").as("src"), col("doc_id").as("dst")))
+        .localCheckpoint(true)
+      // alias the grouping keys: groupBy passes the child's expression id
+      // through, and joining a frame back against its own lineage on the
+      // same id is the classic silent self-join ambiguity
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("deg_node"), col("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      val r0 = nodes.crossJoin(broadcast(n))
+        .select(col("node"), expr("1000000000L div n_nodes").as("rank_ppb"),
+          expr("(1000000000L div n_nodes) div 4").as("base_ppb"))
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        val contrib = r.join(edges, col("node") === col("src"))
+          .join(deg, col("src") === col("deg_node"))
+          .select(col("dst").as("mass_node"), expr("rank_ppb div deg").as("contrib"))
+          .groupBy(col("mass_node")).agg(sum(col("contrib")).as("mass"))
+        r.select(col("node"), col("base_ppb"))
+          .join(contrib, col("node") === col("mass_node"), "left")
+          .select(col("node"), col("base_ppb"),
+            (col("base_ppb") +
+              expr("3 * coalesce(mass, 0L) div 4")).as("rank_ppb"))
+          .select(col("node"), col("rank_ppb"), col("base_ppb"))
+      }
+      r3.select(col("node"), col("rank_ppb"))
+    }, Some(s"""
+      WITH docs AS (SELECT doc_id,
+                      $SrcNodeBase + CAST(substr(source, 4) AS BIGINT) AS src_node
+                    FROM documents),
+      edges AS (SELECT doc_id AS src, src_node AS dst FROM docs
+                UNION ALL SELECT src_node AS src, doc_id AS dst FROM docs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      consts AS (SELECT 1000000000 // count(*) AS r_init,
+                   (1000000000 // count(*)) // 4 AS base FROM nodes),
+      r0 AS (SELECT node, r_init AS rank_ppb FROM nodes CROSS JOIN consts),
+      ${(1 to 3).map(i => s"""
+      r$i AS (SELECT n.node,
+                CAST(c.base + 3 * coalesce(m.mass, 0) // 4 AS BIGINT) AS rank_ppb
+              FROM nodes n CROSS JOIN consts c
+              LEFT JOIN (SELECT e.dst, sum(r.rank_ppb // d.deg) AS mass
+                         FROM r${i - 1} r
+                         JOIN edges e ON r.node = e.src
+                         JOIN deg d ON e.src = d.src
+                         GROUP BY e.dst) m ON n.node = m.dst)""").mkString(",")}
+      SELECT node, rank_ppb FROM r3"""))),
 
     // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
     // distinct shingles with any "benchmark" doc (id <= 20, a

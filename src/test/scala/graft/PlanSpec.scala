@@ -134,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("pagerank iterations join on node keys — no cartesian, no NLJ blowup") {
+    // the rank x edges and edges x deg joins must stay equi-joins; the
+    // only BNLJ allowed is the 1-row node-count broadcast
+    val p = plan("n39_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("rollup is a single Expand + partial/final aggregate — one shuffle") {
     // a07's bench outlier was environment variance, not the plan; pin the
     // plan shape so a real regression (extra Exchange, lost partial agg)
