@@ -39,25 +39,67 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (n, _) => f(n) })
+    // Cumulative JVM GC time — the per-query delta goes into the detail
+    // JSON so a full-run outlier (r3: a07 +3.7 s; r4: a23 +37.3 s, both
+    // ~1 s in isolation) shows WHERE the time went instead of reading as
+    // a plan regression.
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toVector
+    }
+    def gcMs(): Long = gcBeans.map(b => math.max(b.getCollectionTime, 0L)).sum
+    // Block-manager bytes held by persisted RDDs (localCheckpoints from
+    // n25/n39/s10/Clustering are the known allocators).
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    // Between timed runs, return the JVM to a clean slate: cached
+    // relations, lingering localCheckpoint RDD blocks (they live until
+    // RDD GC otherwise — accumulated across 196 runs they force
+    // eviction/GC storms on whoever runs next), and sink temp dirs.
+    // Runs OUTSIDE the timed window: it is harness hygiene, not query
+    // cost — a cluster job's blocks die with its job, they don't haunt
+    // the next 97 jobs in the same JVM.
+    def cleanup(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        TempDirs.purge()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cleanup failed: ${e.getMessage}")
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val blkByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = selected.map { case (name, fn) =>
       // a failed attempt must never become the reported min — record
       // successes only; a query with zero successes reports -1 and is
       // listed in "failed" (silent shrinking totals would misread as a
       // speedup)
+      var gcTotal = 0L
+      var blkPeak = 0L
       val times = (1 to iters).flatMap { _ =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         // noop sink, not count(): count lets Catalyst prune every
         // unreferenced projection (a map-only query would be timed as
         // a row count); noop materializes the full output row
-        try {
+        val r = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          gcTotal += gcMs() - g0
+          blkPeak = math.max(blkPeak, storageBytes())
+          Some(dt)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
+        cleanup()
+        r
       }
+      gcByQuery(name) = gcTotal
+      blkByQuery(name) = blkPeak
       if (times.isEmpty) { failed += name; name -> -1.0 }
       else name -> times.min
     }
@@ -73,8 +115,13 @@ object Bench {
     // escape ONLY at JSON interpolation — the raw path opens the file;
     // escaping the variable itself would write to a mangled filename
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val gcJson = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val blkJson = blkByQuery.map { case (k, v) =>
+      "\"" + k + "\":" + (math.rint(v / 1048576.0 * 10) / 10) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()

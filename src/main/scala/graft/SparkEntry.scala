@@ -166,7 +166,10 @@ object SparkEntry {
     s"""SELECT vec_id, $argmax AS cluster
         FROM (SELECT p.vec_id,
                 ${(0 until 4).map(j =>
-                  s"max(CASE WHEN p.cluster = $j THEN p.cos END) AS cos$j")
+                  // empty cluster -> NULL pivot; coalesce to -inf exactly
+                  // as Clustering.assign does, so both engines degrade to
+                  // lowest-index argmax over populated clusters
+                  s"coalesce(max(CASE WHEN p.cluster = $j THEN p.cos END), CAST('-infinity' AS DOUBLE)) AS cos$j")
                   .mkString(", ")}
               FROM (SELECT q.vec_id, c.cluster,
                       ($dotQC) / (q.qn * sqrt($dotCC)) AS cos
@@ -1380,7 +1383,13 @@ object SparkEntry {
       val total = vocab.agg(sum(col("n_t")).as("total"))
       val freq = vocab.crossJoin(broadcast(total))
         .select(col("token"),
-          expr("n_t * 1000000000L div total").as("freq_ppb"))
+          // widen through DECIMAL before the *1e9: a long product wraps
+          // for any token above ~9.2e9 occurrences (real at corpus
+          // scale) while the DuckDB oracle computes in HUGEINT; the
+          // integral div lands back in [0, 1e9] so the result is a
+          // plain BIGINT again
+          expr("CAST(n_t AS DECIMAL(20,0)) * 1000000000 div total")
+            .as("freq_ppb"))
       toks.join(freq, "token")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("freq_ppb")).as("freq_sum"))
@@ -1463,7 +1472,10 @@ object SparkEntry {
     "n39_pagerank" -> (((s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-          (lit(SrcNodeBase) + substring(col("source"), 4, 10).cast("long"))
+          // UNBOUNDED substring, matching the oracle's substr(source, 4)
+          // — a 3-arg length cap would silently truncate source ids
+          // beyond that many digits on this side only
+          (lit(SrcNodeBase) + expr("substring(source, 4)").cast("long"))
             .as("src_node"))
       // materialize the graph ONCE: every unrolled iteration (and deg/
       // nodes) reuses these partitions instead of re-deriving the edge

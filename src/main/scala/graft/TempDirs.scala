@@ -25,6 +25,18 @@ object TempDirs {
     d.toString
   }
 
+  /** Drain and delete NOW instead of waiting for the shutdown hook —
+    * the bench calls this between queries so a 98-query × 2-iteration
+    * run doesn't accumulate ~200 sink-output copies under /tmp (disk
+    * pressure plus page-cache churn that showed up as multi-second
+    * phantom regressions in full-run benches). Only safe once the
+    * DataFrames that lazily read these dirs have been materialized,
+    * which is true between bench queries. */
+  def purge(): Unit = {
+    var p = registered.poll()
+    while (p != null) { deleteRecursively(p); p = registered.poll() }
+  }
+
   /** Best-effort recursive delete (shared with withTempCheckpoint — a
     * cleanup IOException must never mask the result being returned). */
   private[graft] def deleteRecursively(dir: Path): Unit =

@@ -58,12 +58,20 @@ object Clustering {
   /** Assignment pass: argmax_j cosine(qe, c_j), ties to the lowest j.
     * The when-chain picks the first j whose cosine is >= every LATER
     * one — equivalent to lowest-index argmax (mirrored in the oracle
-    * SQL). Zero shuffle: centroids ride in on a 1-row broadcast. */
+    * SQL). Zero shuffle: centroids ride in on a 1-row broadcast.
+    *
+    * An EMPTY cluster pivots to a NULL centroid, whose cosine would be
+    * NULL; a NULL condition in the when-chain falls through to a LATER
+    * index, not the best non-null cluster — so each cosine is coalesced
+    * to -Infinity (identically in the oracle SQL), degrading the chain
+    * to lowest-index argmax over the populated clusters. */
   def assign(prepared: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     val withCos = prepared.crossJoin(broadcast(pivotCentroids(cents, k)))
       .select(col("vec_id") +: col("qe") +: (0 until k).map(j =>
-        (Vec.dot(col("qe"), col(s"c$j")) /
-          (col("qn") * sqrt(Vec.dot(col(s"c$j"), col(s"c$j")))))
+        coalesce(
+          Vec.dot(col("qe"), col(s"c$j")) /
+            (col("qn") * sqrt(Vec.dot(col(s"c$j"), col(s"c$j")))),
+          lit(Double.NegativeInfinity))
           .as(s"cos$j")): _*)
     val chain = (0 until k - 1).reverse.foldLeft(lit(k - 1): Column) { (els, j) =>
       val geAllLater = (j + 1 until k).map(m => col(s"cos$j") >= col(s"cos$m"))

@@ -152,4 +152,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
+
+  test("bm25 never shuffles row data: 1-row stats broadcast, zero explode, top-k is TakeOrdered") {
+    // tf comes from len - len(array_remove) arithmetic, NOT an explode
+    // (a Generate here would multiply the 100 TB scan by tokens/doc);
+    // corpus stats ride in as a 1-row IdentityBroadcast, and the only
+    // Exchange is the SinglePartition one that builds that 1-row side
+    val p = plan("n33_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("unigram scoring's vocab join is a broadcast hash join, never cartesian") {
+    // no hint forces the broadcast: when the vocab outgrows the
+    // threshold on a real corpus, AQE swaps in a token-keyed shuffle
+    // join with this same logical plan — the contract here is only that
+    // the fixture-scale physical plan is the broadcast form and that no
+    // join ever degenerates to a cartesian product
+    val p = plan("n37_unigram_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mixture reweighting is exactly two data shuffles at any scale") {
+    // one Exchange aggregates per-stratum token counts, one feeds the
+    // final per-stratum report; the ppm keep-rates ride back on a
+    // broadcast — row data is never repartitioned a third time
+    val p = plan("n38_mixture_weight")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
