@@ -112,9 +112,62 @@ object SparkEntry {
       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
       ELSE CAST([] AS VARCHAR[]) END)"""
 
+  // ------------------------------------------------------------------
+  // Bounded-oracle input sampling for the O(n²) PAIR queries
+  // (n02/n03/n13/n16/n23/n24/n25/n26). Their DuckDB twins are brute-
+  // force all-pairs / recursive-CTE closures — quadratic in the input,
+  // infeasible at sf0.1 (5k docs → 25M list_intersect pairs), which
+  // previously forced a rows-only downgrade there (VERIFY_SKIP_ORACLE).
+  // GRAFT_PAIR_SAMPLE=<keep> (1..100) restricts the pair queries' INPUT
+  // table to rows whose deterministic md5 bucket (the n27 split idiom,
+  // proven bit-exact across both engines) falls below <keep> of 100 —
+  // applied IDENTICALLY in the Spark query and the generated oracle
+  // SQL, so both engines see the same sub-corpus and the full
+  // schema/row/hash compare still runs, on a near-linear oracle.
+  // Unset (the driver's sf0.01 gate, every spec, the bench): full
+  // input; the emitted oracle SQL is byte-identical to the unsampled
+  // form. The sample bounds the ORACLE, never the operator: the Spark
+  // plans are the same bucketed-join shapes at every setting.
+  // Read once at object init (registry is a lazy val): the setting is
+  // frozen per JVM, so queries and their emitted oracles can never
+  // disagree mid-run. NOTE: a reused sbt daemon (`sbt -client`) keeps
+  // its launch-time environment — run env-gated verifies with a fresh
+  // `sbt` (scripts/verify_all.sh does).
+  private val pairSampleKeep: Option[Int] =
+    sys.env.get("GRAFT_PAIR_SAMPLE").orElse(sys.props.get("GRAFT_PAIR_SAMPLE"))
+      .map { v =>
+        val k = v.toInt
+        require(k >= 1 && k <= 100, s"GRAFT_PAIR_SAMPLE must be 1..100, got $v")
+        k
+      }
+
+  /** md5-bucket-of-100 over a (string-cast) id — Spark twin of the
+    * DuckDB predicate in [[sampledSqlFrom]]; same arithmetic as n27. */
+  private[graft] def md5Bucket100(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100
+
+  private def sampled(df: DataFrame, idCol: String): DataFrame =
+    pairSampleKeep.fold(df)(k => df.where(md5Bucket100(col(idCol)) < k))
+
+  /** Pair-query input tables (full unless GRAFT_PAIR_SAMPLE is set). */
+  private def pairDocs(s: SparkSession, d: String): DataFrame =
+    sampled(Tables.documents(s, d), "doc_id")
+  private def pairEmb(s: SparkSession, d: String): DataFrame =
+    sampled(Tables.embeddings(s, d), "vec_id")
+
+  private def sampledSqlFrom(table: String, idCol: String): String =
+    pairSampleKeep.fold(table) { k =>
+      s"(SELECT * FROM $table WHERE (('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 100) < $k) AS $table"
+    }
+  /** Oracle-side FROM targets for the pair queries. */
+  private def docsT: String = sampledSqlFrom("documents", "doc_id")
+  private def embT: String = sampledSqlFrom("embeddings", "vec_id")
+
   /** DuckDB twin of the SimHash64 expression: per hex position j, output
-    * bit k is the majority over tokens of bit k of md5-hex nibble j. */
-  private def simhashSql: String = {
+    * bit k is the majority over tokens of bit k of md5-hex nibble j.
+    * `from`: the documents table expression ("documents", or the sampled
+    * form for the n26 pair oracle). */
+  private def simhashSqlOver(from: String): String = {
     val charExprs = (0 until 16).map { j =>
       val bits = (0 until 4).map { k =>
         val div = 1 << k
@@ -124,8 +177,9 @@ object SparkEntry {
     }.mkString("\n || ")
     s"""SELECT doc_id, $charExprs AS simhash
         FROM (SELECT doc_id, len(toks) AS n, list_transform(toks, t -> md5(t)) AS hs
-              FROM (SELECT doc_id, $toksSql AS toks FROM documents))"""
+              FROM (SELECT doc_id, $toksSql AS toks FROM $from))"""
   }
+  private def simhashSql: String = simhashSqlOver("documents")
   private val stopListSql = Text.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   /** BM25 fixture query (n33): one rare-ish, one mid, one stopword-class
@@ -1131,11 +1185,11 @@ object SparkEntry {
     // oracle is the brute-force all-pairs answer; both compute
     // |A∩B| / (|A|+|B|−|A∩B|) as one exact int/int division.
     "n02_dedup_jaccard" -> (((s: SparkSession, d: String) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.jaccardPairs(pairDocs(s, d), "doc_id", "text")
     }, Some(s"""
       WITH s AS (
         SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
@@ -1149,11 +1203,11 @@ object SparkEntry {
     // robust to fixture change, not just true on today's fixtures
     // (ADVICE r01). Lower-threshold exact detection = n02.
     "n03_dedup_minhash_lsh" -> (((s: SparkSession, d: String) => {
-      MinHashLsh.nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+      MinHashLsh.nearDupPairs(pairDocs(s, d), "doc_id", "text")
     }, Some(s"""
       WITH s AS (
         SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
@@ -1619,7 +1673,7 @@ object SparkEntry {
     // from a band equi-join, exact chunk-wise Hamming verify, oracle =
     // the brute-force all-pairs query.
     "n26_simhash_neardup" -> (((s: SparkSession, d: String) => {
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(pairDocs(s, d), "doc_id", "text", maxHamming = 3)
     }, Some {
       val ham = (0 until 4).map { b =>
         val ax = s"('0x' || substr(a.simhash, ${1 + 4 * b}, 4))::INT"
@@ -1627,7 +1681,7 @@ object SparkEntry {
         s"bit_count(xor($ax, $bx))"
       }.mkString(" + ")
       s"""
-      WITH s AS ($simhashSql)
+      WITH s AS (${simhashSqlOver(docsT)})
       SELECT a_id, b_id, hamming FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, $ham AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
@@ -1691,9 +1745,9 @@ object SparkEntry {
     // to exact/jaccard/minhash): all pairs with cos >= 0.45, native dot
     // kernel inside the pair join, norms precomputed per side.
     "n13_embed_neardup" -> (((s: SparkSession, d: String) => {
-      Similarity.cosinePairs(Tables.embeddings(s, d), 0.45)
+      Similarity.cosinePairs(pairEmb(s, d), 0.45)
     }, Some(s"""
-      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM embeddings)
+      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM $embT)
       SELECT a_id, b_id, cos FROM
         (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
@@ -1708,9 +1762,9 @@ object SparkEntry {
     // the join TOPOLOGY: bounded per-task size, uniform shuffle, no
     // fact-table broadcast. PlanSpec pins equi-join, no NLJ.
     "n23_embed_neardup_grid" -> (((s: SparkSession, d: String) => {
-      Similarity.cosinePairsGrid(Tables.embeddings(s, d), 0.45)
+      Similarity.cosinePairsGrid(pairEmb(s, d), 0.45)
     }, Some(s"""
-      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM embeddings)
+      WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm FROM $embT)
       SELECT a_id, b_id, cos FROM
         (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
@@ -1722,10 +1776,10 @@ object SparkEntry {
     // semantics — the oracle mirrors the bucket predicate bit-exactly,
     // like n12/n15 do for query-ANN), exact cosine verify inside.
     "n24_embed_neardup_lsh" -> (((s: SparkSession, d: String) => {
-      Similarity.cosinePairsBucketed(Tables.embeddings(s, d), 0.45, probeHamming = 1)
+      Similarity.cosinePairsBucketed(pairEmb(s, d), 0.45, probeHamming = 1)
     }, Some(s"""
       WITH v AS (SELECT vec_id, embedding, sqrt($embEeSql) AS nrm,
-                        ($srpBucketSql) AS bkt FROM embeddings)
+                        ($srpBucketSql) AS bkt FROM $embT)
       SELECT a_id, b_id, cos FROM
         (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            (${embDotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
@@ -1807,7 +1861,7 @@ object SparkEntry {
     // so its output equals the exact answer the oracle computes) —
     // composing the sketch path into curation, at the sketch's cost.
     "n16_dedup_apply" -> (((s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
+      val docs = pairDocs(s, d)
       val losers = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
         .select(col("b_id"))
       docs.join(losers, docs("doc_id") === losers("b_id"), "left_anti")
@@ -1815,13 +1869,13 @@ object SparkEntry {
     }, Some(s"""
       WITH s AS (
         SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
-      SELECT doc_id, lang FROM documents
+      SELECT doc_id, lang FROM $docsT
       WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.8)"""))),
 
     // Union-find dedup apply — the production semantics n16's greedy
@@ -1832,7 +1886,7 @@ object SparkEntry {
     // docs greedily per-pair. Oracle: recursive-CTE reachability
     // closure (min reachable id == component min, edges symmetric).
     "n25_dedup_components" -> (((s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
+      val docs = pairDocs(s, d)
       val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       val labels = Dedup.connectedComponents(pairs)
       val losers = labels.where(col("comp") =!= col("id"))
@@ -1843,7 +1897,7 @@ object SparkEntry {
       WITH RECURSIVE
       s AS (
         SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -1857,7 +1911,7 @@ object SparkEntry {
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
       comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-      SELECT doc_id, lang FROM documents
+      SELECT doc_id, lang FROM $docsT
       WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)"""))),
 
     // The curation step a training-data pipeline actually ships:
