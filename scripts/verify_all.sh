@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Full-input env-gated verify: runs graft.Verify with a FRESH sbt launch
+# (never `sbt -client` — the warm daemon keeps its launch-time environment,
+# so a toggled GRAFT_PAIR_SAMPLE would be silently ignored), then the
+# DuckDB oracle compare, writing a driver-format correctness artifact.
+#
+# Usage: scripts/verify_all.sh [sfdir] [outdir] [artifact.json]
+#   GRAFT_PAIR_SAMPLE   (default 20) md5-bucket keep percentage applied
+#                       identically to BOTH engines' inputs for the 8
+#                       O(n²) pair queries — bounds the DuckDB oracle,
+#                       never the Spark plans. Export empty to disable.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SFDIR="${1:-/root/testdata/sf0.1}"
+OUTDIR="${2:-/tmp/verify_all_out}"
+ARTIFACT="${3:-CORRECTNESS_SF01.json}"
+export GRAFT_PAIR_SAMPLE="${GRAFT_PAIR_SAMPLE:-20}"
+if [ -z "$GRAFT_PAIR_SAMPLE" ]; then unset GRAFT_PAIR_SAMPLE; fi
+
+echo "[verify_all] sfdir=$SFDIR outdir=$OUTDIR artifact=$ARTIFACT GRAFT_PAIR_SAMPLE=${GRAFT_PAIR_SAMPLE:-<unset>}"
+rm -rf "$OUTDIR"
+
+# fresh JVM per run: --batch bypasses any warm daemon so the exported env
+# is the env the Verify JVM actually sees (Verify logs pairSampleKeep)
+sbt --batch "runMain graft.Verify $SFDIR $OUTDIR"
+
+python3 scripts/verify_local.py "$SFDIR" "$OUTDIR" --json "$ARTIFACT"

@@ -1,20 +1,31 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/verify_local.py [sfdir] [outdir]
+Usage: python3 scripts/verify_local.py [sfdir] [outdir] [--json PATH]
 
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran (or run
-with --run to invoke it). For each query result parquet under outdir,
-runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
-fixture tables, canonicalizes both sides (columns sorted by name, rows
-sorted by all columns, values stringified) and diffs.
+with --run to invoke it — NOTE --run uses the warm `sbt -client` daemon,
+which keeps its LAUNCH-TIME environment: env-gated verifies such as
+GRAFT_PAIR_SAMPLE must go through scripts/verify_all.sh, which launches a
+fresh sbt). For each query result parquet under outdir, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same fixture tables,
+canonicalizes both sides (columns sorted by name, rows sorted by all
+columns, values stringified) and diffs. --json writes a driver-format
+per-query artifact (rows/schema/hash match booleans).
 """
 import json, os, subprocess, sys
 
 import duckdb
 
-SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+_argv = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
+    _argv = _argv[:i] + _argv[i + 2:]
+_pos = [a for a in _argv if not a.startswith("--")]
+SFDIR = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUTDIR = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -68,6 +79,7 @@ def main():
         oracles = json.load(f)
 
     results = {}
+    jrec = {}  # driver-format per-query record for --json
     # VERIFY_SKIP_ORACLE: comma-separated query names downgraded to a
     # rows-only check — for large SFs where the DUCKDB side of an
     # O(n^2) pair oracle is the bottleneck (the Spark side is fine)
@@ -78,16 +90,30 @@ def main():
         if name in skip_oracle:
             got_cols, got = canon_parquet(f"{OUTDIR}/{name}/*.parquet")
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
+            jrec[name] = {"rows_match": bool(got), "schema_match": None,
+                          "hash_match": None, "spark_rows": len(got),
+                          "oracle_rows": None, "err": None}
             continue
         got_cols, got = canon_parquet(f"{OUTDIR}/{name}/*.parquet")
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}" + (" EMPTY!" if not got else "")
+            jrec[name] = {"rows_match": bool(got), "schema_match": None,
+                          "hash_match": None, "spark_rows": len(got),
+                          "oracle_rows": None, "err": None}
             continue
         try:
             exp_cols, exp = canon(con, oracles[name])
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            jrec[name] = {"rows_match": False, "schema_match": False,
+                          "hash_match": False, "spark_rows": len(got),
+                          "oracle_rows": None, "err": f"oracle sql error: {e}"}
             continue
+        jrec[name] = {"rows_match": len(got) == len(exp),
+                      "schema_match": got_cols == exp_cols,
+                      "hash_match": got == exp,
+                      "spark_rows": len(got), "oracle_rows": len(exp),
+                      "err": None}
         if got_cols != exp_cols:
             results[name] = f"SCHEMA_MISMATCH spark={got_cols} oracle={exp_cols}"
         elif len(got) != len(exp):
@@ -100,6 +126,17 @@ def main():
     missing = set(oracles) - set(names)
     for m in sorted(missing):
         results[m] = "NO_RESULT_PARQUET"
+        jrec[m] = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": 0, "oracle_rows": None,
+                   "err": "no result parquet (query failed in graft.Verify)"}
+    if JSON_OUT:
+        meta = {"sfdir": SFDIR,
+                "pair_sample": os.environ.get("GRAFT_PAIR_SAMPLE"),
+                "skip_oracle": sorted(skip_oracle)}
+        with open(JSON_OUT, "w") as f:
+            json.dump({"_meta": meta, **{k: jrec[k] for k in sorted(jrec)}},
+                      f, indent=2)
+        print(f"wrote {JSON_OUT}")
     width = max(len(n) for n in results)
     nok = 0
     for n in sorted(results):

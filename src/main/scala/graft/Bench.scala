@@ -25,7 +25,7 @@ object Bench {
     // min over iters = steady-state engine time: iteration 1 pays
     // per-query codegen compilation and JIT, which a long-running
     // cluster job pays once, not per query
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated query filter for isolating a regression
     // (SPARK_GRAFT_BENCH_QUERIES=a07_rollup,a23_grouping_sets); unset =
     // the full surface, which is what the driver runs
@@ -126,6 +126,14 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // append-only history next to the overwritten latest-run file: per-run
+    // detail survives across rounds, so a total-time drift can be localized
+    // to queries after the fact (r6 lost r5's detail to the overwrite)
+    try {
+      val histPath = detailPath.stripSuffix(".json") + "_HISTORY.jsonl"
+      val fw = new java.io.FileWriter(histPath, true)
+      try fw.write(detail + "\n") finally fw.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] history append failed: ${e.getMessage}") }
     // prefixed so a parser keying on a JSON line can only match the
     // short final line; full per-query JSON stays greppable + in file
     println(s"BENCH_QUERIES $detail")

@@ -133,10 +133,14 @@ object SparkEntry {
   // disagree mid-run. NOTE: a reused sbt daemon (`sbt -client`) keeps
   // its launch-time environment — run env-gated verifies with a fresh
   // `sbt` (scripts/verify_all.sh does).
-  private val pairSampleKeep: Option[Int] =
+  private[graft] val pairSampleKeep: Option[Int] =
     sys.env.get("GRAFT_PAIR_SAMPLE").orElse(sys.props.get("GRAFT_PAIR_SAMPLE"))
       .map { v =>
-        val k = v.toInt
+        // toIntOption: a non-numeric value must fail with THIS message,
+        // not an opaque ExceptionInInitializerError from toInt
+        val k = v.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT_PAIR_SAMPLE must be an int 1..100, got '$v'"))
         require(k >= 1 && k <= 100, s"GRAFT_PAIR_SAMPLE must be 1..100, got $v")
         k
       }

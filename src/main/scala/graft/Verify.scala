@@ -11,6 +11,10 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // self-describing run: the effective pair-sample setting is frozen at
+    // SparkEntry init, so print what THIS JVM actually resolved (a warm
+    // sbt daemon keeps its launch-time env — see scripts/verify_all.sh)
+    System.err.println(s"[verify] pairSampleKeep=${SparkEntry.pairSampleKeep}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
