@@ -458,4 +458,55 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"))
     runToTable(spark, joined, "complete")
   }
+
+  /** TRUE mid-stream dim refresh (O10, the reference's poll-based rules
+    * reload — kafka_s.py:232-238): the dim is re-RESOLVED from its path
+    * inside `foreachBatch`, one fresh `spark.read` per micro-batch.
+    *
+    * The distinction from [[streamEnrich]] matters: an in-plan
+    * stream-static join re-reads file CONTENTS each micro-batch but
+    * keeps the file LISTING captured when the plan was built, so a dim
+    * whose refresh lands in new files (every Spark overwrite: part
+    * files are uuid-named) silently serves stale rows forever. Building
+    * the read inside the batch closure re-lists the path, so both
+    * rewritten and newly-added dim files are picked up at the next
+    * micro-batch boundary — exactly the reference's semantics, where
+    * every poll re-queries the rules table. The fresh dim is broadcast;
+    * the stream side never shuffles. DimRefreshSpec proves the
+    * between-batch swap end-to-end.
+    *
+    * @param afterBatch test/ops hook invoked after each batch commits —
+    *        the spec uses it to rewrite the dim between micro-batches;
+    *        production uses include metrics or manual watermarking.
+    * @return every enriched row, tagged with the micro-batch id that
+    *         processed it (reading back the sink directory, so the
+    *         result is what was actually WRITTEN). */
+  def streamEnrichRefresh(
+      spark: SparkSession,
+      streamDir: String,
+      streamSchema: StructType,
+      dimPath: String,
+      joinKey: String,
+      afterBatch: Long => Unit = _ => ()): DataFrame =
+    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
+      val out = graft.TempDirs.create("graft-dim-refresh")
+      val q = spark.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch
+        .parquet(streamDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val dim = s.read.parquet(dimPath) // fresh listing AND content
+          batch.join(broadcast(dim), Seq(joinKey), "left")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$out/data")
+          afterBatch(batchId)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$out/data")
+    } }
 }
