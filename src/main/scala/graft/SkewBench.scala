@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Skew demonstration for the n-gram similarity join (VERDICT r7 #3:
+  * "the skew story has never been demonstrated on a skewed fixture").
+  *
+  * Builds the canonical pathological corpus shape at 100 TB — a
+  * boilerplate passage (license header, site chrome, template preamble)
+  * appended to EVERY document, so each of its w-gram shingles has
+  * document frequency n and contributes n·(n−1)/2 rows to the inverted-
+  * index equi-join — and measures, on the real sf fixture:
+  *
+  *   1. the join fan-out (pre-aggregation joined rows) and wall time of
+  *      the exact join on the CLEAN corpus (the benign-df baseline);
+  *   2. the same on the SKEWED corpus — the quadratic blow-up;
+  *   3. the skewed corpus with the `maxDf` hot-shingle cap — fan-out
+  *      back to the baseline's order, at the cost of the documented
+  *      lower-bound bias (SkewSpec pins the bias direction);
+  *   4. the skewed corpus through the PPJoin prefix variant — EXACT
+  *      result (no bias), fan-out between the two.
+  *
+  * Emits one JSON line; the measured numbers are committed in SKEW.md.
+  * Usage: sbt 'runMain graft.SkewBench [sfDir] [nBoilerTokens] [maxDf]'
+  */
+object SkewBench {
+
+  /** The skewed twin of the corpus: a fixed boilerplate suffix on every
+    * doc. Deterministic (no rand) so reruns measure the same corpus. */
+  def skewed(docs: DataFrame, nBoilerTokens: Int): DataFrame = {
+    val boiler = (0 until nBoilerTokens).map(i => s"boilerplate$i").mkString(" ")
+    docs.withColumn("text", concat(col("text"), lit(" " + boiler)))
+  }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val nBoiler = args.lift(1).map(_.toInt).getOrElse(24)
+    val maxDf = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark: SparkSession = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    val clean = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val skew = skewed(clean, nBoiler).localCheckpoint(true)
+    val nDocs = clean.count()
+
+    def run(name: String, docs: DataFrame, cap: Option[Int]): (Long, Long, Double) = {
+      val fanout = Dedup.jaccardJoinFanout(docs, "doc_id", "text", maxDf = cap)
+      val (pairs, sec) = timed {
+        Dedup.jaccardPairs(docs, "doc_id", "text", maxDf = cap).count()
+      }
+      System.err.println(f"[skew] $name%-16s fanout=$fanout%12d pairs=$pairs%6d time=$sec%7.2fs")
+      (fanout, pairs, sec)
+    }
+    def runPrefix(docs: DataFrame): (Long, Double) = {
+      val (pairs, sec) = timed {
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text").count()
+      }
+      System.err.println(f"[skew] prefix_skewed   pairs=$pairs%6d time=$sec%7.2fs")
+      (pairs, sec)
+    }
+
+    val (cleanFan, cleanPairs, cleanSec) = run("clean_exact", clean, None)
+    val (skewFan, skewPairs, skewSec) = run("skew_exact", skew, None)
+    val (capFan, capPairs, capSec) = run("skew_capped", skew, Some(maxDf))
+    val (prefPairs, prefSec) = runPrefix(skew)
+
+    println(
+      s"""{"bench":"skew","sf":"$sfDir","n_docs":$nDocs,"boiler_tokens":$nBoiler,"max_df":$maxDf,""" +
+      s""""clean":{"fanout":$cleanFan,"pairs":$cleanPairs,"sec":$cleanSec},""" +
+      s""""skew_exact":{"fanout":$skewFan,"pairs":$skewPairs,"sec":$skewSec},""" +
+      s""""skew_capped":{"fanout":$capFan,"pairs":$capPairs,"sec":$capSec},""" +
+      s""""skew_prefix":{"pairs":$prefPairs,"sec":$prefSec}}""")
+    spark.stop()
+  }
+}

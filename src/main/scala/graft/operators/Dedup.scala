@@ -61,30 +61,44 @@ object Dedup {
     * a_n/b_n keep full set sizes, so emitted jaccard values are LOWER
     * BOUNDS of the true similarity, and pairs near the threshold may be
     * dropped — not just "recall loss" on all-boilerplate pairs. */
-  def jaccardPairs(docs: DataFrame, id: String, text: String,
-      w: Int = 3, threshold: Double = 0.55,
-      maxDf: Option[Int] = None): DataFrame = {
-    val sized = docs
+  private def sizedSets(docs: DataFrame, id: String, text: String, w: Int): DataFrame =
+    docs
       .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
       .select(col("did"), col("sset"), size(col("sset")).as("n"))
       .where(col("n") > 0)
+
+  private def invertedIndex(sized: DataFrame, maxDf: Option[Int]): DataFrame = {
     val invAll = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
-    val inv = maxDf match {
+    maxDf match {
       case None => invAll
       case Some(cap) =>
         val hot = invAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select(col("sh"))
         invAll.join(broadcast(hot), Seq("sh"), "left_anti")
     }
+  }
+
+  /** The one wide shuffle: self-equi-join on the shingle with the
+    * length filter pushed into the join condition. Pre-aggregation, so
+    * its row count IS the operator's join fan-out (Σ_shingle df-pairs
+    * surviving the length filter) — the quantity skew blows up. */
+  private def candidateJoin(inv: DataFrame, threshold: Double): DataFrame = {
     val a = inv.as("a")
     val b = inv.as("b")
     // eps guards float rounding at the exact boundary (e.g. 20*0.55>11):
     // a looser candidate set is harmless — the exact filter below decides.
     val eps = 1e-9
-    val counted = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
-          col("a.n") >= col("b.n") * threshold - eps &&
-          col("b.n") >= col("a.n") * threshold - eps)
+    a.join(b,
+      col("a.sh") === col("b.sh") && col("a.did") < col("b.did") &&
+        col("a.n") >= col("b.n") * threshold - eps &&
+        col("b.n") >= col("a.n") * threshold - eps)
+  }
+
+  def jaccardPairs(docs: DataFrame, id: String, text: String,
+      w: Int = 3, threshold: Double = 0.55,
+      maxDf: Option[Int] = None): DataFrame = {
+    val inv = invertedIndex(sizedSets(docs, id, text, w), maxDf)
+    val counted = candidateJoin(inv, threshold)
       .groupBy(col("a.did").as("a_id"), col("b.did").as("b_id"),
         col("a.n").as("a_n"), col("b.n").as("b_n"))
       .agg(count(lit(1)).as("inter"))
@@ -94,6 +108,19 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Diagnostic twin of [[jaccardPairs]]: the number of rows the
+    * shingle equi-join materializes BEFORE aggregation — the direct
+    * measure of skew blow-up (each shingle with document frequency df
+    * contributes up to df·(df−1)/2 rows; one boilerplate shingle shared
+    * by every doc makes this quadratic in the corpus). SkewBench /
+    * SkewSpec use it to demonstrate the maxDf cap's effect without
+    * depending on flaky wall-clock assertions. */
+  def jaccardJoinFanout(docs: DataFrame, id: String, text: String,
+      w: Int = 3, threshold: Double = 0.55,
+      maxDf: Option[Int] = None): Long =
+    candidateJoin(invertedIndex(sizedSets(docs, id, text, w), maxDf), threshold)
+      .count()
 
   /** PPJoin-style prefix-filtered variant of [[jaccardPairs]] — same
     * exact result, fewer candidates.
@@ -118,14 +145,13 @@ object Dedup {
     * extra shuffles, so n02 stays on [[jaccardPairs]]. The regime where
     * this variant wins is a skewed df distribution (boilerplate
     * shingles with df in the thousands, Σdf² quadratic), where the
-    * prefix bound removes exactly the explosive tail — the standard
-    * corpus shape at 100 TB, not at harness scale. */
+    * prefix bound removes exactly the explosive tail — MEASURED on the
+    * SkewBench boilerplate fixture at sf0.1: exact join 115.6 s /
+    * 2.0×10⁸ joined rows vs prefix 13.7 s with the IDENTICAL 313-pair
+    * result (SKEW.md) — the standard corpus shape at 100 TB. */
   def jaccardPairsPrefix(docs: DataFrame, id: String, text: String,
       w: Int = 3, threshold: Double = 0.55): DataFrame = {
-    val sized = docs
-      .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
-      .select(col("did"), col("sset"), size(col("sset")).as("n"))
-      .where(col("n") > 0)
+    val sized = sizedSets(docs, id, text, w)
     val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
     val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // eps INSIDE ceil keeps the prefix from shrinking when t·n lands a
