@@ -2028,20 +2028,24 @@ object SparkEntry {
       SELECT lang, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sketch_csv
       FROM comp GROUP BY lang"""))),
 
-    // Multimodal resize plumbing: aspect-fit into 64×64 over the fake
-    // decoded dims — integer math, exact oracle.
+    // Multimodal resize through the REAL kernel (javax.imageio PNG
+    // decode → nearest-neighbor resample → re-encode): the oracle
+    // derives the decoded dims from pngMedia's generation contract
+    // (1 + utf8len % 64 × 1 + utf8len % 48) and mirrors the aspect-fit
+    // integer math — so a hash match proves the codec roundtrip
+    // reproduced exactly the dimensions that were encoded. Pixel
+    // content is pinned by MultimodalSpec's independent resample.
     "n21_resize" -> (((s: SparkSession, d: String) => {
       Multimodal.resizedMeta(Tables.documents(s, d))
     }, Some("""
       SELECT doc_id, width, height,
-        CASE WHEN greatest(width, height) <= 64 THEN width
-             ELSE width * 64 // greatest(width, height) END AS new_w,
-        CASE WHEN greatest(width, height) <= 64 THEN height
-             ELSE height * 64 // greatest(width, height) END AS new_h,
-        substr(md5(text), 1, 16) AS sig
-      FROM (SELECT doc_id, text,
-              CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-              CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        CASE WHEN greatest(width, height) <= 32 THEN width
+             ELSE greatest(1, width * 32 // greatest(width, height)) END AS new_w,
+        CASE WHEN greatest(width, height) <= 32 THEN height
+             ELSE greatest(1, height * 32 // greatest(width, height)) END AS new_h
+      FROM (SELECT doc_id,
+              CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+              CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height
             FROM documents)"""))),
 
     // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-

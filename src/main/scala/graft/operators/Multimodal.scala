@@ -125,35 +125,109 @@ object Multimodal {
   def extractedFeatures(docs: DataFrame): DataFrame =
     featureExtract(mediaTable(docs)).toDF()
 
-  /** Resize record: original fake dims + aspect-fit target dims. */
-  final case class Resized(doc_id: Long, width: Int, height: Int,
-      new_w: Int, new_h: Int, sig: String)
+  /** One real PNG payload (doc_id + encoded image bytes). */
+  final case class PngMedia(doc_id: Long, payload: Array[Byte])
 
-  /** STUB RESIZE — aspect-preserving fit into 64×64 over the fake
-    * decoded dimensions (integer math, exactly mirrored by the oracle;
-    * a real impl resamples pixels here). Same per-partition batch shape
-    * as the other media stubs. */
-  def resize(media: DataFrame, maxSide: Int = 64): Dataset[Resized] = {
-    implicit val enc: Encoder[Resized] = Encoders.product[Resized]
-    media.select(col("doc_id"), col("payload"))
+  /** documents → REAL PNG media table: each doc becomes an actual PNG
+    * image, generated deterministically from its text — dimensions
+    * `1 + utf8len % 64` × `1 + utf8len % 48` (so the verify oracle can
+    * derive them from the text alone) and pixels seeded from the text's
+    * md5 digest. The encoder is `javax.imageio` (in the JDK — no new
+    * dependency); one reusable digest per partition batch, the same
+    * executor-side batch shape as every media kernel here. */
+  def pngMedia(docs: DataFrame): Dataset[PngMedia] = {
+    implicit val enc: Encoder[PngMedia] = Encoders.product[PngMedia]
+    docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { row =>
           val id = row.getLong(0)
-          val p = row.getAs[Array[Byte]](1)
-          val w = p.length % 640
-          val h = p.length % 480
-          val scale = math.max(w, h)
-          val (nw, nh) =
-            if (scale <= maxSide) (w, h)
-            else (w * maxSide / scale, h * maxSide / scale)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          val w = 1 + bytes.length % 64
+          val h = 1 + bytes.length % 48
           md.reset()
-          val sig = md.digest(p).take(8).map("%02x".format(_)).mkString
-          Resized(id, w, h, nw, nh, sig)
+          val dig = md.digest(bytes)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = dig((x + y) % 16) & 0xff
+              val g = dig((x * 3 + y) % 16) & 0xff
+              val b = dig((x + y * 5) % 16) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          PngMedia(id, out.toByteArray)
         }
       }
   }
 
-  /** documents → resized-media metadata (stub resample, real plumbing). */
-  def resizedMeta(docs: DataFrame): DataFrame = resize(mediaTable(docs)).toDF()
+  /** Resize record: decoded dims, aspect-fit target dims, resized-pixel
+    * signature, and the re-encoded PNG. */
+  final case class ResizedPng(doc_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, sig: String, resized_png: Array[Byte])
+
+  /** REAL RESIZE KERNEL (no stub): `javax.imageio` PNG decode →
+    * aspect-preserving fit into `maxSide` (integer math; degenerate
+    * thin images clamp to ≥ 1 px) → nearest-neighbor resample (an
+    * explicit pixel loop, NOT Graphics2D filtering, so the output is
+    * bit-deterministic across JVMs/platforms) → PNG re-encode. The
+    * signature is the md5 of the resized raster's packed RGB ints, so
+    * it pins actual pixel content; MultimodalSpec checks it against an
+    * independent in-test resample and the n21 oracle checks the dims
+    * (derivable from the text by the pngMedia generation contract).
+    * Same mapPartitions batch shape as every media kernel — at scale
+    * the decode/resample runs executor-side over parquet binary
+    * columns with zero driver involvement. */
+  def resizePng(media: Dataset[PngMedia], maxSide: Int = 32): Dataset[ResizedPng] = {
+    implicit val enc: Encoder[ResizedPng] = Encoders.product[ResizedPng]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val scale = math.max(w, h)
+        val (nw, nh) =
+          if (scale <= maxSide) (w, h)
+          else (math.max(1, w * maxSide / scale), math.max(1, h * maxSide / scale))
+        val resized = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        md.reset()
+        val pix = java.nio.ByteBuffer.allocate(4)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            val rgb = img.getRGB(x * w / nw, y * h / nh) & 0xffffff
+            resized.setRGB(x, y, rgb)
+            pix.clear(); pix.putInt(rgb)
+            md.update(pix.array())
+            x += 1
+          }
+          y += 1
+        }
+        val sig = md.digest().take(8).map("%02x".format(_)).mkString
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(resized, "png", out)
+        ResizedPng(m.doc_id, w, h, nw, nh, sig, out.toByteArray)
+      }
+    }
+  }
+
+  /** documents → resized-media metadata through the REAL kernel:
+    * generate PNG → decode → resample → meta columns. The oracle twin
+    * derives width/height/new_w/new_h from the text length (the
+    * generation contract); pixel content is pinned by MultimodalSpec. */
+  def resizedMeta(docs: DataFrame): DataFrame =
+    resizePng(pngMedia(docs)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("new_w"), col("new_h"))
 }

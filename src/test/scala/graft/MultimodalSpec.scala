@@ -1,0 +1,91 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** The real multimodal kernel (VERDICT r7 #4: "replace the resize stub
+  * with a real pure-JVM image op"). What is pinned:
+  *
+  *  - pngMedia emits REAL decodable PNGs whose dimensions follow the
+  *    generation contract the n21 oracle mirrors (1+len%64 × 1+len%48);
+  *  - resizePng's output PNG decodes to exactly the aspect-fit target
+  *    dimensions, including the ≥1 px clamp for degenerate thin images;
+  *  - the resample is a true nearest-neighbor over the DECODED source
+  *    pixels: the resized raster matches an independent in-test
+  *    resample pixel-for-pixel (not just by signature), and the sig
+  *    column is the md5 of exactly those pixels;
+  *  - the whole pipeline is deterministic across runs (parquet binary
+  *    columns must be reproducible for the oracle hash compare).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def docsDF(texts: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  // text lengths chosen to hit: small square-ish, needs-downscale, and
+  // the thin-image clamp (len%64 vs len%48 wildly unequal)
+  private val texts = Seq(
+    "ab",                      // len 2  → 3×3 (no downscale)
+    "x" * 63,                  // len 63 → 64×16 → 32×8
+    "y" * 47,                  // len 47 → 48×48 → 32×32
+    "z" * 96,                  // len 96 → 33×1 → 32×1 (1·32/33=0 → the ≥1 clamp)
+    "w" * 191)                 // len 191 → 64×48 → 32×24
+
+  test("pngMedia: real PNGs, dims follow the generation contract") {
+    Multimodal.pngMedia(docsDF(texts)).collect().foreach { m =>
+      val len = texts(m.doc_id.toInt).getBytes("UTF-8").length
+      val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+      assert(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+      assert(img.getWidth == 1 + len % 64, s"doc ${m.doc_id} width")
+      assert(img.getHeight == 1 + len % 48, s"doc ${m.doc_id} height")
+    }
+  }
+
+  test("resizePng: output PNG decodes to the aspect-fit dims; resample matches " +
+      "an independent nearest-neighbor; sig pins the resized pixels") {
+    val media = Multimodal.pngMedia(docsDF(texts))
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    Multimodal.resizePng(media, maxSide = 32).collect().foreach { r =>
+      val src = ImageIO.read(new ByteArrayInputStream(byId(r.doc_id)))
+      // dim contract (incl. clamp)
+      val scale = math.max(src.getWidth, src.getHeight)
+      val wantW = if (scale <= 32) src.getWidth
+        else math.max(1, src.getWidth * 32 / scale)
+      val wantH = if (scale <= 32) src.getHeight
+        else math.max(1, src.getHeight * 32 / scale)
+      assert((r.new_w, r.new_h) == (wantW, wantH), s"doc ${r.doc_id} target dims")
+      val out = ImageIO.read(new ByteArrayInputStream(r.resized_png))
+      assert((out.getWidth, out.getHeight) == (wantW, wantH),
+        s"doc ${r.doc_id}: re-encoded PNG dims drifted from the meta columns")
+      // independent nearest-neighbor resample: every output pixel must be
+      // the source pixel at (x·w/nw, y·h/nh), bit-exact through the PNG
+      // roundtrip (TYPE_INT_RGB is lossless in PNG)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4)
+      for (y <- 0 until wantH; x <- 0 until wantW) {
+        val want = src.getRGB(x * src.getWidth / wantW, y * src.getHeight / wantH) & 0xffffff
+        assert((out.getRGB(x, y) & 0xffffff) == want,
+          s"doc ${r.doc_id}: pixel ($x,$y) is not the nearest-neighbor sample")
+        buf.clear(); buf.putInt(want); md.update(buf.array())
+      }
+      val wantSig = md.digest().take(8).map("%02x".format(_)).mkString
+      assert(r.sig == wantSig, s"doc ${r.doc_id}: sig does not hash the resized raster")
+    }
+  }
+
+  test("deterministic across runs") {
+    def sigs = Multimodal.resizePng(Multimodal.pngMedia(docsDF(texts)))
+      .collect().map(r => r.doc_id -> r.sig).toMap
+    assert(sigs == sigs)
+  }
+}
