@@ -15,7 +15,9 @@ cd "$(dirname "$0")/.."
 SFDIR="${1:-/root/testdata/sf0.1}"
 OUTDIR="${2:-/tmp/verify_all_out}"
 ARTIFACT="${3:-CORRECTNESS_SF01.json}"
-export GRAFT_PAIR_SAMPLE="${GRAFT_PAIR_SAMPLE:-20}"
+# unset-only default (`-`, not `:-`): an exported-empty value must survive
+# to the next line's unset branch, which is the documented disable path
+export GRAFT_PAIR_SAMPLE="${GRAFT_PAIR_SAMPLE-20}"
 if [ -z "$GRAFT_PAIR_SAMPLE" ]; then unset GRAFT_PAIR_SAMPLE; fi
 
 echo "[verify_all] sfdir=$SFDIR outdir=$OUTDIR artifact=$ARTIFACT GRAFT_PAIR_SAMPLE=${GRAFT_PAIR_SAMPLE:-<unset>}"

@@ -159,8 +159,12 @@ object SparkEntry {
   private def pairEmb(s: SparkSession, d: String): DataFrame =
     sampled(Tables.embeddings(s, d), "vec_id")
 
-  private def sampledSqlFrom(table: String, idCol: String): String =
-    pairSampleKeep.fold(table) { k =>
+  // `keep` defaults to the JVM-frozen setting; the parameter exists so
+  // PairSampleSpec can pin the emitted bytes of BOTH paths regardless of
+  // the environment this JVM happened to launch with.
+  private[graft] def sampledSqlFrom(table: String, idCol: String,
+                                    keep: Option[Int] = pairSampleKeep): String =
+    keep.fold(table) { k =>
       s"(SELECT * FROM $table WHERE (('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 100) < $k) AS $table"
     }
   /** Oracle-side FROM targets for the pair queries. */

@@ -73,12 +73,16 @@ class PairSampleSpec extends AnyFunSuite {
     }
   }
 
-  test("sampled FROM target embeds the same keep bound as md5Bucket100") {
-    // structural check that survives either env setting: the SQL-side
-    // predicate template and the Spark-side bucket function share the
-    // md5-prefix arithmetic (full cross-engine agreement is test 1 +
-    // the committed sampled sf0.1 artifact CORRECTNESS_SF01.json)
-    val t = "(SELECT * FROM documents WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100) < 20) AS documents"
-    assert(t.contains("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"))
+  test("sampledSqlFrom emits the exact predicate for both env settings") {
+    // calls the real emitter with an explicit keep, so this pins the
+    // actually-emitted bytes regardless of this JVM's environment (full
+    // cross-engine agreement is test 1 + the committed sampled sf0.1
+    // artifact CORRECTNESS_SF01.json)
+    assert(SparkEntry.sampledSqlFrom("documents", "doc_id", Some(20)) ==
+      "(SELECT * FROM documents WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100) < 20) AS documents")
+    assert(SparkEntry.sampledSqlFrom("embeddings", "vec_id", Some(7)) ==
+      "(SELECT * FROM embeddings WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT % 100) < 7) AS embeddings")
+    // unset path: the FROM target is the bare table name, no wrapper
+    assert(SparkEntry.sampledSqlFrom("documents", "doc_id", None) == "documents")
   }
 }
