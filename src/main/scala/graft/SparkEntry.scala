@@ -970,6 +970,28 @@ object SparkEntry {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang"""))),
 
+    // O26 variant on a columnar format: ORC sink + source roundtrip
+    // (Spark bundles native ORC support — the second columnar format a
+    // lakehouse deployment actually meets). Same lossless-roundtrip
+    // contract as p06: write a projection to ORC, read it back, and
+    // aggregate; the oracle aggregates the parquet directly, so any
+    // codec/schema drift in the roundtrip breaks the hash. ORC arrives
+    // with predicate pushdown + column pruning like parquet, so the
+    // scan-side scale story is unchanged.
+    "p21_orc_roundtrip" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_orc_roundtrip")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .where(col("n_chars") > 100)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }, Some("""
+      SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE n_chars > 100 GROUP BY lang, source"""))),
+
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
     // tested in Uuid3Spec against CPython uuid.uuid3).
@@ -1590,6 +1612,56 @@ object SparkEntry {
                          JOIN deg d ON e.src = d.src
                          GROUP BY e.dst) m ON n.node = m.dst)""").mkString(",")}
       SELECT node, rank_ppb FROM r3"""))),
+
+    // KMV (k-minimum-values) distinct sketch of the 3-shingle space,
+    // per lang plus the 'ALL' rollup row. The element hash is the
+    // first 60 bits of md5 (the engine-identical prefix idiom), so
+    // DuckDB can rebuild the exact sketch — the K smallest distinct
+    // hashes — and the full hash compare verifies a sketch, not just
+    // an estimate. Each row contributes its own ≤K-long partial
+    // sketch; KmvAgg's sorted-merge makes map-side partial aggregation
+    // ship one K-vector per (group × partition) — O(groups·K) shuffle
+    // at any corpus size, vs count_distinct's shuffle of every
+    // distinct shingle. The rollup's ALL row is produced by MERGING
+    // the lang sketches (sketch unionability, the property that lets
+    // sketches be maintained per-shard and combined at read time).
+    // est_distinct = (K-1)/U(K): one exact double multiply + divide,
+    // identical IEEE ops on both engines.
+    "n40_kmv_distinct" -> (((s: SparkSession, d: String) => {
+      val K = graft.functions.KmvAgg.K
+      val psk = slice(array_sort(array_distinct(transform(
+        graft.functions.Shingles.shingleSet(col("text"), 3),
+        x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
+        1, K)
+      Tables.documents(s, d)
+        .select(col("lang"), psk.as("psk"))
+        .rollup(col("lang"))
+        .agg(graft.functions.KmvAgg.union(col("psk")).as("sk"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          size(col("sk")).cast("long").as("sketch_size"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"),
+          when(size(col("sk")) < K, size(col("sk")).cast("double"))
+            .otherwise(lit(K - 1).cast("double") * lit(1152921504606846976L).cast("double")
+              / element_at(col("sk"), size(col("sk"))).cast("double"))
+            .as("est_distinct"))
+    }, Some(s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
+      hv AS (SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      g AS (SELECT lang, h FROM hv GROUP BY 1, 2
+            UNION ALL
+            SELECT 'ALL' AS lang, h FROM hv GROUP BY 2),
+      rk AS (SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM g),
+      sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS sketch_size,
+               max(h) AS kth_min
+             FROM rk WHERE rk <= 64 GROUP BY 1)
+      SELECT lang, sketch_size, kth_min,
+        CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                  / CAST(kth_min AS DOUBLE) END AS est_distinct
+      FROM sk"""))),
 
     // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
     // distinct shingles with any "benchmark" doc (id <= 20, a
@@ -2224,6 +2296,28 @@ object SparkEntry {
     }, Some(s"""
       $kmeansA1Sql
       SELECT cluster, count(*) AS n_vecs FROM a1 GROUP BY cluster"""))),
+
+    // n40's streaming twin: per-lang KMV sketch state merged across
+    // micro-batches — bounded O(groups·K) state, no watermark; any
+    // micro-batching yields the batch sketch (merge associativity,
+    // KmvSpec). Oracle = n40's per-lang branch.
+    "s15_stream_kmv" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamKmvSketch(s, d)
+    }, Some(s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
+      hv AS (SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+             FROM sh GROUP BY 1, 2),
+      rk AS (SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hv),
+      sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS sketch_size,
+               max(h) AS kth_min
+             FROM rk WHERE rk <= 64 GROUP BY 1)
+      SELECT lang, sketch_size, kth_min,
+        CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                  / CAST(kth_min AS DOUBLE) END AS est_distinct
+      FROM sk"""))),
 
     // n01's streaming twin: exact content dedup with digest-keyed
     // state across micro-batches, counts per lang after the drain.

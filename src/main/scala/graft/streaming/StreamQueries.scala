@@ -209,6 +209,46 @@ object StreamQueries {
       "complete")
   }
 
+  /** KMV distinct sketch maintenance as a STREAM (n40's streaming
+    * twin): per-lang sketch state merged across micro-batches by
+    * KmvAgg's sorted-merge — the continuous-ingest form of cardinality
+    * tracking, where the state store holds one ≤K-long sketch per
+    * group (bounded state by construction, no watermark needed) and
+    * each micro-batch folds its rows' partial sketches in. Because merge
+    * is associative+commutative and every global bottom-K hash is in
+    * its row's bottom-K, ANY micro-batching yields the same final
+    * sketch as the batch aggregate (KmvSpec proves a forced 3-batch
+    * split; the oracle pins the single-drain result). */
+  def streamKmvSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvFinish(runToTable(spark, kmvAggPlan(documentsStream(spark, dir)), "complete"))
+
+  /** Per-lang KMV aggregation over any documents frame — batch or
+    * stream, the identical plan (shared by s15 and KmvSpec's forced
+    * 3-micro-batch drain). */
+  private[graft] def kmvAggPlan(docs: DataFrame): DataFrame = {
+    import graft.functions.{KmvAgg, Shingles}
+    val psk = slice(array_sort(array_distinct(transform(
+      Shingles.shingleSet(col("text"), 3),
+      x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
+      1, KmvAgg.K)
+    docs.select(col("lang"), psk.as("psk"))
+      .groupBy(col("lang"))
+      .agg(KmvAgg.union(col("psk")).as("sk"))
+  }
+
+  /** Finishing projection: sketch → (size, kth smallest, estimate). */
+  private[graft] def kmvFinish(sk: DataFrame): DataFrame = {
+    val K = graft.functions.KmvAgg.K
+    sk.select(
+      col("lang"),
+      size(col("sk")).cast("long").as("sketch_size"),
+      element_at(col("sk"), size(col("sk"))).as("kth_min"),
+      when(size(col("sk")) < K, size(col("sk")).cast("double"))
+        .otherwise(lit(K - 1).cast("double") * lit(1152921504606846976L).cast("double")
+          / element_at(col("sk"), size(col("sk"))).cast("double"))
+        .as("est_distinct"))
+  }
+
   /** Exact content dedup as a STREAM (n01's streaming twin): state
     * keyed on (lang, digest) drops re-arrivals across micro-batches —
     * the continuous-ingest form of corpus dedup, where the state store
