@@ -992,6 +992,28 @@ object SparkEntry {
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents WHERE n_chars > 100 GROUP BY lang, source"""))),
 
+    // O26 variant on newline-delimited JSON (the log-ingest interchange
+    // format): write a projection as JSONL, read it back with an
+    // explicit schema (never inferSchema in production — one schema
+    // drift away from silent column loss), aggregate. Oracle reads the
+    // parquet, so the roundtrip must preserve every value including
+    // long/string boundaries.
+    "p22_jsonl_roundtrip" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_jsonl_roundtrip")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(dir)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .json(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY source"""))),
+
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
     // tested in Uuid3Spec against CPython uuid.uuid3).
@@ -1662,6 +1684,48 @@ object SparkEntry {
              ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
                   / CAST(kth_min AS DOUBLE) END AS est_distinct
       FROM sk"""))),
+
+    // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
+    // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
+    // raw-idf tf-idf) because ln() is not correctly-rounded IEEE and a
+    // last-ulp disagreement between libm and java.lang.Math would break
+    // the bit-exact oracle; tf·N is an exact integer, the single
+    // division is the only rounding and both engines perform it
+    // identically. Ties break on term ascending, so top-3 is fully
+    // deterministic. Three shuffles at any scale: (doc,term) tf, term
+    // df (join side that AQE broadcasts while the vocab is small and
+    // shuffle-joins once it isn't — no hint pins it), and the per-doc
+    // top-k window; the window's TakeOrdered-per-group keeps state at
+    // O(k) per doc.
+    "n41_tfidf_keywords" -> (((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfT = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfT, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("score"))
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT t.doc_id, t.token,
+               CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+             FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n),
+      rk AS (SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS rk FROM sc)
+      SELECT doc_id, CAST(rk AS INT) AS rk, token, score
+      FROM rk WHERE rk <= 3"""))),
 
     // Benchmark decontamination: corpus docs (id > 20) sharing >= 3
     // distinct shingles with any "benchmark" doc (id <= 20, a

@@ -44,6 +44,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("p11_topn").contains("TakeOrderedAndProject"))
   }
 
+  test("tfidf keeps the df join off the cartesian path and bounds the window") {
+    val p = plan("n41_tfidf_keywords")
+    assert(!p.contains("CartesianProduct"), p)
+    // the N-docs scalar rides a broadcast, never a shuffled join side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // per-doc top-k via window: rank filter present, no global sort+limit
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("scaled rule match broadcasts the rules, streams the fact side") {
     val p = plan("p14_rule_match_scale")
     assert(p.contains("BroadcastNestedLoopJoin"))
