@@ -1014,6 +1014,30 @@ object SparkEntry {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents GROUP BY source"""))),
 
+    // Hive-style partitioned parquet sink + partition-pruned read-back:
+    // write documents partitioned by lang (dynamic partitioning — the
+    // layout every 100 TB corpus lands in), then read ONE partition
+    // back through a lang filter. The filter must prune at PLANNING
+    // time via the directory layout — the scan lists and reads only
+    // lang=en files, never touching the other partitions' bytes
+    // (PlanSpec pins PartitionFilters on the scan). The oracle
+    // aggregates the unpartitioned parquet under the same predicate,
+    // so partition-column round-tripping (value→dir-name→value) is
+    // also verified.
+    "p23_partitioned_write" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_part_write")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang = 'en' GROUP BY source"""))),
+
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
     // tested in Uuid3Spec against CPython uuid.uuid3).

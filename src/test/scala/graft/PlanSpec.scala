@@ -44,6 +44,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("p11_topn").contains("TakeOrderedAndProject"))
   }
 
+  test("partitioned write read-back prunes partitions at the scan") {
+    val p = plan("p23_partitioned_write")
+    // the lang predicate must be a PartitionFilter (directory pruning),
+    // not a post-scan Filter over all partitions' bytes
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("isnotnull(lang") || p.contains("lang#"), p)
+    val pf = p.split("PartitionFilters: ")(1).split("]")(0)
+    assert(pf.contains("= en") || pf.contains("equal") || pf.toLowerCase.contains("en"), pf)
+  }
+
   test("tfidf keeps the df join off the cartesian path and bounds the window") {
     val p = plan("n41_tfidf_keywords")
     assert(!p.contains("CartesianProduct"), p)
