@@ -1709,6 +1709,62 @@ object SparkEntry {
                   / CAST(kth_min AS DOUBLE) END AS est_distinct
       FROM sk"""))),
 
+    // Cross-corpus resemblance from KMV sketches ALONE (the set-ops
+    // payoff of n40's sketch family): pairwise Jaccard between the
+    // langs' shingle sets estimated as
+    //   J(A,B) ≈ |bottomK(sk(A) ∪ sk(B)) ∩ sk(A) ∩ sk(B)| / K
+    // (Beyer et al. SIGMOD '07). At 100 TB each sub-corpus reduces to
+    // ONE 64-long sorted vector (n40's one-pass aggregate); this query
+    // then runs entirely on the G-row sketch table — the pairwise
+    // comparison never rescans the corpus, which is the whole point of
+    // keeping sketches. The pair join is a tiny self-join; the HOF
+    // arithmetic (sorted-merge, membership count) is exact integer
+    // work, and est = count/K is one exact double division, so the
+    // oracle reproduces it bit-for-bit from the same bottom-K sets.
+    "n42_kmv_resemblance" -> (((s: SparkSession, d: String) => {
+      val K = graft.functions.KmvAgg.K
+      val psk = slice(array_sort(array_distinct(transform(
+        graft.functions.Shingles.shingleSet(col("text"), 3),
+        x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
+        1, K)
+      val sk = Tables.documents(s, d)
+        .select(col("lang"), psk.as("psk"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.KmvAgg.union(col("psk")).as("sk"))
+      val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
+      val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, K).as("mk"),
+          col("ska"), col("skb"))
+        .select(col("lang_a"), col("lang_b"),
+          size(filter(col("mk"), x =>
+            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+            .cast("long").as("n_shared"),
+          (size(filter(col("mk"), x =>
+            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+            .cast("double") / lit(K).cast("double")).as("est_jaccard"))
+    }, Some(s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
+      hv AS (SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+             FROM sh GROUP BY 1, 2),
+      rk AS (SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hv),
+      sk AS (SELECT lang, list(h ORDER BY h) AS sk
+             FROM rk WHERE rk <= 64 GROUP BY 1),
+      pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+               a.sk AS ska, b.sk AS skb,
+               list_sort(list_distinct(a.sk || b.sk))[1:64] AS mk
+             FROM sk a JOIN sk b ON a.lang < b.lang)
+      SELECT lang_a, lang_b,
+        CAST(len(list_filter(mk, x -> list_contains(ska, x)
+                                  AND list_contains(skb, x))) AS BIGINT) AS n_shared,
+        CAST(len(list_filter(mk, x -> list_contains(ska, x)
+                                  AND list_contains(skb, x))) AS DOUBLE)
+          / CAST(64 AS DOUBLE) AS est_jaccard
+      FROM pr"""))),
+
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
     // raw-idf tf-idf) because ln() is not correctly-rounded IEEE and a

@@ -90,6 +90,35 @@ class KmvSpec extends AnyFunSuite {
     assert(s == b, s"stream $s != batch $b")
   }
 
+  test("n42 sketch resemblance tracks the true Jaccard of the shingle sets") {
+    // cross-engine exactness is the oracle's job; this pins the
+    // STATISTICS: the K=64 estimator must land within sampling error
+    // of the true Jaccard (stderr = sqrt(J(1-J)/K) <= 0.063, bound
+    // used: 4 sigma) — a wrong merge/intersection would blow this.
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("n42_kmv_resemblance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val truth = {
+      import graft.functions.Shingles
+      val sets = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("lang"), explode(Shingles.shingleSet(col("text"), 3)).as("s"))
+        .distinct().collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      for { a <- sets.keys; b <- sets.keys if a < b } yield {
+        val j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        (a, b) -> j
+      }
+    }.toMap
+    assert(est.keySet == truth.keySet, s"pair sets differ: ${est.keySet} vs ${truth.keySet}")
+    truth.foreach { case (pair, j) =>
+      val e = est(pair)
+      val tol = 4.0 * math.sqrt(j * (1 - j) / K) + 1.0 / K
+      assert(math.abs(e - j) <= tol,
+        s"$pair: estimate $e vs true $j (tol $tol)")
+    }
+  }
+
   test("batch plan keeps partial aggregation: one shuffle, sketch-width exchange") {
     val spark = SparkTestSession.spark
     val sf = "/root/testdata/sf0.001"
