@@ -575,6 +575,22 @@ object SparkEntry {
         FROM lineitem)
       GROUP BY l_returnflag, metric"""))),
 
+    // Generator/UDTF surface: posexplode — one row per array element
+    // WITH its ordinal, the lateral-view shape ETL uses to keep element
+    // order (token position, frame index) through the fan-out. Spark
+    // plans a Generate node (narrow, pipelined — no shuffle at any
+    // scale); the position filter bounds the fan-out per row. The
+    // DuckDB twin builds the ordinal with a lateral range join.
+    "a26_posexplode" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+        .where(col("pos") < 5)
+    }, Some(s"""
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS token
+      FROM (SELECT doc_id, $toksSql AS toks FROM documents), range(1, 6) t(i)
+      WHERE i <= len(toks)"""))),
+
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
@@ -1037,6 +1053,38 @@ object SparkEntry {
       SELECT source, count(*) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents WHERE lang = 'en' GROUP BY source"""))),
+
+    // Range-clustered sorted write — the data-layout step that makes a
+    // 100 TB table scannable: repartitionByRange on the cluster key +
+    // sortWithinPartitions gives files whose min/max key ranges are
+    // DISJOINT, so parquet footer stats (and any catalog's file-level
+    // stats) prune a key-range scan to the few files that can contain
+    // it. ClusteredWriteSpec proves the property the layout exists
+    // for: per-file [min,max] ranges don't overlap. The oracle
+    // aggregates the read-back, so the roundtrip is lossless; the
+    // range exchange samples the key to build balanced bounds —
+    // skew-robust where hash bucketing on a hot key is not.
+    "p24_clustered_write" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_clustered_write")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("string").as("sum_qty"),
+          min(col("l_shipdate")).cast("string").as("min_ship"),
+          max(col("l_shipdate")).cast("string").as("max_ship"))
+    }, Some("""
+      SELECT count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS sum_qty,
+        CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+        CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+      FROM lineitem
+      WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'"""))),
 
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
