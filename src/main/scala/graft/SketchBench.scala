@@ -20,21 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object SketchBench {
 
-  /** Sum a metric over all exchange nodes of an EXECUTED plan. */
-  private def exchangeMetric(plan: SparkPlan, key: String): Long = {
-    val p = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    p.collect { case n if n.nodeName.contains("Exchange") => n }
-      .flatMap(_.metrics.get(key).map(_.value)).sum
-  }
+  import BenchUtil.timed
 
-  private def timed[T](body: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = body
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  /** Sum a metric over all exchange nodes of an EXECUTED plan. */
+  private def exchangeMetric(plan: SparkPlan, key: String): Long =
+    BenchUtil.metricSum(plan, "Exchange", key)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(

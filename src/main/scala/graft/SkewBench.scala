@@ -35,11 +35,7 @@ object SkewBench {
     docs.withColumn("text", concat(col("text"), lit(" " + boiler)))
   }
 
-  private def timed[T](body: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = body
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import BenchUtil.timed
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -55,10 +51,22 @@ object SkewBench {
     val nDocs = clean.count()
 
     def run(name: String, docs: DataFrame, cap: Option[Int]): (Long, Long, Double) = {
-      val fanout = Dedup.jaccardJoinFanout(docs, "doc_id", "text", maxDf = cap)
-      val (pairs, sec) = timed {
-        Dedup.jaccardPairs(docs, "doc_id", "text", maxDf = cap).count()
-      }
+      // ONE execution per config: the fan-out (pre-aggregation joined
+      // rows) is read from the candidate join's numOutputRows metric of
+      // the run being timed, instead of paying for the quadratic join
+      // twice (jaccardJoinFanout remains the spec-facing exact count).
+      // The candidate join is the only INNER join in the plan — the
+      // maxDf cap adds a broadcast LEFT ANTI join whose posting-list
+      // output can exceed a small capped candidate count, so select on
+      // join type rather than max over all joins.
+      // collect(), not count(): count() builds its OWN QueryExecution,
+      // leaving df.queryExecution's metrics untouched — the inspected
+      // plan must be the executed one. Pair output is tiny (O(dups)).
+      val df = Dedup.jaccardPairs(docs, "doc_id", "text", maxDf = cap)
+      val (pairs, sec) = timed(df.collect().length.toLong)
+      val fanout = BenchUtil.metricMaxWhere(
+        df.queryExecution.executedPlan, "numOutputRows")(n =>
+        n.nodeName.contains("Join") && n.simpleString(Int.MaxValue).contains("Inner"))
       System.err.println(f"[skew] $name%-16s fanout=$fanout%12d pairs=$pairs%6d time=$sec%7.2fs")
       (fanout, pairs, sec)
     }

@@ -1722,23 +1722,23 @@ object SparkEntry {
     // est_distinct = (K-1)/U(K): one exact double multiply + divide,
     // identical IEEE ops on both engines.
     "n40_kmv_distinct" -> (((s: SparkSession, d: String) => {
-      val K = graft.functions.KmvAgg.K
-      val psk = slice(array_sort(array_distinct(transform(
-        graft.functions.Shingles.shingleSet(col("text"), 3),
-        x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
-        1, K)
+      import graft.functions.KmvAgg
       Tables.documents(s, d)
-        .select(col("lang"), psk.as("psk"))
+        .select(col("lang"), KmvAgg.partialSketch(col("text")).as("psk"))
         .rollup(col("lang"))
-        .agg(graft.functions.KmvAgg.union(col("psk")).as("sk"))
+        // grouping(), not nullness: a genuine NULL-lang group must stay
+        // NULL (as the oracle's GROUP BY emits it), only the rollup
+        // total row becomes 'ALL'. Empty sketches (a group whose docs
+        // all have < w tokens) are dropped on both sides — the SQL
+        // twin's unnest never produces such groups.
+        .agg(KmvAgg.union(col("psk")).as("sk"),
+          grouping(col("lang")).as("g"))
+        .where(size(col("sk")) > 0)
         .select(
-          coalesce(col("lang"), lit("ALL")).as("lang"),
-          size(col("sk")).cast("long").as("sketch_size"),
-          element_at(col("sk"), size(col("sk"))).as("kth_min"),
-          when(size(col("sk")) < K, size(col("sk")).cast("double"))
-            .otherwise(lit(K - 1).cast("double") * lit(1152921504606846976L).cast("double")
-              / element_at(col("sk"), size(col("sk"))).cast("double"))
-            .as("est_distinct"))
+          when(col("g") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          KmvAgg.sketchSize(col("sk")).as("sketch_size"),
+          KmvAgg.kthMin(col("sk")).as("kth_min"),
+          KmvAgg.estDistinct(col("sk")).as("est_distinct"))
     }, Some(s"""
       WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
       sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
@@ -1770,28 +1770,14 @@ object SparkEntry {
     // work, and est = count/K is one exact double division, so the
     // oracle reproduces it bit-for-bit from the same bottom-K sets.
     "n42_kmv_resemblance" -> (((s: SparkSession, d: String) => {
-      val K = graft.functions.KmvAgg.K
-      val psk = slice(array_sort(array_distinct(transform(
-        graft.functions.Shingles.shingleSet(col("text"), 3),
-        x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
-        1, K)
-      val sk = Tables.documents(s, d)
-        .select(col("lang"), psk.as("psk"))
-        .groupBy(col("lang"))
-        .agg(graft.functions.KmvAgg.union(col("psk")).as("sk"))
-      val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
-      val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
-      a.join(b, col("lang_a") < col("lang_b"))
-        .select(col("lang_a"), col("lang_b"),
-          slice(array_sort(array_union(col("ska"), col("skb"))), 1, K).as("mk"),
-          col("ska"), col("skb"))
-        .select(col("lang_a"), col("lang_b"),
-          size(filter(col("mk"), x =>
-            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
-            .cast("long").as("n_shared"),
-          (size(filter(col("mk"), x =>
-            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
-            .cast("double") / lit(K).cast("double")).as("est_jaccard"))
+      // sketch build and pair arithmetic live in StreamQueries
+      // (kmvAggPlan / kmvResemblance) — ONE definition shared with s15
+      // and KmvSpec, so the engine-identical-hash contract with the
+      // SQL below has a single Spark counterpart to drift from
+      graft.streaming.StreamQueries.kmvResemblance(
+        graft.streaming.StreamQueries
+          .kmvAggPlan(Tables.documents(s, d))
+          .where(size(col("sk")) > 0))
     }, Some(s"""
       WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
       sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
@@ -1810,7 +1796,7 @@ object SparkEntry {
                                   AND list_contains(skb, x))) AS BIGINT) AS n_shared,
         CAST(len(list_filter(mk, x -> list_contains(ska, x)
                                   AND list_contains(skb, x))) AS DOUBLE)
-          / CAST(64 AS DOUBLE) AS est_jaccard
+          / CAST(len(mk) AS DOUBLE) AS est_jaccard
       FROM pr"""))),
 
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions._
 
 /** Typed UDAF: KMV (k-minimum-values) distinct-cardinality sketch —
   * the group sketch is the K smallest DISTINCT hash values of the
@@ -74,6 +74,30 @@ object KmvAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     * where `psk` is the row's sorted-distinct partial sketch. */
   def union(partial: Column): Column =
     udaf(this, ExpressionEncoder[Seq[Long]]()).apply(partial)
+
+  /** The row-level partial sketch of a text column: the ≤K smallest
+    * distinct 60-bit md5-prefix hashes of its w-shingle set, sorted
+    * ascending — THE single definition shared by n40/n42/s15 and
+    * SketchBench, so the cross-engine hash contract (the DuckDB twin
+    * `('0x' || substr(md5(s),1,15))::BIGINT`) has exactly one Spark
+    * counterpart to drift from. */
+  def partialSketch(text: Column, w: Int = 3): Column =
+    slice(array_sort(array_distinct(transform(
+      Shingles.shingleSet(text, w),
+      x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
+      1, K)
+
+  /** Finished-sketch metrics (shared by every KMV query's projection).
+    * Callers must drop empty sketches first (`size(sk) > 0` — a group
+    * whose rows all had empty shingle sets); the SQL twins never emit
+    * such groups (their `unnest` produces no rows), and `kthMin` on an
+    * empty array would throw (array indices start at 1). */
+  def sketchSize(sk: Column): Column = size(sk).cast("long")
+  def kthMin(sk: Column): Column = element_at(sk, size(sk))
+  def estDistinct(sk: Column): Column =
+    when(size(sk) < K, size(sk).cast("double"))
+      .otherwise(lit(K - 1).cast("double") * lit(1152921504606846976L).cast("double")
+        / element_at(sk, size(sk)).cast("double"))
 
   /** The KMV estimate for a finished sketch (driver-side twin of the
     * in-plan expression; used by specs). */

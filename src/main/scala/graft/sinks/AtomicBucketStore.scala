@@ -26,9 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  2. the updated manifest is written to `MANIFEST.tmp` and renamed
   *     over `MANIFEST` with `ATOMIC_MOVE` (same directory ⇒ same
   *     filesystem ⇒ a single atomic rename syscall). The rename IS the
-  *     commit: a crash at any earlier point leaves the old manifest —
-  *     and therefore the old, fully-consistent bucket set — visible;
-  *     orphaned gen dirs are garbage, not corruption;
+  *     commit: a PROCESS crash at any earlier point leaves the old
+  *     manifest — and therefore the old, fully-consistent bucket set —
+  *     visible; orphaned gen dirs are garbage, not corruption. The
+  *     guarantee is scoped to process crashes: surviving OS/power loss
+  *     would additionally need fsync of the generation's data files and
+  *     the root directory before the rename (delayed allocation can
+  *     journal the rename before the data blocks land), which plain
+  *     `DataFrame.write.parquet` does not expose — a production
+  *     deployment gets that from the table format (Delta/Iceberg) or a
+  *     durable object store, not from this minimal core;
   *  3. only after the commit are the replaced bucket directories
   *     deleted (best-effort GC — a crash here leaves unreferenced
   *     files, again garbage not corruption).
@@ -122,10 +129,20 @@ object AtomicBucketStore {
         .toSet
       finally stream.close()
     }
-    val updated = readManifest(root) --
-      buckets.filterNot(present) ++ // touched, now empty → drop entry
-      present.map(b => b -> s"$gen/bucket=$b")
-    commit(root, updated)
+    if (present.isEmpty) {
+      // nothing written: an empty frame's gen dir holds only _SUCCESS
+      // and no manifest entry will ever reference it — delete it now,
+      // or a long-running stream of empty batches leaks one dir each.
+      // Touched-but-empty buckets still need their entries dropped.
+      graft.TempDirs.deleteRecursively(Paths.get(root, gen))
+      val updated = readManifest(root) -- buckets
+      if (buckets.nonEmpty) commit(root, updated)
+    } else {
+      val updated = readManifest(root) --
+        buckets.filterNot(present) ++ // touched, now empty → drop entry
+        present.map(b => b -> s"$gen/bucket=$b")
+      commit(root, updated)
+    }
     gen
   }
 }

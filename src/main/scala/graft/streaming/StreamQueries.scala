@@ -226,27 +226,46 @@ object StreamQueries {
     * stream, the identical plan (shared by s15 and KmvSpec's forced
     * 3-micro-batch drain). */
   private[graft] def kmvAggPlan(docs: DataFrame): DataFrame = {
-    import graft.functions.{KmvAgg, Shingles}
-    val psk = slice(array_sort(array_distinct(transform(
-      Shingles.shingleSet(col("text"), 3),
-      x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")))),
-      1, KmvAgg.K)
-    docs.select(col("lang"), psk.as("psk"))
+    import graft.functions.KmvAgg
+    docs.select(col("lang"), KmvAgg.partialSketch(col("text")).as("psk"))
       .groupBy(col("lang"))
       .agg(KmvAgg.union(col("psk")).as("sk"))
   }
 
-  /** Finishing projection: sketch → (size, kth smallest, estimate). */
-  private[graft] def kmvFinish(sk: DataFrame): DataFrame = {
+  /** Pairwise resemblance of finished sketches (n42's core, shared
+    * with KmvSpec's small-union exactness test): for each unordered
+    * group pair, J ≈ |bottomK(skA ∪ skB) ∩ skA ∩ skB| / |bottomK(...)|.
+    * The divisor is the MERGED sketch's size, not the fixed K: when the
+    * union holds fewer than K distinct hashes the sketches are complete
+    * and the estimate equals the exact Jaccard. */
+  private[graft] def kmvResemblance(sk: DataFrame): DataFrame = {
     val K = graft.functions.KmvAgg.K
-    sk.select(
-      col("lang"),
-      size(col("sk")).cast("long").as("sketch_size"),
-      element_at(col("sk"), size(col("sk"))).as("kth_min"),
-      when(size(col("sk")) < K, size(col("sk")).cast("double"))
-        .otherwise(lit(K - 1).cast("double") * lit(1152921504606846976L).cast("double")
-          / element_at(col("sk"), size(col("sk"))).cast("double"))
-        .as("est_distinct"))
+    val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
+    val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, K).as("mk"),
+        col("ska"), col("skb"))
+      .select(col("lang_a"), col("lang_b"),
+        size(filter(col("mk"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("long").as("n_shared"),
+        (size(filter(col("mk"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("double") / size(col("mk")).cast("double")).as("est_jaccard"))
+  }
+
+  /** Finishing projection: sketch → (size, kth smallest, estimate).
+    * Drops empty-sketch groups (all-short-doc langs) — the SQL twin's
+    * `unnest` never produces them, and kthMin on [] would throw. */
+  private[graft] def kmvFinish(sk: DataFrame): DataFrame = {
+    import graft.functions.KmvAgg
+    sk.where(size(col("sk")) > 0)
+      .select(
+        col("lang"),
+        KmvAgg.sketchSize(col("sk")).as("sketch_size"),
+        KmvAgg.kthMin(col("sk")).as("kth_min"),
+        KmvAgg.estDistinct(col("sk")).as("est_distinct"))
   }
 
   /** Exact content dedup as a STREAM (n01's streaming twin): state

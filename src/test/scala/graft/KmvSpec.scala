@@ -119,6 +119,40 @@ class KmvSpec extends AnyFunSuite {
     }
   }
 
+  test("resemblance on sub-K unions is the EXACT Jaccard (divisor = |mk|, not K)") {
+    // when the union has fewer than K distinct hashes the sketches are
+    // complete: dividing by the fixed K would bias low exactly when
+    // full information is present (review r8 finding)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val sk = Seq(
+      ("a", Seq(1L, 2L, 3L, 4L, 5L)),
+      ("b", Seq(3L, 4L, 5L, 6L)),
+      ("c", Seq(10L, 11L))).toDF("lang", "sk")
+    val got = StreamQueries.kmvResemblance(sk).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == ((3L, 3.0 / 6.0)))  // {3,4,5} / {1..6}
+    assert(got(("a", "c")) == ((0L, 0.0)))
+    assert(got(("b", "c")) == ((0L, 0.0)))
+  }
+
+  test("empty-sketch groups are dropped, not crashed on (kthMin of [])") {
+    // a lang whose docs all have < 3 tokens yields an empty shingle set
+    // per row and an empty group sketch; the finish must drop the group
+    // (the SQL twin's unnest never emits it), not evaluate
+    // element_at(sk, 0)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      ("short", "one two"),            // < w tokens -> empty sketch
+      ("short", "a b"),
+      ("full", "alpha beta gamma delta eps")).toDF("lang", "text")
+    val out = StreamQueries.kmvFinish(StreamQueries.kmvAggPlan(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("full"), s"expected only 'full', got $out")
+    assert(out("full") == 3L) // 5 tokens -> 3 distinct shingles
+  }
+
   test("batch plan keeps partial aggregation: one shuffle, sketch-width exchange") {
     val spark = SparkTestSession.spark
     val sf = "/root/testdata/sf0.001"
