@@ -1086,6 +1086,38 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'"""))),
 
+    // Schema evolution across parquet generations — the drift every
+    // long-lived 100 TB table accumulates: an early generation written
+    // without a column, a later one with it. mergeSchema unions the
+    // footer schemas at planning time and null-fills the missing
+    // column in old files; the aggregate observes exactly which rows
+    // carried it. The oracle recomputes the same null-filling rule
+    // from the generation predicate, so a regression in the merged
+    // read (dropped column, wrong fill, lost rows) breaks the hash.
+    // At scale, schema merging is a planning-time footer operation —
+    // per-file, parallel, no data read — so the pattern costs nothing
+    // at query time beyond the null-check the data demands anyway.
+    "p25_schema_evolution" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_schema_evo")
+      val docs = Tables.documents(s, d)
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_with_source"),
+          sum(col("n_chars")).as("sum_chars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+        count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang"""))),
+
     // O14/O15: deterministic id — md5-based uuid-v3 bit layout (namespace-
     // free variant of kafka_s.py:460-468; RFC namespace form is golden-
     // tested in Uuid3Spec against CPython uuid.uuid3).
