@@ -591,6 +591,73 @@ object SparkEntry {
       FROM (SELECT doc_id, $toksSql AS toks FROM documents), range(1, 6) t(i)
       WHERE i <= len(toks)"""))),
 
+    // Correlated LATERAL subquery (top-k-per-key without a window-
+    // function rewrite in user code): each customer's 2 most recent
+    // orders. Catalyst decorrelates the LIMIT-bearing lateral into a
+    // ranked join — one shuffle on the correlation key at any scale,
+    // never a per-outer-row re-scan of orders. Ties broken by the
+    // unique o_orderkey so the row set is deterministic.
+    "a27_lateral_topk" -> (((s: SparkSession, d: String) => {
+      Tables.customer(s, d).where(col("c_custkey") < 500)
+        .createOrReplaceTempView("cust_a27")
+      Tables.orders(s, d).createOrReplaceTempView("ord_a27")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(CAST(t.o_totalprice AS DECIMAL(28,6)) AS STRING) AS price
+        FROM cust_a27 c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM ord_a27 o WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                 LIMIT 2) t""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey,
+             CAST(CAST(t.o_totalprice AS DECIMAL(28,6)) AS VARCHAR) AS price
+      FROM (SELECT * FROM customer WHERE c_custkey < 500) c,
+      LATERAL (SELECT o_orderkey, o_totalprice
+               FROM orders o WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               LIMIT 2) t"""))),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a generated month spine
+    // over a fixed calendar window, LEFT-joined to per-month order
+    // counts — the calendar-dimension + gap-fill idiom without any
+    // physical date table. Orders are aggregated FIRST (one shuffle to
+    // ≤ one row per month), then the ~90-row spine joins that tiny
+    // aggregate — at 100 TB the recursion cost is constant and the
+    // only data-sized cost is the single month groupBy. Months after
+    // the fixture's last order surface with n_orders = 0.
+    "a28_recursive_cte" -> (((s: SparkSession, d: String) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_a28")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months WHERE m < DATE '2002-06-01'
+        ),
+        mc AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n
+          FROM ord_a28 GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS ym,
+               coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+        FROM months LEFT JOIN mc ON mc.m = months.m""")
+    }, Some("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2002-06-01'
+      ),
+      mc AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n
+        FROM orders GROUP BY 1
+      )
+      SELECT strftime(months.m, '%Y-%m') AS ym,
+             coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+      FROM months LEFT JOIN mc ON mc.m = months.m"""))),
+
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
