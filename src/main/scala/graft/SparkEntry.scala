@@ -1898,6 +1898,41 @@ object SparkEntry {
           / CAST(len(mk) AS DOUBLE) AS est_jaccard
       FROM pr"""))),
 
+    // Count-min heavy hitters: frequency estimates from a depth×width
+    // counter sketch (CountMin.scala scaladoc for the scale contract —
+    // the build shuffle is bounded at depth×width rows per map task at
+    // ANY input size). est ≥ exact always; width 32 vs the 31-token
+    // fixture vocab forces real collisions so the bias is exercised.
+    // Exact counts ride along to make the overestimate visible — at
+    // 100 TB you'd keep only the sketch and drop the exact branch.
+    "n43_cms_heavy_hitters" -> (((s: SparkSession, d: String) => {
+      import graft.functions.CountMin
+      val occ = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val sk = CountMin.sketch(occ, depth = 3, width = 32)
+      val exact = occ.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      CountMin.estimate(exact.select(col("tok")), sk, depth = 3, width = 32)
+        .join(exact, "tok")
+        .where(col("est") >= 500)
+    }, Some(s"""
+      WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+      sk AS (
+        SELECT i, (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 32) AS b,
+               count(*) AS c
+        FROM occ CROSS JOIN range(0, 3) t(i)
+        GROUP BY 1, 2),
+      exact AS (SELECT tok, count(*) AS exact FROM occ GROUP BY 1),
+      est AS (
+        SELECT e.tok, min(sk.c) AS est
+        FROM exact e CROSS JOIN range(0, 3) t(i)
+        JOIN sk ON sk.i = t.i
+          AND sk.b = (('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || e.tok), 1, 8))::BIGINT % 32)
+        GROUP BY 1)
+      SELECT est.tok AS tok, CAST(est AS BIGINT) AS est,
+             CAST(exact AS BIGINT) AS exact
+      FROM est JOIN exact ON est.tok = exact.tok
+      WHERE est >= 500"""))),
+
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
     // raw-idf tf-idf) because ln() is not correctly-rounded IEEE and a
