@@ -2002,6 +2002,39 @@ object SparkEntry {
         CAST(max(overlap) AS BIGINT) AS overlap
       FROM hits GROUP BY doc"""))),
 
+    // Bloom-filter decontamination — n31's bounded-memory twin: the
+    // benchmark shingle set becomes a ≤1024-row broadcast position set
+    // (Bloom.scala scaladoc for the scale contract) instead of a
+    // shingle equi-join side. One row per corpus doc with ≥1 distinct
+    // shingle the filter may-contain; no false negatives, and the
+    // deterministic md5 hash rows make the false positives themselves
+    // bit-reproducible in the DuckDB oracle.
+    "n44_bloom_decontaminate" -> (((s: SparkSession, d: String) => {
+      import graft.functions.Bloom
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.shingleSet(col("text"))).as("item"))
+      val bench = sh.where(col("doc_id") <= 20).select(col("item")).distinct()
+      val pos = Bloom.build(bench, k = 3, m = 1024)
+      val probe = sh.where(col("doc_id") > 20)
+      Bloom.mayContain(probe, pos, k = 3, m = 1024)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($ssetSql) AS s
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id <= 20),
+      pos AS (SELECT DISTINCT
+                (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024) AS p
+              FROM bench CROSS JOIN range(0, 3) t(j)),
+      hits AS (SELECT doc_id, s, count(*) AS h
+               FROM (SELECT doc_id, s FROM sh WHERE doc_id > 20) probe
+               CROSS JOIN range(0, 3) t(j)
+               JOIN pos ON pos.p =
+                 (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024)
+               GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits WHERE h = 3 GROUP BY 1"""))),
+
     // Text cleaning / PII-style redaction — the scrub step every
     // training corpus passes through: mask email-shaped tokens and long
     // digit runs, normalize whitespace, report counts. Patterns use

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bloom
+
+/** Bloom filter contract (n44): no false negatives ever; false
+  * positives exist at high fill (they are the design trade) and are
+  * deterministic run-to-run; filter size is bounded by m.
+  */
+class BloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val K = 2
+  private val M = 64
+
+  // 40 inserts × k=2 into 64 bits → ~72% fill → FP rate ≈ 0.5: false
+  // positives are certain over 100 probes, universal passage is not
+  private def inserted = (1 to 40).map(i => s"in$i").toDF("item")
+  private def fresh = (1 to 100).map(i => s"out$i").toDF("item")
+
+  test("no false negatives: every inserted item is found") {
+    val pos = Bloom.build(inserted, K, M)
+    val found = Bloom.mayContain(inserted, pos, K, M).count()
+    assert(found == 40)
+  }
+
+  test("false positives exist at 40 inserts / 64 bits and are deterministic") {
+    val pos = Bloom.build(inserted, K, M)
+    val fp1 = Bloom.mayContain(fresh, pos, K, M).as[String].collect().sorted
+    assert(fp1.nonEmpty, "a ~72%-full filter must yield false positives")
+    assert(fp1.length < 100, "not everything may pass — hash rows broken?")
+    val fp2 = Bloom.mayContain(fresh, pos, K, M).as[String].collect().sorted
+    assert(fp1.sameElements(fp2), "false positives must be deterministic")
+  }
+
+  test("filter is bounded by m positions regardless of insert count") {
+    val pos = Bloom.build(inserted, K, M)
+    assert(pos.count() <= M)
+    val range = pos.agg(min($"p"), max($"p")).head()
+    assert(range.getLong(0) >= 0 && range.getLong(1) < M)
+  }
+
+  test("probe keeps the probe frame's columns (doc_id rides through)") {
+    val pos = Bloom.build(inserted, K, M)
+    val probe = Seq((7L, "in1"), (8L, "in2")).toDF("doc_id", "item")
+    val out = Bloom.mayContain(probe, pos, K, M).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(7L, 8L)))
+  }
+}
