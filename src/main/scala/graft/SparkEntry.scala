@@ -1933,6 +1933,51 @@ object SparkEntry {
       FROM est JOIN exact ON est.tok = exact.tok
       WHERE est >= 500"""))),
 
+    // PMI collocation extraction (Church & Hanks, CL 1990): adjacent
+    // bigrams whose observed count exceeds the independence expectation
+    // — PMI > 0 ⟺ c_xy·N > c_x·c_y, kept as EXACT integer cross-
+    // multiplication (a log would hand the compare to libm rounding;
+    // same trick as n41's log-free idf). Support floor c_xy ≥ 5.
+    // Three bounded shuffles at any scale: bigram counts (vocab² keys
+    // max), unigram counts (vocab keys), and the vocab-sized joins that
+    // AQE broadcasts while small; the 1-row N is an explicit broadcast.
+    "n45_pmi_collocations" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val toks = Text.tokens(col("text"))
+      val bgArr = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bg = docs.select(explode(bgArr).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val occ = docs.select(explode(toks).as("tok"))
+      val cx = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = occ.agg(count(lit(1)).as("n_tok"))
+      cxy
+        .join(cx.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+        .join(cx.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(n))
+        .where(col("c_xy") >= 5 && col("c_xy") * col("n_tok") > col("c_x") * col("c_y"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"))
+    }, Some(s"""
+      WITH d AS (SELECT $toksSql AS toks FROM documents),
+      bg0 AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                ELSE CAST([] AS VARCHAR[]) END) AS b FROM d),
+      bg AS (SELECT string_split(b, ' ')[1] AS w1,
+                    string_split(b, ' ')[2] AS w2 FROM bg0),
+      cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+      occ AS (SELECT unnest(toks) AS tok FROM d),
+      cx AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+      n AS (SELECT count(*) AS n_tok FROM occ)
+      SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+             CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y
+      FROM cxy JOIN cx x ON cxy.w1 = x.tok
+               JOIN cx y ON cxy.w2 = y.tok CROSS JOIN n
+      WHERE c_xy >= 5 AND c_xy * n_tok > x.c * y.c"""))),
+
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
     // raw-idf tf-idf) because ln() is not correctly-rounded IEEE and a
