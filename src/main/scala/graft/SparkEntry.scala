@@ -2709,6 +2709,24 @@ object SparkEntry {
                   / CAST(kth_min AS DOUBLE) END AS est_distinct
       FROM sk"""))),
 
+    // s03's bounded-state twin: dropDuplicatesWithinWatermark evicts
+    // dedup state past the watermark horizon (StreamQueries scaladoc);
+    // delay covers the fixture span, so the drained result is exact
+    // first-per-key dedup and the s03 oracle applies unchanged.
+    "s16_stream_dedup_wm" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamDedupWithinWatermark(s, d)
+    }, Some("SELECT DISTINCT user_id, event_type FROM events"))),
+
+    // Spark 4 transformWithState surface (s17): per-user event-type
+    // census in composite MapState under the RocksDB provider — the
+    // typed-state successor to s04's flatMapGroupsWithState.
+    "s17_stream_type_census" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamTypeCensus(s, d)
+    }, Some("""
+      SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id"""))),
+
     // n01's streaming twin: exact content dedup with digest-keyed
     // state across micro-batches, counts per lang after the drain.
     "s12_stream_doc_dedup" -> (((s: SparkSession, d: String) => {

@@ -568,4 +568,101 @@ object StreamQueries {
       q.awaitTermination()
       spark.read.parquet(s"$out/data")
     } }
+
+  /** Watermark-bounded streaming dedup (s16):
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once
+    * the watermark passes its event time + delay — the bounded-state
+    * form of [[streamDedup]] (s03), whose state otherwise grows with
+    * every key ever seen. At 100 TB the delay is sized to the real
+    * out-of-orderness (state = keys within the horizon, not all
+    * history); here the delay covers the fixture's whole event-time
+    * span, so every duplicate lands inside the window and the result
+    * is EXACTLY first-per-key dedup — which is what the SQL oracle
+    * checks. Emitted columns are the keys only, so the result is
+    * insensitive to which physical duplicate arrived first. */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "append")
+
+  /** Scoped session-conf override (restores prior value or unsets). */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** s17 emission: cumulative per-user census after each micro-batch. */
+  final case class TypeCensus(user_id: Long, n_types: Long, n_events: Long)
+
+  /** Per-user event-type census on the transformWithState API (s17) —
+    * Spark 4's arbitrary-state successor to flatMapGroupsWithState
+    * (s04), with typed composite state primitives instead of one opaque
+    * case-class blob. State here is a MapState[type → count]: per-key
+    * it is bounded by the event-type cardinality (5 in the fixture),
+    * and the runtime persists EACH map entry as its own state-store row
+    * — an update touches one entry, not a reserialized whole map, which
+    * is the point at 100 TB where per-user maps can be wide. Requires
+    * the RocksDB state-store provider (scoped override below; the
+    * HDFS-backed default does not implement the TWS column families).
+    *
+    * Emissions are cumulative (count and distinct-size are monotone),
+    * so a batch-side max reduces any micro-batching to the final
+    * census — deterministic under arbitrary file splits, like s04. */
+  def streamTypeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val emitted = withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val ev = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      runToTable(spark,
+        ev.groupByKey(_._1)
+          .transformWithState(new TypeCensusProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF(),
+        "append")
+    }
+    emitted.groupBy(col("user_id"))
+      .agg(max(col("n_types")).as("n_types"),
+        max(col("n_events")).as("n_events"))
+  }
+}
+
+/** s17's stateful processor: MapState[event_type → running count];
+  * emits the key's cumulative census once per micro-batch it appears
+  * in. Top-level class — the driver serializes the processor instance
+  * into the streaming plan. */
+final class TypeCensusProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), StreamQueries.TypeCensus] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[StreamQueries.TypeCensus] = {
+    rows.foreach { case (_, t) =>
+      val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, cur + 1L)
+    }
+    var nTypes = 0L
+    var nEvents = 0L
+    counts.iterator().foreach { case (_, c) => nTypes += 1; nEvents += c }
+    Iterator.single(StreamQueries.TypeCensus(key, nTypes, nEvents))
+  }
 }
