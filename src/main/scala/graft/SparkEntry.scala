@@ -74,6 +74,47 @@ object SparkEntry {
   private def foldSql(terms: Seq[String]): String =
     terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
 
+  /** Deterministic fast sum for INTERMEDIATE statistics (a19): decimal
+    * aggregation is ~8× slower than primitive sums (measured: 2.1 s vs
+    * 0.26 s over sf0.1 lineitem), so where the decimal RENDER contract
+    * doesn't apply (output is a double statistic, not a decimal
+    * string), sum in micro-units split into two overflow-safe long
+    * sums instead:
+    *   v  = floor(x·10⁶ + 0.5)  (integral double; = HALF_UP for the
+    *                             positive inputs — floor, NOT round:
+    *                             Spark's round allocates a BigDecimal
+    *                             per call, floor is a codegen intrinsic
+    *                             — measured 1.47 s vs 0.93 s for a19)
+    *   vl = pmod(v, 10⁹)        (= C fmod for v ≥ 0 — integral < 10⁹)
+    *   vh = floor((v−vl)/10⁹ + 0.5)  (integral ≤ ~10⁷ per row)
+    *   Σ  = (Σvh·10⁹ + Σvl)/10⁶ (reassembled in double)
+    * Longs sum in whole-stage codegen at primitive speed; the hi part
+    * keeps Σvl ≤ rows·10⁹ and Σvh ≤ rows·10⁷ — no overflow until
+    * ~10⁹ rows PER GROUP PER ENGINE, and at that scale the same split
+    * inserts another level. Every step is a single IEEE operation
+    * (product, fmod, subtract, divide) that DuckDB evaluates on the
+    * same doubles — [[xsumSql]] is the mechanical twin, so results are
+    * bit-identical even where v exceeds 2⁵³ and the scaled value
+    * itself is rounded. Integral-valued doubles also make the final
+    * long casts agree (Spark truncates, DuckDB rounds — equal only
+    * because the fractional part is exactly zero). */
+  private def xsum(x: Column): Column = {
+    val v = floor(x * 1000000.0 + 0.5)
+    val vl = pmod(v, lit(1.0e9))
+    val vh = floor((v - vl) / 1.0e9 + 0.5)
+    (sum(vh.cast("long")).cast("double") * 1.0e9 +
+      sum(vl.cast("long")).cast("double")) / 1.0e6
+  }
+
+  /** DuckDB twin of [[xsum]] — same expression shape, same IEEE ops. */
+  private def xsumSql(e: String): String = {
+    val v = s"floor(($e) * 1000000.0 + 0.5)"
+    val vl = s"fmod($v, 1.0e9)"
+    val vh = s"floor(($v - $vl) / 1.0e9 + 0.5)"
+    s"((CAST(sum(CAST($vh AS BIGINT)) AS DOUBLE) * 1.0e9 + " +
+      s"CAST(sum(CAST($vl AS BIGINT)) AS DOUBLE)) / 1.0e6)"
+  }
+
   /** Unrolled cosine(embedding, queryVec) for the DuckDB oracle. */
   private def annCosSql: String = {
     val dot = foldSql((1 to 64).map(i =>
@@ -847,24 +888,32 @@ object SparkEntry {
     // engines, unlike DuckDB's direct decimal→double cast) with the
     // formula written identically on both sides. Built-in stddev/corr
     // would float-accumulate in engine-specific order — hash-unstable.
+    // Moment sums use xsum (split scaled-long), NOT decimal: decimal
+    // aggregation is ~8x slower than long/double sums (measured 2.1 s
+    // vs 0.26 s over sf0.1 lineitem — r8 perf note in BASELINE.md), and
+    // a19's decimal sums were only INTERMEDIATE (outputs are doubles),
+    // so the decimal render contract never applied. xsum keeps the
+    // cross-engine determinism a different way: micro-unit scaling,
+    // hi/lo 64-bit split, and a fixed IEEE expression shape that DuckDB
+    // evaluates bit-identically (xsumSql is the mechanical twin).
     "a19_stats_moments" -> (((s: SparkSession, d: String) => {
-      def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("string").cast("double")
       val n = count(lit(1))
       val q = col("l_quantity")
       val p = col("l_extendedprice")
+      def S(c: Column) = xsum(c)
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
         n.as("n"),
-        (dsum(q) / n).as("mean_qty"),
-        ((dsum(q * q) - dsum(q) * dsum(q) / n) / (n - lit(1))).as("var_qty"),
-        ((dsum(q * p) - dsum(q) * dsum(p) / n) /
-          (sqrt(dsum(q * q) - dsum(q) * dsum(q) / n) *
-           sqrt(dsum(p * p) - dsum(p) * dsum(p) / n))).as("corr_qty_price"))
+        (S(q) / n).as("mean_qty"),
+        ((S(q * q) - S(q) * S(q) / n) / (n - lit(1))).as("var_qty"),
+        ((S(q * p) - S(q) * S(p) / n) /
+          (sqrt(S(q * q) - S(q) * S(q) / n) *
+           sqrt(S(p * p) - S(p) * S(p) / n))).as("corr_qty_price"))
     }, Some {
-      def dsum(e: String) = s"CAST(CAST(sum(CAST($e AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
       val q = "l_quantity"
-      val qq = dsum(s"$q*$q"); val q1 = dsum(q)
-      val pp = dsum("l_extendedprice*l_extendedprice"); val p1 = dsum("l_extendedprice")
-      val qp = dsum(s"$q*l_extendedprice")
+      val qq = xsumSql(s"$q*$q"); val q1 = xsumSql(q)
+      val pp = xsumSql("l_extendedprice*l_extendedprice")
+      val p1 = xsumSql("l_extendedprice")
+      val qp = xsumSql(s"$q*l_extendedprice")
       s"""
       SELECT l_returnflag, count(*) AS n,
         $q1 / count(*) AS mean_qty,
