@@ -1202,6 +1202,21 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'"""))),
 
+    // Small-file compaction (Compaction.scala scaladoc): 64 tiny files
+    // → measured-bytes-sized output via a zero-shuffle coalesce
+    // rewrite; the oracle checks full row fidelity through both
+    // round trips. CompactionSpec pins the file-count mechanics.
+    "p26_compact_small_files" -> (((s: SparkSession, d: String) => {
+      import graft.operators.Compaction
+      val root = TempDirs.create("graft_compact")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .repartition(64).write.mode("overwrite").parquet(s"$root/small")
+      Compaction.compact(s, s"$root/small", s"$root/compacted",
+        targetBytes = 4L << 20)
+      s.read.parquet(s"$root/compacted")
+        .select(col("doc_id"), col("lang"), col("text"))
+    }, Some("SELECT doc_id, lang, text FROM documents"))),
+
     // Schema evolution across parquet generations — the drift every
     // long-lived 100 TB table accumulates: an early generation written
     // without a column, a later one with it. mergeSchema unions the
@@ -2026,6 +2041,25 @@ object SparkEntry {
       FROM cxy JOIN cx x ON cxy.w1 = x.tok
                JOIN cx y ON cxy.w2 = y.tok CROSS JOIN n
       WHERE c_xy >= 5 AND c_xy * n_tok > x.c * y.c"""))),
+
+    // Directed containment pairs (Dedup.containmentPairs scaladoc):
+    // the quote/subset detector — C(A→B) = |A∩B|/|A| ≥ 0.9 as exact
+    // integer cross-multiplication. Unlike the jaccard family's
+    // all-pairs oracles, containment's DuckDB twin is the SAME linear
+    // inverted-index join, so it runs unsampled at every SF.
+    "n46_containment" -> (((s: SparkSession, d: String) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest($ssetSql) AS s FROM d),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+      SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+             CAST(sz.n AS INT) AS a_n
+      FROM ov JOIN sz ON sz.doc_id = ov.a_id
+      WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""))),
 
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as

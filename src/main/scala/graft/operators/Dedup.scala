@@ -109,6 +109,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ threshold —
+    * the quote/subset detector jaccard misses by construction: a
+    * 50-token eval question embedded verbatim in a 10k-token document
+    * has jaccard ≈ 0.005 but containment 1.0. Same inverted-index
+    * equi-join as [[jaccardPairs]] (ONE wide shuffle on the shingle;
+    * never all-pairs), but DIRECTED: both (a→b) and (b→a) are tested,
+    * no length filter can prune (containment is unbounded by size
+    * ratio), and the denominator is the SOURCE set alone, so the
+    * threshold is an exact integer cross-multiplication
+    * (inter·10 ≥ n_src·9 for 0.9) — no float at all. `minSet` drops
+    * sub-w·minSet-token fragments whose containment is trivially 1. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      w: Int = 3, num: Int = 9, den: Int = 10,
+      minSet: Int = 5): DataFrame = {
+    val inv = invertedIndex(sizedSets(docs, id, text, w), None)
+    val a = inv.as("a")
+    val b = inv.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.did") =!= col("b.did"))
+      .groupBy(col("a.did").as("a_id"), col("b.did").as("b_id"),
+        col("a.n").as("a_n"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("a_n") >= minSet && col("inter") * den >= col("a_n") * num)
+      .select(col("a_id"), col("b_id"), col("inter"), col("a_n"))
+  }
+
   /** Diagnostic twin of [[jaccardPairs]]: the number of rows the
     * shingle equi-join materializes BEFORE aggregation — the direct
     * measure of skew blow-up (each shingle with document frequency df
