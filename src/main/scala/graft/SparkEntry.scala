@@ -2061,6 +2061,46 @@ object SparkEntry {
       FROM ov JOIN sz ON sz.doc_id = ov.a_id
       WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""))),
 
+    // Sliding-window document chunking (32-token chunks, stride 24 —
+    // 8-token overlap): the context-window prep step between cleaning
+    // and packing (n28 packs whole docs; real pipelines chunk long docs
+    // first so no sample straddles the model's context). Pure
+    // per-row generator — transform+sequence then ONE explode, no
+    // shuffle at any scale; chunk count per doc is
+    // max(⌈(n−C)/S⌉+1, 1), so the tail chunk is short rather than
+    // dropped (no token is lost). chunk_id keys the output fully.
+    "n47_chunk_overlap" -> (((s: SparkSession, d: String) => {
+      val C = 32
+      val S = 24
+      val toks = Text.tokens(col("text"))
+      val n = size(toks)
+      val nch = when(n > 0,
+        greatest(ceil((n - lit(C)).cast("double") / S).cast("int") + 1, lit(1)))
+        .otherwise(lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), nch.as("nch"))
+        .select(col("doc_id"), explode(
+          // guard: sequence(0, -1) would DESCEND ([0,-1]), emitting two
+          // phantom chunks for an empty doc — empty array instead
+          when(col("nch") > 0,
+            transform(sequence(lit(0), col("nch") - 1),
+              i => struct(i.as("chunk_id"),
+                concat_ws(" ", slice(col("toks"), i * S + 1, lit(C))).as("chunk"))))
+            .otherwise(array().cast("array<struct<chunk_id:int,chunk:string>>")))
+          .as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) > 0
+                THEN GREATEST(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1, 1)
+                ELSE 0 END AS nch
+            FROM d)
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(toks[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk
+      FROM c CROSS JOIN range(0, 1000) t(i)
+      WHERE i < nch"""))),
+
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
     // raw-idf tf-idf) because ln() is not correctly-rounded IEEE and a
@@ -2809,6 +2849,17 @@ object SparkEntry {
       SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY user_id"""))),
+
+    // Streaming global top-k (StreamQueries.streamTopUsers scaladoc):
+    // complete-mode agg + sort + limit — p11's streaming twin.
+    "s18_stream_topk" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamTopUsers(s, d)
+    }, Some("""
+      SELECT user_id, CAST(n AS BIGINT) AS n FROM (
+        SELECT user_id, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id)
+      WHERE rk <= 5"""))),
 
     // n01's streaming twin: exact content dedup with digest-keyed
     // state across micro-batches, counts per lang after the drain.

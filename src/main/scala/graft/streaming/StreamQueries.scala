@@ -636,6 +636,21 @@ object StreamQueries {
       .agg(max(col("n_types")).as("n_types"),
         max(col("n_events")).as("n_events"))
   }
+
+  /** Streaming global top-k (s18): running top-5 users by event count.
+    * Complete-mode aggregation + sort + limit — the one output shape
+    * where Structured Streaming allows a global sort, because the
+    * complete result is re-emitted per micro-batch and the sort runs
+    * over the AGGREGATED state (≤ distinct keys, a TakeOrdered over
+    * k rows at the driver — never over the raw stream). Ties broken by
+    * user_id so the k-boundary is deterministic. */
+  def streamTopUsers(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    runToTable(spark,
+      eventsStream(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(k),
+      "complete")
 }
 
 /** s17's stateful processor: MapState[event_type → running count];
