@@ -2183,8 +2183,12 @@ object SparkEntry {
         .select(col("doc_id"), explode(Text.shingleSet(col("text"))).as("item"))
       val bench = sh.where(col("doc_id") <= 20).select(col("item")).distinct()
       val pos = Bloom.build(bench, k = 3, m = 1024)
-      val probe = sh.where(col("doc_id") > 20)
-      Bloom.mayContain(probe, pos, k = 3, m = 1024)
+      // packed-bitset probe (mayContainExpr scaladoc): the corpus side
+      // pays one codegen'd predicate per shingle — no ×k explode, no
+      // join; the only shuffle left is the per-doc count
+      Tables.documents(s, d).where(col("doc_id") > 20)
+        .select(col("doc_id"), explode(Text.shingleSet(col("text"))).as("item"))
+        .where(Bloom.mayContainExpr(pos, k = 3, m = 1024, col("item")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     }, Some(s"""
       WITH sh AS (

@@ -37,9 +37,11 @@ object Bloom {
       .select(bitPos(col("j"), col(item), m).as("p"))
       .distinct()
 
-  /** Probe: rows of `probe` whose `item` has ALL k bit positions set
-    * (the Bloom may-contain test — no false negatives; false positives
-    * at the documented rate). Keeps `probe`'s columns. */
+  /** Probe (relational form): rows of `probe` whose `item` has ALL k
+    * bit positions set (the Bloom may-contain test — no false
+    * negatives; false positives at the documented rate). Keeps
+    * `probe`'s columns. Kept as the join-shaped reference semantics;
+    * the hot path is [[mayContainExpr]]. */
   def mayContain(probe: DataFrame, filterPos: DataFrame, k: Int, m: Int,
                  item: String = "item"): DataFrame = {
     val keep = probe.columns.map(col).toSeq
@@ -51,5 +53,31 @@ object Bloom {
       .agg(count(lit(1)).as("bloom_hits"))
       .where(col("bloom_hits") === k)
       .drop("bloom_hits")
+  }
+
+  /** Probe (packed-bitset form — the production shape): collect the
+    * ≤m set positions into an m-bit literal of m/64 longs and return a
+    * PREDICATE COLUMN — true iff all k hash bits are set. The collect
+    * is bounded by the filter width m (a design constant, like the s10
+    * sink's ≤16-bucket prune list — never data-sized), and the probe
+    * side then pays pure codegen'd bit arithmetic: NO join, NO
+    * explode×k row inflation, NO pre-group shuffle. `shiftright` goes
+    * through call_function because the Scala wrapper only accepts a
+    * literal shift, while the underlying expression takes a column.
+    * BloomSpec pins expr ≡ join-form row-for-row. */
+  def mayContainExpr(filterPos: DataFrame, k: Int, m: Int, item: Column): Column = {
+    val words = Array.ofDim[Long]((m + 63) / 64)
+    filterPos.collect().foreach { r =>
+      val p = r.getLong(0).toInt
+      words(p >> 6) |= 1L << (p & 63)
+    }
+    val w = typedlit(words.toSeq)
+    (0 until k).map { j =>
+      val p = bitPos(lit(j), item, m)
+      call_function("shiftright",
+        element_at(w, (p / 64).cast("int") + 1),
+        (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
   }
 }

@@ -43,6 +43,18 @@ class BloomSpec extends AnyFunSuite {
     assert(range.getLong(0) >= 0 && range.getLong(1) < M)
   }
 
+  test("packed-bitset probe (mayContainExpr) equals the join-form probe") {
+    val pos = Bloom.build(inserted, K, M)
+    val probe = (1 to 40).map(i => s"in$i") ++ (1 to 100).map(i => s"out$i")
+    val probeDf = probe.toDF("item")
+    val viaJoin = Bloom.mayContain(probeDf, pos, K, M)
+      .as[String].collect().sorted
+    val viaExpr = probeDf.where(Bloom.mayContainExpr(pos, K, M, $"item"))
+      .as[String].collect().sorted
+    assert(viaJoin.sameElements(viaExpr))
+    assert(viaExpr.length >= 40, "must at least contain every inserted item")
+  }
+
   test("probe keeps the probe frame's columns (doc_id rides through)") {
     val pos = Bloom.build(inserted, K, M)
     val probe = Seq((7L, "in1"), (8L, "in2")).toDF("doc_id", "item")
