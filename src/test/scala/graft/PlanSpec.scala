@@ -205,4 +205,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("lateral top-k decorrelates to a ranked join — no per-row re-scan") {
+    // Catalyst rewrites the LIMIT-bearing correlated lateral into a
+    // window/ranked join: no nested-loop over the outer side, no
+    // cartesian — the shape that survives a data-sized outer table
+    val p = plan("a27_lateral_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("count-min build aggregates on (row,bucket) — sketch-bounded shuffle") {
+    val p = plan("n43_cms_heavy_hitters")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the sketch lookup side rides a broadcast, never a row-data shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom probe is a pure predicate: no join, no explode before the count") {
+    // packed-bitset form (Bloom.mayContainExpr): the ONLY exchange is
+    // the final per-doc count's; the probe itself is a codegen'd filter
+    val p = plan("n44_bloom_decontaminate")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("containment join is an equi-join on the shingle, never cartesian") {
+    val p = plan("n46_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("chunking is a pure generator: no shuffle at all") {
+    val p = plan("n47_chunk_overlap")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
 }
