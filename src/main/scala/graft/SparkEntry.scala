@@ -155,7 +155,8 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // Bounded-oracle input sampling for the O(n²) PAIR queries
-  // (n02/n03/n13/n16/n23/n24/n25/n26). Their DuckDB twins are brute-
+  // (n02/n03/n13/n16/n23/n24/n25/n26, and s19 which shares n03's
+  // oracle). Their DuckDB twins are brute-
   // force all-pairs / recursive-CTE closures — quadratic in the input,
   // infeasible at sf0.1 (5k docs → 25M list_intersect pairs), which
   // previously forced a rows-only downgrade there (VERIFY_SKIP_ORACLE).
@@ -2853,6 +2854,26 @@ object SparkEntry {
       SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY user_id"""))),
+
+    // n03's streaming twin (StreamQueries.streamLshPairs scaladoc):
+    // incremental LSH — banding state per (band,key) bucket, candidate
+    // pairs emitted on arrival, exact-Jaccard verified; the drained
+    // result equals batch n03, so the same (pair-sampled) oracle
+    // applies. O(new docs) per refresh where batch LSH is O(corpus).
+    "s19_stream_lsh" -> (((s: SparkSession, d: String) => {
+      val stream = sampled(
+        graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+      graft.streaming.StreamQueries.streamLshPairs(s, stream, pairDocs(s, d))
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
 
     // Streaming global top-k (StreamQueries.streamTopUsers scaladoc):
     // complete-mode agg + sort + limit — p11's streaming twin.

@@ -36,12 +36,45 @@ object MinHashLsh {
   def signature(shingleSet: Column, k: Int): Column =
     graft.functions.Shingles.minhashSig(shingleSet, k)
 
+  /** Banding index of a (did, sset) frame: one NARROW (did, band, key)
+    * row per band — shared by the batch join (here) and the streaming
+    * bucket state (s19, StreamQueries.streamLshPairs), so the two
+    * paths cannot drift. Carrying the shingle arrays through the b-way
+    * explode would copy every set b times; candidates re-join the sets
+    * later instead. */
+  def banded(sets: DataFrame, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, "k must be a multiple of band width r")
+    val b = k / r
+    sets
+      .withColumn("sig", signature(col("sset"), k))
+      .select(col("did"),
+        explode(array((0 until b).map(bi => struct(
+          lit(bi).as("band"),
+          concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
+            _.cast("string"))).as("key"))): _*)).as("bk"))
+      .select(col("did"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    * against the sets frame — precision 1.0 regardless of how the
+    * candidates were generated (batch band join or streaming bucket
+    * state). */
+  def verify(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val jac = size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+      size(array_union(col("a_set"), col("b_set")))
+    candidates
+      .join(sets.select(col("did"), col("sset").as("a_set")), col("a_id") === col("did"))
+      .drop("did")
+      .join(sets.select(col("did"), col("sset").as("b_set")), col("b_id") === col("did"))
+      .drop("did")
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs: LSH candidates (any equal band) verified with exact
     * Jaccard >= threshold. Output: a_id, b_id, jaccard. */
   def nearDupPairs(docs: DataFrame, id: String, text: String,
       k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
-    require(k % r == 0, "k must be a multiple of band width r")
-    val b = k / r
     // persisted: referenced by the banding pass AND both candidate
     // back-joins — without it the parquet scan + shingle kernel run 3×
     // per query (only identical exchanges get plan-level reuse). Tiny
@@ -53,36 +86,15 @@ object MinHashLsh {
       .where(size(col("sset")) > 0) // empty sets would band-collide globally
       .persist()
 
-    // banding index kept NARROW — (did, band, key) only. Carrying the
-    // shingle arrays through the b-way explode and the band join would
-    // copy every set b times and shuffle arrays for every candidate;
-    // instead the sets join back below for just the deduped candidate
-    // pairs (tiny: true dups + band collisions).
-    val banded = sets
-      .withColumn("sig", signature(col("sset"), k))
-      .select(col("did"),
-        explode(array((0 until b).map(bi => struct(
-          lit(bi).as("band"),
-          concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
-            _.cast("string"))).as("key"))): _*)).as("bk"))
-      .select(col("did"), col("bk.band"), col("bk.key"))
-
-    val a = banded.as("a")
-    val bb = banded.as("b")
+    val bd = banded(sets, k, r)
+    val a = bd.as("a")
+    val bb = bd.as("b")
     val candidates = a.join(bb,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.did") < col("b.did"))
       .select(col("a.did").as("a_id"), col("b.did").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    val jac = size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-      size(array_union(col("a_set"), col("b_set")))
-    candidates
-      .join(sets.select(col("did"), col("sset").as("a_set")), col("a_id") === col("did"))
-      .drop("did")
-      .join(sets.select(col("did"), col("sset").as("b_set")), col("b_id") === col("did"))
-      .drop("did")
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verify(candidates, sets, threshold)
   }
 }

@@ -637,6 +637,56 @@ object StreamQueries {
         max(col("n_events")).as("n_events"))
   }
 
+  /** Streaming MinHash-LSH near-dup detection (s19) — n03's streaming
+    * twin: as documents arrive, each is banded (MinHashLsh.banded, the
+    * SAME kernel as the batch path) and folded into per-bucket state
+    * keyed by (band, key); a new arrival emits a candidate pair with
+    * every doc already in its bucket. The candidate SET is independent
+    * of micro-batching (a pair appears when its later member arrives,
+    * whatever batch that is), and per-bucket state is the bucket's doc
+    * ids only — the same memory the batch join materializes per band
+    * key, but incremental: the stream never rescans the corpus when a
+    * new document arrives, which is the point at 100 TB (batch LSH is
+    * O(corpus) per refresh; this is O(new docs) with state = the
+    * banding index). Candidates are verified batch-side with exact
+    * Jaccard (precision 1.0), so the drained result EQUALS the batch
+    * n03 answer and shares its oracle. */
+  def streamLshPairs(spark: SparkSession, docsStream: DataFrame,
+      docsBatch: DataFrame, k: Int = 32, r: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.MinHashLsh
+    def sets(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("did"),
+        graft.functions.Shingles.shingleSet(col("text"), 3).as("sset"))
+      .where(size(col("sset")) > 0)
+    val keyed = MinHashLsh.banded(sets(docsStream), k, r)
+      .select(concat_ws("#", col("band"), col("key")).as("bucket"), col("did"))
+      .as[(String, Long)]
+    val cand = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketSeen, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[BucketSeen]) =>
+          var seen = state.getOption.getOrElse(BucketSeen(Nil)).dids
+          val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+          rows.foreach { case (_, did) =>
+            if (!seen.contains(did)) { // re-delivery guard
+              seen.foreach(o => out += ((math.min(o, did), math.max(o, did))))
+              seen = did +: seen
+            }
+          }
+          state.update(BucketSeen(seen))
+          out.iterator
+      }.toDF("a_id", "b_id")
+    val candTable = runToTable(spark, cand, "append")
+      .dropDuplicates("a_id", "b_id") // a pair may collide in >1 band
+    MinHashLsh.verify(candTable, sets(docsBatch), threshold)
+  }
+
+  /** s19 per-bucket state: doc ids already seen in this (band, key). */
+  final case class BucketSeen(dids: Seq[Long])
+
   /** Streaming global top-k (s18): running top-5 users by event count.
     * Complete-mode aggregation + sort + limit — the one output shape
     * where Structured Streaming allows a global sort, because the
