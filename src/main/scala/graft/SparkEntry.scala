@@ -2642,6 +2642,39 @@ object SparkEntry {
               CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height
             FROM documents)"""))),
 
+    // Decoded-pixel channel sums through the REAL image kernel
+    // (Multimodal.channelStats scaladoc): the oracle reproduces the
+    // sums in closed form from the generation contract — md5 bytes ×
+    // residue-class counts — so actual decoded pixels are verified
+    // against pure SQL arithmetic, encoder and decoder included.
+    "n48_image_channel_stats" -> (((s: SparkSession, d: String) => {
+      Multimodal.imageChannelStats(Tables.documents(s, d))
+    }, Some("""
+      WITH d AS (SELECT doc_id, md5(text) AS hx,
+                        octet_length(encode(text)) AS len FROM documents),
+      dims AS (SELECT doc_id, hx, CAST(1 + len % 64 AS INT) AS w,
+                      CAST(1 + len % 48 AS INT) AS h FROM d),
+      dig AS (SELECT doc_id, k,
+                (('0x' || substr(hx, CAST(2*k+1 AS INT), 2))::INT) AS byte
+              FROM dims CROSS JOIN range(0, 16) t(k)),
+      cnt AS (
+        SELECT doc_id, k,
+          SUM(CASE WHEN ((k - y) % 16 + 16) % 16 < w
+               THEN (w - 1 - (((k - y) % 16 + 16) % 16)) // 16 + 1 ELSE 0 END) AS c_r,
+          SUM(CASE WHEN ((11*(k - y)) % 16 + 16) % 16 < w
+               THEN (w - 1 - (((11*(k - y)) % 16 + 16) % 16)) // 16 + 1 ELSE 0 END) AS c_g,
+          SUM(CASE WHEN ((k - 5*y) % 16 + 16) % 16 < w
+               THEN (w - 1 - (((k - 5*y) % 16 + 16) % 16)) // 16 + 1 ELSE 0 END) AS c_b
+        FROM dims CROSS JOIN range(0, 48) t2(y) CROSS JOIN range(0, 16) t(k)
+        WHERE y < h GROUP BY 1, 2)
+      SELECT dims.doc_id AS doc_id, w AS width, h AS height,
+        CAST(sum(byte * c_r) AS BIGINT) AS sum_r,
+        CAST(sum(byte * c_g) AS BIGINT) AS sum_g,
+        CAST(sum(byte * c_b) AS BIGINT) AS sum_b
+      FROM cnt JOIN dig ON cnt.doc_id = dig.doc_id AND cnt.k = dig.k
+      JOIN dims ON dims.doc_id = cnt.doc_id
+      GROUP BY 1, 2, 3"""))),
+
     // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-
     // hash scheme): positional 3-gram md5s, lexicographic min per
     // sliding window of 4, distinct+sorted selection — guarantees any

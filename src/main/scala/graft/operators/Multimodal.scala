@@ -230,4 +230,48 @@ object Multimodal {
     resizePng(pngMedia(docs)).toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("new_w"), col("new_h"))
+
+  /** Per-image exact channel sums from DECODED pixels. */
+  final case class ChannelStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL FEATURE KERNEL (no stub): PNG decode → integer channel sums
+    * over every pixel — the simplest real member of the
+    * mean-color/histogram feature family, chosen because the n48
+    * oracle can reproduce it EXACTLY: the pngMedia generation contract
+    * makes each channel sum a closed form over the text's md5 bytes
+    * (Σ_k dig[k]·c_k with c_k counting the residue class of each
+    * channel's pixel-index arithmetic), so the DuckDB twin verifies
+    * ACTUAL DECODED PIXELS against pure SQL arithmetic — any drift in
+    * the encoder, the decoder, or the generation contract breaks the
+    * hash. Same mapPartitions batch shape as every media kernel. */
+  def channelStats(media: Dataset[PngMedia]): Dataset[ChannelStats] = {
+    implicit val enc: Encoder[ChannelStats] = Encoders.product[ChannelStats]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ChannelStats(m.doc_id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** documents → decoded-pixel channel stats through the real kernel. */
+  def imageChannelStats(docs: DataFrame): DataFrame =
+    channelStats(pngMedia(docs)).toDF()
 }
