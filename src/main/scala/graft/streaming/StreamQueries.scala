@@ -55,7 +55,11 @@ object StreamQueries {
     * drains: stateful operators allocate one state-store instance per
     * shuffle partition PER MICRO-BATCH (provider init, delta file,
     * snapshot bookkeeping) — at harness scale that fixed cost dominates,
-    * so bounded drains run with fewer partitions. Restores the previous
+    * so bounded drains run with fewer partitions (8→4 in r8: strictly
+    * fewer state-store instances per batch; measured s07 1.69→1.52 s,
+    * s11 2.64→2.29 s, s09/s10 flat — small but one-directional, since
+    * data parallelism is irrelevant at bounded-drain batch sizes).
+    * Restores the previous
     * value even on failure; a real deployment sizes this to keep
     * per-partition state in executor memory instead. */
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
@@ -81,7 +85,7 @@ object StreamQueries {
   /** Run a streaming frame to completion into a memory sink, return the
     * result table. AvailableNow processes all available input then stops. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       withTempCheckpoint { ckpt =>
         val name = s"graft_stream_${nameCounter.incrementAndGet()}"
         val q = df.writeStream
@@ -330,7 +334,7 @@ object StreamQueries {
     * batch dedup is the streaming state's job, so content is
     * deterministic under any micro-batching. */
   def sinkDedupToDir(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
+    withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
     val out = graft.TempDirs.create("graft-sink")
     val q = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
@@ -355,7 +359,7 @@ object StreamQueries {
     * reports per-sink row counts, so the oracle verifies every sink
     * received every row. */
   def streamFanout(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
+    withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
     val out = graft.TempDirs.create("graft-fanout")
     val announcements = graft.operators.Pipeline.announcements(spark,
       documentsStream(spark, dir),
@@ -444,7 +448,7 @@ object StreamQueries {
       AtomicBucketStore.writeGeneration(merged, cur, touched)
       ()
     }
-    def runOnce(): Unit = withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
+    def runOnce(): Unit = withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
       val q = eventsStream(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .writeStream.outputMode("append")
@@ -547,7 +551,7 @@ object StreamQueries {
       dimPath: String,
       joinKey: String,
       afterBatch: Long => Unit = _ => ()): DataFrame =
-    withStreamPartitions(spark, 8) { withTempCheckpoint { ckpt =>
+    withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
       val out = graft.TempDirs.create("graft-dim-refresh")
       val q = spark.readStream.schema(streamSchema)
         .option("maxFilesPerTrigger", 1) // one file per micro-batch
