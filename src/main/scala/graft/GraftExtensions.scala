@@ -65,5 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "winnowing fingerprint selection (3-grams, window 4)"),
       (args: Seq[Expression]) => Winnow(arity("graft_winnow", 1)(args).head, 3, 4)))
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "fused set-Jaccard of two string arrays"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_jaccard", 2)(args)
+        graft.functions.SetJaccard(a(0), a(1))
+      }))
+    // optimizer rule: fuse size(array_intersect)/size(array_union)
+    // into the one-pass SetJaccard kernel (FuseSetJaccard scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.FuseSetJaccard)
   }
 }

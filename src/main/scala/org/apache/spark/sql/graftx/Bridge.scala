@@ -20,4 +20,11 @@ object Bridge {
     * it to override `ExpectsInputTypes.inputTypes` (analysis-time type
     * checking). Aliasing from inside the sql package re-exports it. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** `QueryExecutionErrors` is `private[sql]`; custom expressions that
+    * reproduce built-in error semantics (SetJaccard's ANSI
+    * DIVIDE_BY_ZERO) need the same error class/SQLSTATE the built-in
+    * would raise. */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 }
