@@ -45,7 +45,13 @@ object CountMin {
 
   /** Point estimates for `cands` (distinct tokens, column `tok`): min
     * over the depth rows of the looked-up counters. The sketch side is
-    * ≤ depth×width rows → broadcast; candidates never re-shuffle. */
+    * ≤ depth×width rows → broadcast; candidates never re-shuffle.
+    * NOTE: the inner join assumes every candidate occurred in the
+    * sketched stream (all its buckets populated) — true for n43, whose
+    * candidates come from the stream itself. A candidate never sketched
+    * can hit an absent (i,b) row and silently DROP instead of
+    * estimating ≥ 0; probe-only workloads would left-join with a zero
+    * fill. */
   def estimate(cands: DataFrame, sk: DataFrame, depth: Int, width: Int,
                tok: String = "tok"): DataFrame =
     cands
