@@ -2043,6 +2043,61 @@ object SparkEntry {
                JOIN cx y ON cxy.w2 = y.tok CROSS JOIN n
       WHERE c_xy >= 5 AND c_xy * n_tok > x.c * y.c"""))),
 
+    // Bigram LM scoring with add-one smoothing — n37's unigram filter
+    // upgraded one order: per doc, mean P(w_i | w_{i-1}) with
+    // P = (c2+1)/(c1+V), ppb-quantized per POSITION before the sum
+    // (floor of an exact integer division), so the per-doc aggregate
+    // is pure integer arithmetic — no float summation order anywhere.
+    // Corpus model = two bounded count tables (vocab and vocab²
+    // keys); the per-doc score joins them on the exploded bigrams —
+    // AQE broadcasts both while small, shuffle-joins at real vocab.
+    "n49_bigram_lm" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val toks = Text.tokens(col("text"))
+      val bgArr = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bg = docs.select(col("doc_id"), explode(bgArr).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val occ = docs.select(explode(toks).as("tok"))
+      val c1 = occ.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val v = occ.agg(count_distinct(col("tok")).as("v"))
+      bg
+        .join(c2, Seq("w1", "w2"))
+        .join(c1.select(col("tok").as("w1"), col("c1")), "w1")
+        .crossJoin(broadcast(v))
+        // `div`, not `/`: SQL div is exact integer division — a double
+        // `/` could round up across an integer boundary and disagree
+        // with DuckDB's `//` by 1 at the floor
+        .withColumn("num", ((col("c2") + 1) * lit(1000000000L)).cast("long"))
+        .withColumn("den", (col("c1") + col("v")).cast("long"))
+        .select(col("doc_id"), expr("num div den").as("ppb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ppb")).as("sum_ppb"))
+        .select(col("doc_id"), col("n_pairs"),
+          expr("cast(sum_ppb as bigint) div n_pairs").as("mean_ppb"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      bg0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                ELSE CAST([] AS VARCHAR[]) END) AS b FROM d),
+      bg AS (SELECT doc_id, string_split(b, ' ')[1] AS w1,
+                    string_split(b, ' ')[2] AS w2 FROM bg0),
+      occ AS (SELECT unnest(toks) AS tok FROM d),
+      c1 AS (SELECT tok, count(*) AS c1 FROM occ GROUP BY 1),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      v AS (SELECT count(DISTINCT tok) AS v FROM occ),
+      scored AS (
+        SELECT doc_id, ((c2.c2 + 1) * 1000000000) // (c1.c1 + v.v) AS ppb
+        FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                JOIN c1 ON bg.w1 = c1.tok CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(CAST(sum(ppb) AS BIGINT) // count(*) AS BIGINT) AS mean_ppb
+      FROM scored GROUP BY 1"""))),
+
     // Directed containment pairs (Dedup.containmentPairs scaladoc):
     // the quote/subset detector — C(A→B) = |A∩B|/|A| ≥ 0.9 as exact
     // integer cross-multiplication. Unlike the jaccard family's
