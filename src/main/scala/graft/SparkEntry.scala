@@ -1218,6 +1218,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"))
     }, Some("SELECT doc_id, lang, text FROM documents"))),
 
+    // Spark 4 VARIANT ingestion — the schema-LESS twin of p13's
+    // schema'd from_json: parse_json keeps the payload's full
+    // structure as a binary variant (no StructType declared anywhere),
+    // variant_get extracts typed paths at query time. The 100 TB
+    // relevance: semi-structured columns whose schema drifts faster
+    // than the table's (the reference's oplog `o` envelope is exactly
+    // that shape) stay queryable without coordinated schema migration.
+    "p27_variant_extract" -> (((s: SparkSession, d: String) => {
+      Tables.events(s, d).createOrReplaceTempView("ev_p27")
+      s.sql("""
+        SELECT event_type, count(*) AS n,
+               sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+               min(variant_get(parse_json(props), '$.k', 'long')) AS min_k,
+               max(variant_get(parse_json(props), '$.k', 'long')) AS max_k
+        FROM ev_p27 GROUP BY event_type""")
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type"""))),
+
     // Schema evolution across parquet generations — the drift every
     // long-lived 100 TB table accumulates: an early generation written
     // without a column, a later one with it. mergeSchema unions the
