@@ -1218,6 +1218,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"))
     }, Some("SELECT doc_id, lang, text FROM documents"))),
 
+    // Z-order clustered write (operators/ZOrder scaladoc): Morton-
+    // interleaved (custkey, day) layout → per-file footer stats tight
+    // on BOTH dimensions, the 2-predicate pruning layout single-column
+    // sorts can't produce. Oracle checks full fidelity through the
+    // 2-D predicate; ZOrderSpec measures the locality property.
+    "p28_zorder_write" -> (((s: SparkSession, d: String) => {
+      import graft.operators.ZOrder
+      val dir = TempDirs.create("graft_zorder")
+      ZOrder.writeClustered(Tables.orders(s, d),
+        col("o_custkey") % 256,
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")) % 256,
+        dir, files = 16)
+      s.read.parquet(dir)
+        .where(col("o_custkey").between(100, 400) &&
+          col("o_orderdate").between("1995-03-01", "1995-09-30"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("string").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }, Some("""
+      SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS sum_price,
+        CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        CAST(max(o_orderkey) AS BIGINT) AS max_key
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 400
+        AND o_orderdate BETWEEN '1995-03-01' AND '1995-09-30'"""))),
+
     // Spark 4 VARIANT ingestion — the schema-LESS twin of p13's
     // schema'd from_json: parse_json keeps the payload's full
     // structure as a binary variant (no StructType declared anywhere),
