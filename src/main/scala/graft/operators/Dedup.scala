@@ -126,12 +126,27 @@ object Dedup {
     val inv = invertedIndex(sizedSets(docs, id, text, w), None)
     val a = inv.as("a")
     val b = inv.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.did") =!= col("b.did"))
-      .groupBy(col("a.did").as("a_id"), col("b.did").as("b_id"),
-        col("a.n").as("a_n"))
+    // join each unordered pair ONCE (did <) — |A∩B| is direction-free,
+    // so both directed tests read off the same counted row; this
+    // halves the join fan-out and the pair-aggregation volume vs the
+    // naive did != did join (measured: the join is this operator's
+    // entire cost). Directions materialize only at output.
+    val counted = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("x_id"), col("b.did").as("y_id"),
+        col("a.n").as("x_n"), col("b.n").as("y_n"))
       .agg(count(lit(1)).as("inter"))
+    // both directions via ONE explode (a union of two filters over
+    // `counted` would re-evaluate the whole join+agg subtree per
+    // branch — Catalyst shares no common subplan without a persist)
+    counted
+      .select(explode(array(
+        struct(col("x_id").as("a_id"), col("y_id").as("b_id"),
+          col("inter"), col("x_n").as("a_n")),
+        struct(col("y_id").as("a_id"), col("x_id").as("b_id"),
+          col("inter"), col("y_n").as("a_n")))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.inter"), col("p.a_n"))
       .where(col("a_n") >= minSet && col("inter") * den >= col("a_n") * num)
-      .select(col("a_id"), col("b_id"), col("inter"), col("a_n"))
   }
 
   /** Diagnostic twin of [[jaccardPairs]]: the number of rows the
