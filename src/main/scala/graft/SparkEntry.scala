@@ -2780,6 +2780,22 @@ object SparkEntry {
       JOIN dims ON dims.doc_id = cnt.doc_id
       GROUP BY 1, 2, 3"""))),
 
+    // Real multi-frame container decode (Multimodal.frameSampleGif
+    // scaladoc): animated GIFs generated per doc, frames enumerated
+    // and decoded by the imageio reader; the oracle predicts the
+    // decoded structure (count + dims per frame) from the generation
+    // contract — n14's stub probe upgraded to a real container walk.
+    "n50_gif_frames" -> (((s: SparkSession, d: String) => {
+      Multimodal.gifFrames(Tables.documents(s, d))
+    }, Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                 FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(1 + len % 64 AS INT) AS width,
+             CAST(1 + len % 48 AS INT) AS height
+      FROM d CROSS JOIN range(0, 5) t(i)
+      WHERE i < 1 + len % 5"""))),
+
     // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-
     // hash scheme): positional 3-gram md5s, lexicographic min per
     // sliding window of 4, distinct+sorted selection — guarantees any

@@ -274,4 +274,110 @@ object Multimodal {
   /** documents → decoded-pixel channel stats through the real kernel. */
   def imageChannelStats(docs: DataFrame): DataFrame =
     channelStats(pngMedia(docs)).toDF()
+
+  /** One real multi-frame container payload. */
+  final case class GifMedia(doc_id: Long, payload: Array[Byte])
+
+  /** documents → REAL ANIMATED-GIF media: a multi-frame container per
+    * doc, written with `javax.imageio`'s sequence writer. Frame count
+    * `1 + utf8len % 5` and dims `1 + utf8len % 64` × `1 + utf8len % 48`
+    * follow the same text-derived generation contract as [[pngMedia]],
+    * so the n50 oracle can predict the decoded structure from the text
+    * alone. Frames are TYPE_BYTE_GRAY with md5-seeded pixels (gray
+    * values live in GIF's exact 256-entry palette — no quantization
+    * drift between encoder and decoder). */
+  def gifMedia(docs: DataFrame): Dataset[GifMedia] = {
+    implicit val enc: Encoder[GifMedia] = Encoders.product[GifMedia]
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          val w = 1 + bytes.length % 64
+          val h = 1 + bytes.length % 48
+          val nFrames = 1 + bytes.length % 5
+          md.reset()
+          val dig = md.digest(bytes)
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, dig((x + y * 3 + f * 7) % 16) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          GifMedia(id, out.toByteArray)
+        }
+      }
+  }
+
+  /** One decoded container frame. */
+  final case class DecodedFrame(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, sig: String)
+
+  /** REAL FRAME-SAMPLE KERNEL (no stub — supersedes [[frameSample]]'s
+    * stub probe for the n50 path): open the container with an imageio
+    * reader, enumerate its ACTUAL frames (`getNumImages(true)` walks
+    * the stream), decode each, and emit per-frame metadata + a pixel
+    * signature. The n50 oracle checks the decoded frame structure
+    * against the generation contract — a miscounted or misdimensioned
+    * frame anywhere in writer or reader breaks the hash. Same
+    * mapPartitions batch shape as every media kernel. */
+  def frameSampleGif(media: Dataset[GifMedia]): Dataset[DecodedFrame] = {
+    implicit val enc: Encoder[DecodedFrame] = Encoders.product[DecodedFrame]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val frames = (0 until n).map { i =>
+          val img = reader.read(i)
+          md.reset()
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              md.update((img.getRGB(x, y) & 0xff).toByte)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(m.doc_id, i, img.getWidth, img.getHeight,
+            md.digest().take(8).map("%02x".format(_)).mkString)
+        }
+        reader.dispose()
+        iis.close()
+        frames
+      }
+    }
+  }
+
+  /** documents → decoded real container frames (generate → decode). */
+  def gifFrames(docs: DataFrame): DataFrame =
+    frameSampleGif(gifMedia(docs)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
 }

@@ -88,4 +88,37 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.doc_id -> r.sig).toMap
     assert(sigs == sigs)
   }
+
+  test("gifMedia/frameSampleGif: real multi-frame container, gray pixels " +
+      "round-trip the GIF palette exactly") {
+    val media = Multimodal.gifMedia(docsDF(texts)).collect()
+    // every payload is a real GIF (magic bytes) with the contract's
+    // frame count readable by a fresh, independent reader
+    media.foreach { m =>
+      assert(new String(m.payload.take(3), "US-ASCII") == "GIF")
+      val len = texts(m.doc_id.toInt).getBytes("UTF-8").length
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == 1 + len % 5, s"doc ${m.doc_id}")
+      // gray values must round-trip exactly: frame 0 pixel (0,0) is
+      // dig(0) by the generation contract
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(texts(m.doc_id.toInt).getBytes("UTF-8"))
+      val img0 = reader.read(0)
+      assert((img0.getRGB(0, 0) & 0xff) == (dig(0) & 0xff), s"doc ${m.doc_id}")
+      reader.dispose(); iis.close()
+    }
+    // the kernel's own walk agrees with the contract for every frame
+    val frames = Multimodal.frameSampleGif(Multimodal.gifMedia(docsDF(texts)))
+      .collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val len = t.getBytes("UTF-8").length
+      val mine = frames.filter(_.doc_id == i)
+      assert(mine.length == 1 + len % 5)
+      assert(mine.forall(f => f.width == 1 + len % 64 && f.height == 1 + len % 48))
+      // frames differ in content (the f*7 term) — signatures distinct
+      assert(mine.map(_.sig).distinct.length == mine.length, s"doc $i")
+    }
+  }
 }
