@@ -3029,6 +3029,22 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
 
+    // The real media kernels under the streaming engine
+    // (StreamQueries.streamGifFrameCensus scaladoc): per-frame-index
+    // census of decoded container frames; oracle = the n50 generation
+    // contract aggregated.
+    "s20_stream_frames" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamGifFrameCensus(s, d)
+    }, Some("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                 FROM documents),
+      f AS (SELECT doc_id, i FROM d CROSS JOIN range(0, 5) t(i)
+            WHERE i < 1 + len % 5)
+      SELECT CAST(i AS INT) AS frame_idx, count(*) AS n,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM f GROUP BY 1"""))),
+
     // Streaming global top-k (StreamQueries.streamTopUsers scaladoc):
     // complete-mode agg + sort + limit — p11's streaming twin.
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {

@@ -691,6 +691,25 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming multimodal decode (s20): the real GIF container kernels
+    * (Multimodal.gifMedia → frameSampleGif) running inside micro-
+    * batches — mapPartitions media kernels are stateless, so the
+    * streaming plan is the batch plan verbatim; only the final
+    * per-frame-index census is stateful (complete mode, ≤5 groups).
+    * The point at scale: media decode needs no special streaming path
+    * — the same executor-side batch kernels serve both engines. */
+  def streamGifFrameCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val frames = Multimodal.frameSampleGif(
+      Multimodal.gifMedia(documentsStream(spark, dir))).toDF()
+    runToTable(spark,
+      frames.groupBy(col("frame_idx"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc")),
+      "complete")
+  }
+
   /** Streaming global top-k (s18): running top-5 users by event count.
     * Complete-mode aggregation + sort + limit — the one output shape
     * where Structured Streaming allows a global sort, because the
