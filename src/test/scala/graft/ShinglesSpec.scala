@@ -27,6 +27,24 @@ class ShinglesSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("property: native BigramArray == HOF transform form on random text") {
+    import graft.functions.BigramArray
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("aa", "bb", "cc", "d", "", " ", "héllo", "世界")
+    val texts = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val df = texts.toDF("text")
+    val got = df.select(BigramArray.bigrams(col("text"))).as[Seq[String]].collect()
+    val toks = Text.tokens(col("text"))
+    val hof = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val want = df.select(hof).as[Seq[String]].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("shingleSet edges: <w tokens empty, duplicates dedup, space runs collapse") {
     val df = Seq(
       "a b",                    // < 3 tokens
