@@ -2092,6 +2092,34 @@ object SparkEntry {
                JOIN cx y ON cxy.w2 = y.tok CROSS JOIN n
       WHERE c_xy >= 5 AND c_xy * n_tok > x.c * y.c"""))),
 
+    // Vocabulary pruning / OOV mapping — the tokenizer-prep step:
+    // tokens below a support floor map to <unk>; per doc, the OOV rate
+    // in exact ppm (integer div). The kept-vocab table is bounded by
+    // the true vocabulary; the per-doc join is broadcast while it fits
+    // and AQE shuffle-joins when it doesn't (no hint pins it).
+    "n51_oov_rate" -> (((s: SparkSession, d: String) => {
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 500).select(col("tok"), lit(1).as("kept"))
+      occ.join(vocab, Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("kept").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+    }, Some(s"""
+      WITH occ AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      vocab AS (SELECT tok FROM occ GROUP BY tok HAVING count(*) >= 500),
+      agg AS (SELECT o.doc_id, count(*) AS n_tokens,
+                count(*) FILTER (v.tok IS NULL) AS n_oov
+              FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+              GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_oov AS BIGINT) AS n_oov,
+             CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+      FROM agg"""))),
+
     // Bigram LM scoring with add-one smoothing — n37's unigram filter
     // upgraded one order: per doc, mean P(w_i | w_{i-1}) with
     // P = (c2+1)/(c1+V), ppb-quantized per POSITION before the sum
@@ -3027,6 +3055,19 @@ object SparkEntry {
             / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+
+    // CMS maintained AS streaming state (StreamQueries.streamCmsSketch
+    // scaladoc): the drained d×w counter table equals the batch sketch
+    // by count-merge associativity — verified against n43's oracle
+    // sketch CTE directly.
+    "s21_stream_cms" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamCmsSketch(s, d)
+    }, Some(s"""
+      WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents)
+      SELECT i, (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 32) AS b,
+             count(*) AS c
+      FROM occ CROSS JOIN range(0, 3) t(i)
+      GROUP BY 1, 2"""))),
 
     // The real media kernels under the streaming engine
     // (StreamQueries.streamGifFrameCensus scaladoc): per-frame-index

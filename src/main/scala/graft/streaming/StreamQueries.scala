@@ -691,6 +691,21 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming count-min maintenance (s21) — the CMS twin of s15's KMV
+    * sketch: the d×w counter table IS the streaming aggregation state
+    * (complete mode over ≤ depth·width groups), updated per micro-
+    * batch; count's merge associativity makes any batching equal the
+    * batch sketch, so the drained table matches n43's oracle-rebuilt
+    * sketch row for row. State is bounded by the sketch dimensions at
+    * ANY stream length — the whole point of sketching a stream. */
+  def streamCmsSketch(spark: SparkSession, dir: String,
+      depth: Int = 3, width: Int = 32): DataFrame = {
+    import graft.functions.CountMin
+    val occ = documentsStream(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    runToTable(spark, CountMin.sketch(occ, depth, width), "complete")
+  }
+
   /** Streaming multimodal decode (s20): the real GIF container kernels
     * (Multimodal.gifMedia → frameSampleGif) running inside micro-
     * batches — mapPartitions media kernels are stateless, so the
