@@ -1246,6 +1246,27 @@ object SparkEntry {
       WHERE o_custkey BETWEEN 100 AND 400
         AND o_orderdate BETWEEN '1995-03-01' AND '1995-09-30'"""))),
 
+    // Write-audit-publish (operators/Publish scaladoc): a good
+    // snapshot publishes; a subsequent BAD snapshot (nulled keys)
+    // fails its audit and never becomes visible — the query returns
+    // what a consumer reads through CURRENT after both attempts, which
+    // the oracle checks equals the good snapshot exactly. PublishSpec
+    // pins the crash-before-rename and pointer-swap cases.
+    "p29_write_audit_publish" -> (((s: SparkSession, d: String) => {
+      import graft.operators.Publish
+      val root = TempDirs.create("graft_wap")
+      val good = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val audit = (df: DataFrame) =>
+        if (df.where(col("c_custkey").isNull).limit(1).count() > 0)
+          Some("null keys") else if (df.isEmpty) Some("empty") else None
+      require(Publish.writeAuditPublish(s, good, root, audit).isRight)
+      val bad = good.withColumn("c_custkey",
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_custkey")))
+      require(Publish.writeAuditPublish(s, bad, root, audit).isLeft)
+      Publish.readCurrent(s, root).get
+    }, Some("SELECT c_custkey, c_name, c_mktsegment FROM customer"))),
+
     // Spark 4 VARIANT ingestion — the schema-LESS twin of p13's
     // schema'd from_json: parse_json keeps the payload's full
     // structure as a binary variant (no StructType declared anywhere),
