@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Per-partition reusable codec handles. `javax.imageio`'s static
+    * `ImageIO.read`/`write` helpers scan the plugin registry on EVERY
+    * call and spool every stream through a DISK-backed cache file by
+    * default — per-image costs that dominate a small-image workload.
+    * Each kernel instead allocates one reader/writer per partition
+    * batch (the production amortize-init-per-batch shape) and wraps
+    * payloads in memory-cached streams, so decode/encode never touches
+    * the plugin registry or the filesystem. */
+  private def newReader(fmt: String): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+
+  private def newWriter(fmt: String): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+
+  /** Decode one single-frame payload with a reused reader (memory
+    * stream, forward-only, metadata ignored). */
+  private def readOne(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis, true, true)
+    val img = reader.read(0)
+    iis.close()
+    img
+  }
+
+  /** Encode one image with a reused writer into a memory stream. */
+  private def writeOne(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    out.toByteArray
+  }
+
   /** Decoded-media metadata record (what a real image decode would
     * return: dimensions + content signature). */
   final case class MediaMeta(
@@ -140,6 +177,7 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = newWriter("png")
         rows.map { row =>
           val id = row.getLong(0)
           val bytes = row.getString(1).getBytes("UTF-8")
@@ -147,8 +185,7 @@ object Multimodal {
           val h = 1 + bytes.length % 48
           md.reset()
           val dig = md.digest(bytes)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val pix = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
@@ -156,14 +193,15 @@ object Multimodal {
               val r = dig((x + y) % 16) & 0xff
               val g = dig((x * 3 + y) % 16) & 0xff
               val b = dig((x + y * 5) % 16) & 0xff
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              pix(y * w + x) = (r << 16) | (g << 8) | b
               x += 1
             }
             y += 1
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          PngMedia(id, out.toByteArray)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, pix, 0, w)
+          PngMedia(id, writeOne(writer, img))
         }
       }
   }
@@ -189,35 +227,43 @@ object Multimodal {
     implicit val enc: Encoder[ResizedPng] = Encoders.product[ResizedPng]
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val reader = newReader("png")
+      val writer = newWriter("png")
+      val four = new Array[Byte](4)
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
+        val img = readOne(reader, m.payload)
         val w = img.getWidth
         val h = img.getHeight
+        val src = img.getRGB(0, 0, w, h, null, 0, w)
         val scale = math.max(w, h)
         val (nw, nh) =
           if (scale <= maxSide) (w, h)
           else (math.max(1, w * maxSide / scale), math.max(1, h * maxSide / scale))
-        val resized = new java.awt.image.BufferedImage(
-          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val dst = new Array[Int](nw * nh)
         md.reset()
-        val pix = java.nio.ByteBuffer.allocate(4)
         var y = 0
         while (y < nh) {
+          val srow = (y * h / nh) * w
           var x = 0
           while (x < nw) {
-            val rgb = img.getRGB(x * w / nw, y * h / nh) & 0xffffff
-            resized.setRGB(x, y, rgb)
-            pix.clear(); pix.putInt(rgb)
-            md.update(pix.array())
+            val rgb = src(srow + x * w / nw) & 0xffffff
+            dst(y * nw + x) = rgb
+            // same digest bytes as the original per-pixel putInt: big-endian
+            // 0x00 r g b per resized pixel, row-major
+            four(0) = 0
+            four(1) = ((rgb >> 16) & 0xff).toByte
+            four(2) = ((rgb >> 8) & 0xff).toByte
+            four(3) = (rgb & 0xff).toByte
+            md.update(four)
             x += 1
           }
           y += 1
         }
+        val resized = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        resized.setRGB(0, 0, nw, nh, dst, 0, nw)
         val sig = md.digest().take(8).map("%02x".format(_)).mkString
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(resized, "png", out)
-        ResizedPng(m.doc_id, w, h, nw, nh, sig, out.toByteArray)
+        ResizedPng(m.doc_id, w, h, nw, nh, sig, writeOne(writer, resized))
       }
     }
   }
@@ -248,23 +294,20 @@ object Multimodal {
   def channelStats(media: Dataset[PngMedia]): Dataset[ChannelStats] = {
     implicit val enc: Encoder[ChannelStats] = Encoders.product[ChannelStats]
     media.mapPartitions { rows =>
+      val reader = newReader("png")
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
+        val img = readOne(reader, m.payload)
         val w = img.getWidth
         val h = img.getHeight
+        val pix = img.getRGB(0, 0, w, h, null, 0, w)
         var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff
-            sg += (rgb >> 8) & 0xff
-            sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < pix.length) {
+          val rgb = pix(i)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          i += 1
         }
         ChannelStats(m.doc_id, w, h, sr, sg, sb)
       }
@@ -291,6 +334,7 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = newWriter("gif")
         rows.map { row =>
           val id = row.getLong(0)
           val bytes = row.getString(1).getBytes("UTF-8")
@@ -300,32 +344,30 @@ object Multimodal {
           md.reset()
           val dig = md.digest(bytes)
           val out = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
+          val data = new Array[Byte](w * h)
           var f = 0
           while (f < nFrames) {
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                raster.setSample(x, y, 0, dig((x + y * 3 + f * 7) % 16) & 0xff)
+                data(y * w + x) = (dig((x + y * 3 + f * 7) % 16) & 0xff).toByte
                 x += 1
               }
               y += 1
             }
+            img.getRaster.setDataElements(0, 0, w, h, data)
             writer.writeToSequence(
               new javax.imageio.IIOImage(img, null, null), null)
             f += 1
           }
           writer.endWriteSequence()
           ios.close()
-          writer.dispose()
           GifMedia(id, out.toByteArray)
         }
       }
@@ -347,29 +389,28 @@ object Multimodal {
     implicit val enc: Encoder[DecodedFrame] = Encoders.product[DecodedFrame]
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val reader = newReader("gif")
       rows.flatMap { m =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
-        val reader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("gif").next()
+        // seekForwardOnly must stay false: getNumImages(true) walks the
+        // whole container, then read(i) seeks back per frame
         reader.setInput(iis)
         val n = reader.getNumImages(true)
         val frames = (0 until n).map { i =>
           val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val pix = img.getRGB(0, 0, w, h, null, 0, w)
           md.reset()
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              md.update((img.getRGB(x, y) & 0xff).toByte)
-              x += 1
-            }
-            y += 1
+          var j = 0
+          while (j < pix.length) {
+            md.update((pix(j) & 0xff).toByte)
+            j += 1
           }
-          DecodedFrame(m.doc_id, i, img.getWidth, img.getHeight,
+          DecodedFrame(m.doc_id, i, w, h,
             md.digest().take(8).map("%02x".format(_)).mkString)
         }
-        reader.dispose()
         iis.close()
         frames
       }
