@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Ids, Rules, SimHash, Text}
@@ -213,6 +214,14 @@ object SparkEntry {
   private def docsT: String = sampledSqlFrom("documents", "doc_id")
   private def embT: String = sampledSqlFrom("embeddings", "vec_id")
 
+  /** Bare sample predicate (same bytes as the [[sampledSqlFrom]] WHERE
+    * clause) for oracles that sample a CTE instead of a base table —
+    * TRUE when the sample is unset. */
+  private def pairPredSql(idCol: String): String =
+    pairSampleKeep.fold("TRUE") { k =>
+      s"(('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 4))::INT % 100) < $k"
+    }
+
   /** DuckDB twin of the SimHash64 expression: per hex position j, output
     * bit k is the majority over tokens of bit k of md5-hex nibble j.
     * `from`: the documents table expression ("documents", or the sampled
@@ -293,15 +302,44 @@ object SparkEntry {
       a1 AS (${kmeansAssignSql("c0")})"""
   }
 
-  private def kmeansOracleSql: String = s"""
+  /** Shared WITH chain through the second assignment (a2) — the n34
+    * oracle's whole body, and the clustering prefix of the n52
+    * SemDeDup oracle. */
+  private def kmeansCtesSql: String = s"""
       $kmeansA1Sql,
       sums AS (SELECT a1.cluster, gi.i,
                  CAST(sum(CAST(q.qe[gi.i] AS BIGINT)) AS DOUBLE) AS s
                FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, 65) gi(i)
                GROUP BY a1.cluster, gi.i),
       c1 AS (SELECT cluster, list(s ORDER BY i) AS c FROM sums GROUP BY cluster),
-      a2 AS (${kmeansAssignSql("c1")})
+      a2 AS (${kmeansAssignSql("c1")})"""
+
+  private def kmeansOracleSql: String = s"""$kmeansCtesSql
       SELECT vec_id, cluster FROM a2"""
+
+  /** n52 similarity threshold — 7/16, binary-exact in both engines'
+    * literal parse (a 0.45-style literal is a DECIMAL in DuckDB whose
+    * →DOUBLE conversion is not correctly rounded). */
+  private val SemDedupTau = 0.4375
+
+  /** DuckDB twin of the n52 SemDeDup plan: full-table k-means (the n34
+    * CTEs verbatim), then the pair stage over the (possibly sampled)
+    * subset — same quantized vectors, same fold order, same
+    * keep-lowest-id convention as Similarity.semanticDedup. */
+  private def semanticDedupSql: String = {
+    val dotAB = foldSql((1 to 64).map(i => s"(a.qe[$i] * b.qe[$i])"))
+    s"""$kmeansCtesSql,
+      w AS (SELECT q.vec_id, q.qe, q.qn, a2.cluster
+            FROM q JOIN a2 USING (vec_id)
+            WHERE ${pairPredSql("q.vec_id")}),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM w a JOIN w b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE ($dotAB) / (a.qn * b.qn) >= $SemDedupTau)
+      SELECT w.vec_id, w.cluster,
+        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+      FROM w LEFT JOIN drops d ON w.vec_id = d.vec_id"""
+  }
 
   /** DuckDB twin of the n33 score — the same left fold over terms, each
     * term the same rational-idf × saturation form, so every double op
@@ -699,6 +737,44 @@ object SparkEntry {
       SELECT strftime(months.m, '%Y-%m') AS ym,
              coalesce(n, CAST(0 AS BIGINT)) AS n_orders
       FROM months LEFT JOIN mc ON mc.m = months.m"""))),
+
+    // Exact distributed quantiles WITHOUT a global sort (contrast a10's
+    // percentile over raw values): per-(lang, value) counts first — a
+    // shuffle bounded by DISTINCT values, not rows — then a cumulative
+    // count over each language's value histogram picks the smallest
+    // value whose cumulative count reaches ceil(q·n). quantile_disc
+    // semantics, integer-exact end to end: the rank thresholds are
+    // integer ceiling divisions ((n·9+9) div 10), never a float q·n
+    // (0.9 is not a binary double; DECIMAL-vs-DOUBLE q·n can ceil to
+    // DIFFERENT ranks across engines). At 100 TB the histogram is
+    // map-side combined (token counts have ~10³ distinct values at any
+    // corpus size), so the per-group sort is over the histogram.
+    "a29_exact_quantiles" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("lang"),
+        Text.tokenCountWs(col("text")).cast("long").as("v"))
+      val hist = docs.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      cum.groupBy(col("lang")).agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("v"))).as("p90"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("v"))).as("p99"),
+        max(col("n")).as("n_rows"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, len($toksSql) AS v FROM documents),
+      hist AS (SELECT lang, v, count(*) AS c FROM docs GROUP BY lang, v),
+      cum AS (SELECT lang, v,
+                sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                sum(c) OVER (PARTITION BY lang) AS n
+              FROM hist)
+      SELECT lang,
+        CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+        CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90,
+        CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99,
+        CAST(max(n) AS BIGINT) AS n_rows
+      FROM cum GROUP BY lang"""))),
 
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
@@ -2140,6 +2216,56 @@ object SparkEntry {
              CAST(n_oov AS BIGINT) AS n_oov,
              CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
       FROM agg"""))),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means clusters
+    // the embedding space (n34's exact integer-grid run, full table),
+    // then near-dup marking runs ONLY inside a cluster — the cluster id
+    // is a blocking key that turns the all-pairs cosine into a hash
+    // equi-join. k is fixture-small (4, matching the verified n34
+    // assignment); at 100 TB k scales ≈ √n so per-cluster pair work
+    // stays bounded while the join stays an equi-join. The quadratic
+    // pair stage runs over the (env-sampled) subset like every pair
+    // query; the linear clustering pass is always full — exactly the
+    // paper's cheap-global/quadratic-local split.
+    "n52_semantic_dedup" -> (((s: SparkSession, d: String) => {
+      val assign = Clustering.kmeans(Tables.embeddings(s, d), k = 4, iters = 2)
+      Similarity.semanticDedup(pairEmb(s, d), assign, SemDedupTau)
+    }, Some(semanticDedupSql))),
+
+    // Priority sampling (Duffield, Lund & Thorup, JACM'07): weighted
+    // doc sample per language, weight = token count. priority = h/w
+    // with h a 52-bit md5-derived uniform — kept u64-free so the
+    // DOUBLE cast is exact in both engines, and the ONLY float op is
+    // one IEEE division (the textbook exponential-race keys need
+    // pow/ln, which are NOT cross-engine bit-deterministic). Bottom-k
+    // of priorities is a mergeable sketch (union, re-take bottom-k),
+    // so at scale this is a map-side partial top-k per partition and
+    // one tiny merge — the window here is the per-group idiom AQE
+    // handles at fixture scale.
+    "n53_priority_sample" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          Text.tokenCountWs(col("text")).cast("long").as("w"))
+        .where(col("w") > 0)
+      val h52 = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+      val pri = h52 / col("w").cast("double")
+      val win = Window.partitionBy(col("lang")).orderBy(pri.asc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(win).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("lang"), col("doc_id"), col("w"), col("rk"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, doc_id, len($toksSql) AS w
+                    FROM documents),
+      pri AS (SELECT lang, doc_id, w,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+                  / CAST(w AS DOUBLE) AS pri
+              FROM docs WHERE w > 0)
+      SELECT lang, doc_id, CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk FROM
+        (SELECT lang, doc_id, w,
+           row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+         FROM pri)
+      WHERE rk <= 5"""))),
 
     // Bigram LM scoring with add-one smoothing — n37's unigram filter
     // upgraded one order: per doc, mean P(w_i | w_{i-1}) with

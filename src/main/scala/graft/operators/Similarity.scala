@@ -259,4 +259,40 @@ object Similarity {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), cos.as("cos"))
       .where(col("cos") >= t)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * cluster the embedding space globally (cheap, linear), then mark
+    * near-duplicates ONLY within a cluster — the cluster id is the
+    * blocking key that replaces the all-pairs cosine with a hash
+    * EQUI-join. At 100 TB the cluster count scales with the corpus
+    * (the paper uses k ≈ √n), so per-cluster pair work stays bounded
+    * and no fact-table broadcast or NLJ ever appears.
+    *
+    * Determinism: cosine runs over [[Clustering]]'s floor-quantized
+    * integer-grid vectors (`qe`/`qn`) with the same left-fold order as
+    * the oracle SQL, so every double op is bit-identical cross-engine.
+    * A vector is `dropped` iff a SMALLER vec_id in the same cluster has
+    * cosine ≥ t with it (keep-lowest-id, the same convention as the
+    * n16 dedup-apply path).
+    *
+    * @param embeddings  (vec_id, embedding) — the rows to dedup (may be
+    *                    a sampled subset)
+    * @param assignments (vec_id, cluster) — e.g. [[Clustering.kmeans]]
+    *                    over the FULL table
+    * @return (vec_id, cluster, dropped 0/1) one row per input vector
+    */
+  def semanticDedup(embeddings: DataFrame, assignments: DataFrame,
+                    t: Double): DataFrame = {
+    val v = Clustering.prepare(embeddings).join(assignments, "vec_id")
+    val a = v.as("a")
+    val b = v.as("b")
+    val cos = Vec.dot(col("a.qe"), col("b.qe")) / (col("a.qn") * col("b.qn"))
+    val drops = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= t)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    v.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(0)).as("dropped"))
+  }
 }

@@ -242,4 +242,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
     assert(!p.contains("Exchange"), p)
   }
+
+  test("SemDeDup pair stage is an equi-join on the cluster id, never cartesian") {
+    val p = plan("n52_semantic_dedup")
+    // the only NLJ allowed is the kmeans 1-row centroid broadcast; the
+    // quadratic pair stage must ride the cluster-key hash join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("priority sample is one scan + per-group window, no join anywhere") {
+    val p = plan("n53_priority_sample")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("exact quantiles shuffle the HISTOGRAM, not the rows") {
+    val p = plan("a29_exact_quantiles")
+    // partial count per (lang, value) BEFORE the exchange = the
+    // map-side combine that bounds the shuffle by distinct values
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -55,4 +55,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucketed == want)
     assert(bucketed.nonEmpty && bucketed.size < pairSet(Similarity.cosinePairs(emb, 0.45)).size)
   }
+
+  test("semanticDedup == brute-force within-cluster marking (quantized cosine)") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    val emb = Tables.embeddings(spark, sf)
+    val assign = Clustering.kmeans(emb, k = 4, iters = 2)
+    val tau = 0.4375
+    val got = Similarity.semanticDedup(emb, assign, tau)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent reference: quantize + fold in plain Scala
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .map { case (id, e) => id -> e.map(x => math.floor(x * 1000000.0)).toArray }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cl = assign.as[(Long, Int)].collect().toMap
+    val ids = vecs.keys.toSeq.sorted
+    val drops = (for {
+      b <- ids
+      a <- ids if a < b && cl(a) == cl(b) &&
+        dot(vecs(a), vecs(b)) /
+          (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b)))) >= tau
+    } yield b).toSet
+    assert(got.keySet == vecs.keySet)
+    ids.foreach { id =>
+      assert(got(id)._1 == cl(id), s"cluster($id)")
+      assert(got(id)._2 == (if (drops(id)) 1 else 0), s"dropped($id)")
+    }
+    assert(drops.nonEmpty, "fixture must actually drop something")
+    assert(drops.size < ids.size, "fixture must keep something")
+  }
 }
