@@ -322,6 +322,22 @@ object SparkEntry {
     * →DOUBLE conversion is not correctly rounded). */
   private val SemDedupTau = 0.4375
 
+  /** DuckDB twin of the n53/s22 priority sample — same 52-bit-hash /
+    * weight arithmetic as PriorityAgg.priority, same (pri, doc_id)
+    * order, same K. */
+  private def prioritySampleSql: String = s"""
+      WITH docs AS (SELECT lang, doc_id, len($toksSql) AS w
+                    FROM documents),
+      pri AS (SELECT lang, doc_id, w,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+                  / CAST(w AS DOUBLE) AS pri
+              FROM docs WHERE w > 0)
+      SELECT lang, doc_id, CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk FROM
+        (SELECT lang, doc_id, w,
+           row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+         FROM pri)
+      WHERE rk <= ${graft.functions.PriorityAgg.K}"""
+
   /** DuckDB twin of the n52 SemDeDup plan: full-table k-means (the n34
     * CTEs verbatim), then the pair stage over the (possibly sampled)
     * subset — same quantized vectors, same fold order, same
@@ -2243,29 +2259,17 @@ object SparkEntry {
     // one tiny merge — the window here is the per-group idiom AQE
     // handles at fixture scale.
     "n53_priority_sample" -> (((s: SparkSession, d: String) => {
+      import graft.functions.PriorityAgg
       val docs = Tables.documents(s, d)
         .select(col("lang"), col("doc_id"),
           Text.tokenCountWs(col("text")).cast("long").as("w"))
         .where(col("w") > 0)
-      val h52 = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-        .cast("double")
-      val pri = h52 / col("w").cast("double")
+      val pri = PriorityAgg.priority(col("doc_id"), col("w"))
       val win = Window.partitionBy(col("lang")).orderBy(pri.asc, col("doc_id").asc)
       docs.withColumn("rk", row_number().over(win).cast("long"))
-        .where(col("rk") <= 5)
+        .where(col("rk") <= PriorityAgg.K)
         .select(col("lang"), col("doc_id"), col("w"), col("rk"))
-    }, Some(s"""
-      WITH docs AS (SELECT lang, doc_id, len($toksSql) AS w
-                    FROM documents),
-      pri AS (SELECT lang, doc_id, w,
-                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
-                  / CAST(w AS DOUBLE) AS pri
-              FROM docs WHERE w > 0)
-      SELECT lang, doc_id, CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk FROM
-        (SELECT lang, doc_id, w,
-           row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
-         FROM pri)
-      WHERE rk <= 5"""))),
+    }, Some(prioritySampleSql))),
 
     // Bigram LM scoring with add-one smoothing — n37's unigram filter
     // upgraded one order: per doc, mean P(w_i | w_{i-1}) with
@@ -3234,6 +3238,14 @@ object SparkEntry {
 
     // Streaming global top-k (StreamQueries.streamTopUsers scaladoc):
     // complete-mode agg + sort + limit — p11's streaming twin.
+    // n53's streaming twin: the bottom-K priority sample as bounded
+    // per-group streaming state (PriorityAgg merge across
+    // micro-batches); drained sample == the batch window plan, so the
+    // oracle is n53's SQL verbatim.
+    "s22_stream_priority_sample" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamPrioritySample(s, d)
+    }, Some(prioritySampleSql))),
+
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)
     }, Some("""

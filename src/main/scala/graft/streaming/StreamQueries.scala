@@ -226,6 +226,31 @@ object StreamQueries {
   def streamKmvSketch(spark: SparkSession, dir: String): DataFrame =
     kmvFinish(runToTable(spark, kmvAggPlan(documentsStream(spark, dir)), "complete"))
 
+  /** n53's streaming twin (s22): the per-lang bottom-K priority sample
+    * maintained as STREAMING STATE. Each micro-batch folds its rows'
+    * singleton sketches into the group's ≤K-entry state via
+    * PriorityAgg's merge — bounded state by construction (K entries per
+    * lang, no watermark needed), and because every global bottom-K
+    * priority is in its batch's bottom-K, ANY micro-batching drains to
+    * the identical sample as the one-shot batch aggregate — the oracle
+    * is n53's SQL verbatim. The post-drain explode ranks the ≤K
+    * entries per group. */
+  def streamPrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PriorityAgg, Text}
+    val partial = documentsStream(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("w"))
+      .where(col("w") > 0)
+      .select(col("lang"),
+        PriorityAgg.partial(col("doc_id"), col("w")).as("pe"))
+    val sk = runToTable(spark,
+      partial.groupBy(col("lang")).agg(PriorityAgg.union(col("pe")).as("sk")),
+      "complete")
+    sk.select(col("lang"), posexplode(col("sk")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.id").as("doc_id"), col("e.w").as("w"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Per-lang KMV aggregation over any documents frame — batch or
     * stream, the identical plan (shared by s15 and KmvSpec's forced
     * 3-micro-batch drain). */

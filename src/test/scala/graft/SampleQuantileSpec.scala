@@ -47,6 +47,44 @@ class SampleQuantileSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("s22: forced 3-micro-batch priority sample == one-shot bottom-K " +
+      "(mergeable-sketch property)") {
+    import spark.implicits._
+    import graft.functions.PriorityAgg
+    val dir = TempDirs.create("pri-stream")
+    def writeFile(name: String, docs: Seq[(Long, String, String)]): Unit = {
+      val tmp = TempDirs.create("pri-tmp")
+      docs.toDF("doc_id", "lang", "text").coalesce(1).write.parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "d"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(dir, name))
+    }
+    // 3 files × 8 docs, ids interleaved so the global bottom-K of each
+    // lang straddles batches (the merge has to actually do work)
+    (0 until 3).foreach { i =>
+      writeFile(s"f$i.parquet", Seq.tabulate(8) { j =>
+        val id = (j * 3 + i).toLong
+        (id, if (j % 2 == 0) "en" else "de", Seq.fill(1 + (id % 7).toInt)("w").mkString(" "))
+      })
+      Thread.sleep(200)
+    }
+
+    def plan(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("lang"),
+        PriorityAgg.partial(col("doc_id"), length(col("text")).cast("long").as("w"))
+          .as("pe"))
+      .groupBy(col("lang")).agg(PriorityAgg.union(col("pe")).as("sk"))
+
+    val streamed = graft.streaming.StreamQueries.runToTable(spark,
+      plan(spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir)), "complete")
+      .as[(String, Seq[graft.functions.PriEntry])].collect().toMap
+    val batch = plan(spark.read.parquet(dir))
+      .as[(String, Seq[graft.functions.PriEntry])].collect().toMap
+    assert(streamed == batch)
+    assert(batch.values.forall(_.size == PriorityAgg.K))
+  }
+
   test("a29: histogram quantiles equal sorted-order quantile_disc") {
     import spark.implicits._
     val byLang = Tables.documents(spark, sf)
