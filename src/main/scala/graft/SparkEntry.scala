@@ -2258,6 +2258,31 @@ object SparkEntry {
     // so at scale this is a map-side partial top-k per partition and
     // one tiny merge — the window here is the per-group idiom AQE
     // handles at fixture scale.
+    // Exact duplicated-SPAN detection (Lee et al. '21): maximal token
+    // runs occurring ≥2× in the corpus, via position-indexed grams +
+    // one duplicated-gram equi-join + gaps-and-islands span merge —
+    // span-level dedup with no pairwise doc comparison anywhere (see
+    // Dedup.duplicatedSpans for the 100 TB shuffle accounting). Runs
+    // unsampled at every SF: the inverted index is linear, like n46.
+    "n54_span_dedup" -> (((s: SparkSession, d: String) => {
+      Dedup.duplicatedSpans(Tables.documents(s, d), g = 8, minSpan = 12)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      occ AS (SELECT doc_id, toks,
+                unnest(range(0, len(toks) - 8 + 1)) AS pos
+              FROM d WHERE len(toks) >= 8),
+      g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              array_to_string(toks[pos+1:pos+8], ' ') AS gram FROM occ),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dp)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp
+      HAVING max(pos) - min(pos) + 8 >= 12"""))),
+
     "n53_priority_sample" -> (((s: SparkSession, d: String) => {
       import graft.functions.PriorityAgg
       val docs = Tables.documents(s, d)

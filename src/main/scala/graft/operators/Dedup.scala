@@ -345,4 +345,48 @@ object Dedup {
           "(component diameter exceeds maxIters); raise maxIters")
     labels
   }
+
+  /** Exact duplicated-SPAN detection (Lee et al. '21, "Deduplicating
+    * Training Data Makes Language Models Better"): the span-level
+    * complement of doc-level dedup — find maximal token runs that occur
+    * more than once in the corpus, without comparing any document pair.
+    *
+    * Plan: (1) position-indexed g-token grams per doc (pure per-row
+    * generator — one explode, no shuffle); (2) corpus-duplicated grams
+    * = gram count ≥ 2, ONE hash-aggregate shuffle bounded by distinct
+    * grams, joined back as an equi-join on the gram (never any
+    * pairwise doc join — the gram is the blocking key, like the
+    * suffix-array bucket in the paper's implementation); (3)
+    * gaps-and-islands per doc: a run of CONSECUTIVE duplicated
+    * positions is one span of `run + g - 1` tokens (adjacent grams
+    * overlap g-1 tokens), merged by the classic `pos - row_number()`
+    * group key — a per-doc window over duplicated positions only.
+    * Spans shorter than `minSpan` tokens are noise and dropped.
+    *
+    * At 100 TB: stage 2's shuffle carries (gram, count) pairs — the
+    * aggregate is map-side combined so the exchange is bounded by
+    * distinct grams, and the join back is hash-partitioned on the
+    * gram. The window in stage 3 partitions by doc_id over the
+    * duplicated subset only (typically ≪ corpus). Nothing is ever
+    * quadratic in documents. */
+  def duplicatedSpans(docs: DataFrame, g: Int = 8, minSpan: Int = 12): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= g)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - g)).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(g))).as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("gram"))
+    val dp = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dp.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + g).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
 }

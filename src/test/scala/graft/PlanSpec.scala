@@ -243,6 +243,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("span dedup joins only on the gram — no pairwise doc join, no cartesian") {
+    val p = plan("n54_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p) // gaps-and-islands per doc
+  }
+
   test("SemDeDup pair stage is an equi-join on the cluster id, never cartesian") {
     val p = plan("n52_semantic_dedup")
     // the only NLJ allowed is the kmeans 1-row centroid broadcast; the
