@@ -322,6 +322,22 @@ object SparkEntry {
     * →DOUBLE conversion is not correctly rounded). */
   private val SemDedupTau = 0.4375
 
+  /** DuckDB twin of the a29/s23 histogram quantiles — same integer
+    * ceiling-division rank thresholds, same cumulative-histogram pick. */
+  private def exactQuantilesSql: String = s"""
+      WITH docs AS (SELECT lang, len($toksSql) AS v FROM documents),
+      hist AS (SELECT lang, v, count(*) AS c FROM docs GROUP BY lang, v),
+      cum AS (SELECT lang, v,
+                sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                sum(c) OVER (PARTITION BY lang) AS n
+              FROM hist)
+      SELECT lang,
+        CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+        CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90,
+        CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99,
+        CAST(max(n) AS BIGINT) AS n_rows
+      FROM cum GROUP BY lang"""
+
   /** DuckDB twin of the n53/s22 priority sample — same 52-bit-hash /
     * weight arithmetic as PriorityAgg.priority, same (pri, doc_id)
     * order, same K. */
@@ -778,19 +794,7 @@ object SparkEntry {
         min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("v"))).as("p90"),
         min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("v"))).as("p99"),
         max(col("n")).as("n_rows"))
-    }, Some(s"""
-      WITH docs AS (SELECT lang, len($toksSql) AS v FROM documents),
-      hist AS (SELECT lang, v, count(*) AS c FROM docs GROUP BY lang, v),
-      cum AS (SELECT lang, v,
-                sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
-                sum(c) OVER (PARTITION BY lang) AS n
-              FROM hist)
-      SELECT lang,
-        CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
-        CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90,
-        CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99,
-        CAST(max(n) AS BIGINT) AS n_rows
-      FROM cum GROUP BY lang"""))),
+    }, Some(exactQuantilesSql))),
 
     "a10_percentile" -> (((s: SparkSession, d: String) => {
       Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
@@ -2283,6 +2287,27 @@ object SparkEntry {
       FROM isl GROUP BY doc_id, grp
       HAVING max(pos) - min(pos) + 8 >= 12"""))),
 
+    // Per-source document cap — the source-dominance control that stops
+    // one domain from flooding a training mix (the "max N pages per
+    // domain" step every web-corpus pipeline runs). Kept subset is
+    // ordered by md5(doc_id) — deterministic, reproducible, incremental
+    // (a re-run after appends keeps a superset-stable prefix), never
+    // rand(). At scale this is the same per-group top-k shape as n53:
+    // partial bottom-k per partition, AQE handles the hot-domain skew.
+    "n55_domain_cap" -> (((s: SparkSession, d: String) => {
+      val win = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, d).select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .where(col("rk") <= 10)
+    }, Some("""
+      SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM
+        (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+      WHERE rk <= 10"""))),
+
     "n53_priority_sample" -> (((s: SparkSession, d: String) => {
       import graft.functions.PriorityAgg
       val docs = Tables.documents(s, d)
@@ -3270,6 +3295,13 @@ object SparkEntry {
     "s22_stream_priority_sample" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamPrioritySample(s, d)
     }, Some(prioritySampleSql))),
+
+    // a29's streaming twin: the (lang, value) count histogram as
+    // bounded streaming state (counts merge by addition), exact
+    // quantiles picked after the drain; oracle is a29's SQL verbatim.
+    "s23_stream_quantiles" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamQuantiles(s, d)
+    }, Some(exactQuantilesSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

@@ -226,6 +226,32 @@ object StreamQueries {
   def streamKmvSketch(spark: SparkSession, dir: String): DataFrame =
     kmvFinish(runToTable(spark, kmvAggPlan(documentsStream(spark, dir)), "complete"))
 
+  /** a29's streaming twin (s23): the per-(lang, value) COUNT HISTOGRAM
+    * is the streaming state — counts merge across micro-batches by
+    * plain addition, so the drained histogram equals the batch one and
+    * the post-drain cumulative pick computes the exact quantiles. The
+    * state is bounded by distinct (lang, token-count) pairs (~10³ at
+    * any corpus size) — the same reason a29's shuffle is bounded makes
+    * the streaming state bounded; no watermark needed. */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val hist = runToTable(spark,
+      documentsStream(spark, dir)
+        .select(col("lang"), Text.tokenCountWs(col("text")).cast("long").as("v"))
+        .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c")),
+      "complete")
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("p50"),
+      min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("v"))).as("p90"),
+      min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("v"))).as("p99"),
+      max(col("n")).as("n_rows"))
+  }
+
   /** n53's streaming twin (s22): the per-lang bottom-K priority sample
     * maintained as STREAMING STATE. Each micro-batch folds its rows'
     * singleton sketches into the group's ≤K-entry state via
