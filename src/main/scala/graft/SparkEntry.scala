@@ -2262,6 +2262,47 @@ object SparkEntry {
     // so at scale this is a map-side partial top-k per partition and
     // one tiny merge — the window here is the per-group idiom AQE
     // handles at fixture scale.
+    // Per-doc n-gram NOVELTY score — the scoring complement of n54's
+    // span view (and the inter-doc dual of n32's intra-doc
+    // repetition): the ppm fraction of a doc's DISTINCT 3-grams that
+    // occur in no other document. One distinct-gram explode, one
+    // count-per-gram aggregate (shuffle bounded by distinct grams),
+    // one join back on the gram; exact integer ppm. Low novelty =
+    // boilerplate/near-dup; the score feeds mixture weighting where a
+    // hard dedup would be too blunt.
+    "n56_novelty" -> (((s: SparkSession, d: String) => {
+      val dg = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 3)).as("pos"),
+          col("toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(3))).as("gram"))
+        .distinct()
+      val docCount = dg.groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs_with"))
+      dg.join(docCount, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs_with") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      occ AS (SELECT doc_id, toks,
+                unnest(range(0, len(toks) - 3 + 1)) AS pos
+              FROM d WHERE len(toks) >= 3),
+      dg AS (SELECT DISTINCT doc_id,
+               array_to_string(toks[pos+1:pos+3], ' ') AS gram FROM occ),
+      cnt AS (SELECT gram, count(*) AS n_docs_with FROM dg GROUP BY gram)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS novelty_ppm
+      FROM dg JOIN cnt USING (gram)
+      GROUP BY doc_id"""))),
+
     // Exact duplicated-SPAN detection (Lee et al. '21): maximal token
     // runs occurring ≥2× in the corpus, via position-indexed grams +
     // one duplicated-gram equi-join + gaps-and-islands span merge —
