@@ -770,6 +770,32 @@ object SparkEntry {
              coalesce(n, CAST(0 AS BIGINT)) AS n_orders
       FROM months LEFT JOIN mc ON mc.m = months.m"""))),
 
+    // RANGE-frame window: per-customer trailing-30-day order count and
+    // spend — the time-decayed-feature shape (sliding aggregates keyed
+    // by event time, not row position). The frame bound is integer
+    // epoch-days on BOTH engines so peer-row semantics are identical;
+    // the money sum rides the DECIMAL(28,6)→VARCHAR determinism
+    // contract. One shuffle on the partition key; the frame scan is
+    // linear per partition (running two-pointer, not per-row rescan).
+    "a30_range_frame" -> (((s: SparkSession, d: String) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("sum_30d",
+          sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("string"))
+        .select(col("o_orderkey"), col("n_30d"), col("sum_30d"))
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS VARCHAR) AS sum_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"""))),
+
     // Exact distributed quantiles WITHOUT a global sort (contrast a10's
     // percentile over raw values): per-(lang, value) counts first — a
     // shuffle bounded by DISTINCT values, not rows — then a cumulative
@@ -1341,6 +1367,51 @@ object SparkEntry {
       FROM orders
       WHERE o_custkey BETWEEN 100 AND 400
         AND o_orderdate BETWEEN '1995-03-01' AND '1995-09-30'"""))),
+
+    // Snapshot diff — the dataset-versioning audit (what changed
+    // between two table generations): one FULL OUTER equi-join on the
+    // key, per-row content compare, counts per status. At 100 TB both
+    // generations hash-partition on the key (no broadcast, no
+    // re-sort if both are bucketed on it) and the compare ships a
+    // narrow content column — for wide rows, a per-row md5 computed at
+    // write time, the same row-hash idiom as p19's SCD2 change
+    // detection. Generations are derived deterministically from the
+    // md5 bucket so every status bin is non-empty and reproducible:
+    // old = buckets [5,100), new = [0,95) with payload rewritten on
+    // [5,10) — added=[0,5) removed=[95,100) changed=[5,10).
+    "p30_snapshot_diff" -> (((s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"), md5Bucket100(col("o_orderkey")).as("bkt"))
+      val old = o.where(col("bkt") >= 5)
+        .select(col("o_orderkey"), col("o_orderpriority").as("old_p"))
+      val nw = o.where(col("bkt") < 95)
+        .select(col("o_orderkey"),
+          when(col("bkt").between(5, 9),
+            concat(col("o_orderpriority"), lit("-r2")))
+            .otherwise(col("o_orderpriority")).as("new_p"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("old_p").isNull, "added")
+            .when(col("new_p").isNull, "removed")
+            .when(col("old_p") =!= col("new_p"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }, Some("""
+      WITH b AS (SELECT o_orderkey, o_orderpriority,
+                   (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT % 100) AS bkt
+                 FROM orders),
+      old AS (SELECT o_orderkey, o_orderpriority AS old_p FROM b WHERE bkt >= 5),
+      nw AS (SELECT o_orderkey,
+               CASE WHEN bkt BETWEEN 5 AND 9 THEN o_orderpriority || '-r2'
+                    ELSE o_orderpriority END AS new_p
+             FROM b WHERE bkt < 95)
+      SELECT CASE WHEN old_p IS NULL THEN 'added'
+                  WHEN new_p IS NULL THEN 'removed'
+                  WHEN old_p <> new_p THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             count(*) AS n
+      FROM old FULL JOIN nw USING (o_orderkey)
+      GROUP BY 1"""))),
 
     // Write-audit-publish (operators/Publish scaladoc): a good
     // snapshot publishes; a subsequent BAD snapshot (nulled keys)

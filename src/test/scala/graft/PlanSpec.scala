@@ -243,6 +243,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("range-frame window is one shuffle on the partition key") {
+    val p = plan("a30_range_frame")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("snapshot diff is a key equi-join (full outer), never cartesian") {
+    val p = plan("p30_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("span dedup joins only on the gram — no pairwise doc join, no cartesian") {
     val p = plan("n54_span_dedup")
     assert(!p.contains("CartesianProduct"), p)
