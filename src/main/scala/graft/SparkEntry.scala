@@ -770,6 +770,82 @@ object SparkEntry {
              coalesce(n, CAST(0 AS BIGINT)) AS n_orders
       FROM months LEFT JOIN mc ON mc.m = months.m"""))),
 
+    // Ordered funnel analysis (view → click → purchase, strictly
+    // earlier at each stage): "seen prior stage" is a ROWS-frame
+    // running max per user — TWO chained window passes over the SAME
+    // (partition, order), so Catalyst plans ONE shuffle and one sort
+    // for both; no self-join per stage (the naive 3-way join re-scans
+    // events per stage). Ties at equal timestamps break on event_id
+    // identically in both engines.
+    "a31_funnel" -> (((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e2 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("v_seen", coalesce(
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(w), lit(0)))
+        .withColumn("c_qual",
+          when(col("event_type") === "click" && col("v_seen") === 1, 1).otherwise(0))
+      e2.withColumn("c_seen", coalesce(max(col("c_qual")).over(w), lit(0)))
+        .agg(
+          countDistinct(when(col("event_type") === "view", col("user_id")))
+            .as("n_view"),
+          countDistinct(when(col("c_qual") === 1, col("user_id")))
+            .as("n_click_after"),
+          countDistinct(when(col("event_type") === "purchase" && col("c_seen") === 1,
+            col("user_id"))).as("n_purchase_after"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type,
+                   make_timestamp(epoch_ns(ts) // 1000) AS t, event_id
+                 FROM events),
+      e2 AS (SELECT *, coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS v_seen
+             FROM e),
+      e3 AS (SELECT *, CASE WHEN event_type = 'click' AND v_seen = 1
+                            THEN 1 ELSE 0 END AS c_qual FROM e2),
+      e4 AS (SELECT *, coalesce(max(c_qual)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_seen
+             FROM e3)
+      SELECT
+        CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS n_view,
+        CAST(count(DISTINCT CASE WHEN c_qual = 1 THEN user_id END) AS BIGINT) AS n_click_after,
+        CAST(count(DISTINCT CASE WHEN event_type = 'purchase' AND c_seen = 1
+                   THEN user_id END) AS BIGINT) AS n_purchase_after
+      FROM e4"""))),
+
+    // Cohort retention: cohort = the user's FIRST active epoch day
+    // (integer days since epoch — no calendar/timezone semantics to
+    // drift cross-engine), retained = active again at day+1 / day+7.
+    // Activity is de-duped to (user, day) FIRST so the heavy event
+    // input collapses before any join; the cohort join is an equi-join
+    // on user_id over the collapsed set — at 100 TB the dedup is the
+    // only row-volume shuffle, everything after is user-cardinality.
+    "a32_retention" -> (((s: SparkSession, d: String) => {
+      val day = expr("datediff(cast(ts as date), date '1970-01-01')").as("day")
+      val ud = Tables.events(s, d).select(col("user_id"), day).distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("day") === col("cohort") + 1, col("user_id")))
+            .as("n_d1"),
+          countDistinct(when(col("day") === col("cohort") + 7, col("user_id")))
+            .as("n_d7"))
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE)
+                     - DATE '1970-01-01' AS day
+                  FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+      SELECT CAST(cohort AS BIGINT) AS cohort,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(count(DISTINCT CASE WHEN day = cohort + 1 THEN user_id END) AS BIGINT) AS n_d1,
+        CAST(count(DISTINCT CASE WHEN day = cohort + 7 THEN user_id END) AS BIGINT) AS n_d7
+      FROM ud JOIN cohort USING (user_id)
+      GROUP BY cohort"""))),
+
     // RANGE-frame window: per-customer trailing-30-day order count and
     // spend — the time-decayed-feature shape (sliding aggregates keyed
     // by event time, not row position). The frame bound is integer
