@@ -322,6 +322,51 @@ object SparkEntry {
     * →DOUBLE conversion is not correctly rounded). */
   private val SemDedupTau = 0.4375
 
+  /** DuckDB twin of the n57 BPE trainer — the SAME long-format
+    * symbol-table pipeline as operators/Bpe, unrolled CTE-for-CTE per
+    * iteration (the kmeans-oracle unrolling idiom): lead() pairs,
+    * freq-weighted counts, deterministic (n DESC, a, b) argmax,
+    * gaps-and-islands greedy application, row_number renumbering. */
+  private def bpeOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH v AS (SELECT word, count(*) AS freq
+                 FROM (SELECT unnest($toksSql) AS word FROM documents)
+                 GROUP BY word),
+      s1 AS (SELECT word, CAST(pos AS INTEGER) AS pos, substr(word, pos, 1) AS sym
+             FROM (SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM v))""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+      p$i AS (SELECT word, pos, sym AS a,
+                lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+              FROM s$i),
+      c$i AS (SELECT a, b, sum(freq) AS n
+              FROM p$i JOIN v USING (word) WHERE b IS NOT NULL GROUP BY a, b),
+      b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+      m$i AS (SELECT p.word, p.pos
+              FROM p$i p JOIN b$i bb ON p.a = bb.a AND p.b = bb.b),
+      ap$i AS (SELECT word, pos FROM
+                 (SELECT word, pos,
+                    pos - min(pos) OVER (PARTITION BY word, grp) AS off
+                  FROM (SELECT word, pos,
+                          pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+                        FROM m$i))
+               WHERE off % 2 = 0),
+      s${i + 1} AS (SELECT s.word,
+                    CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS INTEGER) AS pos,
+                    CASE WHEN a2.pos IS NOT NULL THEN (SELECT a || b FROM b$i)
+                         ELSE s.sym END AS sym
+                  FROM s$i s
+                  LEFT JOIN ap$i a2 ON s.word = a2.word AND s.pos = a2.pos
+                  LEFT JOIN ap$i cns ON s.word = cns.word AND s.pos = cns.pos + 1
+                  WHERE cns.pos IS NULL)""")
+    }
+    sb.append((1 to iters).map(i =>
+      s"SELECT $i AS it, a, b, CAST(n AS BIGINT) AS n FROM b$i")
+      .mkString("\n      ", "\n      UNION ALL\n      ", ""))
+    sb.toString
+  }
+
   /** DuckDB twin of the a29/s23 histogram quantiles — same integer
     * ceiling-division rank thresholds, same cumulative-histogram pick. */
   private def exactQuantilesSql: String = s"""
@@ -2409,6 +2454,18 @@ object SparkEntry {
     // so at scale this is a map-side partial top-k per partition and
     // one tiny merge — the window here is the per-group idiom AQE
     // handles at fixture scale.
+    // BPE merge-rule TRAINING (Sennrich '16) — real tokenizer
+    // training as distributed aggregation (operators/Bpe scaladoc):
+    // corpus-sized work is ONE explode+count (the vocab build); each
+    // of the 3 unrolled iterations then runs on the vocabulary-bounded
+    // long-format symbol table — lead() pair window, freq-weighted
+    // count, deterministic argmax, gaps-and-islands greedy merge. No
+    // UDF, no driver tokenization loop; the oracle unrolls the same
+    // pipeline CTE-for-CTE.
+    "n57_bpe_train" -> (((s: SparkSession, d: String) => {
+      graft.operators.Bpe.learnMerges(Tables.documents(s, d), iters = 3)
+    }, Some(bpeOracleSql(3)))),
+
     // Per-doc n-gram NOVELTY score — the scoring complement of n54's
     // span view (and the inter-doc dual of n32's intra-doc
     // repetition): the ppm fraction of a doc's DISTINCT 3-grams that

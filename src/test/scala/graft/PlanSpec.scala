@@ -243,6 +243,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("BPE training never goes cartesian: 1-row best rides a broadcast") {
+    val p = plan("n57_bpe_train")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("range-frame window is one shuffle on the partition key") {
     val p = plan("a30_range_frame")
     assert(p.contains("Window"), p)
