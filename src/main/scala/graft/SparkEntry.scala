@@ -367,6 +367,17 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The n57 training CTE chain, finished with the encoded vocabulary
+    * (word → final symbol count) for the n58 encode twin. The prefix is
+    * REBUILT from [[bpeOracleSql]]'s text so the two oracles can never
+    * train on diverging pipelines. */
+  private def bpeEncodeCtesSql(iters: Int): String = {
+    val full = bpeOracleSql(iters)
+    val prefix = full.substring(0, full.lastIndexOf(s"\n      SELECT 1 AS it"))
+    s"""$prefix,
+      ns AS (SELECT word, count(*) AS n_sym FROM s${iters + 1} GROUP BY word)"""
+  }
+
   /** DuckDB twin of the a29/s23 histogram quantiles — same integer
     * ceiling-division rank thresholds, same cumulative-histogram pick. */
   private def exactQuantilesSql: String = s"""
@@ -2465,6 +2476,21 @@ object SparkEntry {
     "n57_bpe_train" -> (((s: SparkSession, d: String) => {
       graft.operators.Bpe.learnMerges(Tables.documents(s, d), iters = 3)
     }, Some(bpeOracleSql(3)))),
+
+    // BPE ENCODING with the n57-learned merges: the trained symbol
+    // table collapses to a (word, n_sym) vocabulary, and encoding the
+    // corpus is ONE exploded equi-join against it — per-doc BPE token
+    // count, char count, exact ppm compression. The corpus is never
+    // re-walked per merge; the vocab absorbs all rewrites.
+    "n58_bpe_encode" -> (((s: SparkSession, d: String) => {
+      graft.operators.Bpe.encodeStats(Tables.documents(s, d), iters = 3)
+    }, Some(s"""${bpeEncodeCtesSql(3)}
+      SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(n_sym) * 1000000 // sum(length(word)) AS BIGINT) AS ratio_ppm
+      FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) o
+      JOIN ns USING (word)
+      GROUP BY doc_id"""))),
 
     // Per-doc n-gram NOVELTY score — the scoring complement of n54's
     // span view (and the inter-doc dual of n32's intra-doc

@@ -92,4 +92,25 @@ object Bpe {
     }
     merges.result().reduce(_ unionAll _)
   }
+
+  /** ENCODE with the learned merges: after `iters` training steps the
+    * symbol table IS the encoded vocabulary — (word, n_sym) is each
+    * word's BPE token count. Encoding a corpus is then one exploded
+    * equi-join against this vocabulary-sized table (broadcast while it
+    * fits): per doc, the BPE token count, the character count, and the
+    * exact compression in ppm. The corpus is never re-tokenized
+    * per-merge — the vocab table absorbs all `iters` rewrites. */
+  def encodeStats(docs: DataFrame, iters: Int): DataFrame = {
+    val v = vocab(docs)
+    var syms = initSymbols(v)
+    for (_ <- 1 to iters) syms = step(syms, v)._2
+    val nSym = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .join(nSym, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_bpe"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_bpe"), col("n_chars"),
+        expr("n_bpe * 1000000 div n_chars").as("ratio_ppm"))
+  }
 }
