@@ -2470,9 +2470,10 @@ object SparkEntry {
     // corpus-sized work is ONE explode+count (the vocab build); each
     // of the 3 unrolled iterations then runs on the vocabulary-bounded
     // long-format symbol table — lead() pair window, freq-weighted
-    // count, deterministic argmax, gaps-and-islands greedy merge. No
-    // UDF, no driver tokenization loop; the oracle unrolls the same
-    // pipeline CTE-for-CTE.
+    // count, deterministic argmax (a 1-row collect: the learned rule,
+    // O(iters) scalars), gaps-and-islands greedy merge. No UDF, no
+    // driver tokenization loop; the oracle unrolls the same pipeline
+    // CTE-for-CTE.
     "n57_bpe_train" -> (((s: SparkSession, d: String) => {
       graft.operators.Bpe.learnMerges(Tables.documents(s, d), iters = 3)
     }, Some(bpeOracleSql(3)))),

@@ -26,7 +26,9 @@ import graft.functions.Text
   *  2. pair counts: join the vocab freq, sum per (a, b) — counts
   *     weight by word frequency exactly as Sennrich's counter does;
   *  3. best pair: max by (n, then lexicographic a, b) — deterministic
-  *     1-row TakeOrdered, broadcast back;
+  *     1-row TakeOrdered collected to the driver (the learned RULE is
+  *     an O(1) scalar; the data never moves) and re-applied as
+  *     literals;
   *  4. greedy application: matching positions that are CONSECUTIVE
   *     (only possible when a == b, e.g. "aaa" under (a,a)) must merge
   *     at alternate offsets only — islands of consecutive matches via
@@ -49,48 +51,71 @@ object Bpe {
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("pos"), expr("substr(word, pos, 1)").as("sym"))
 
-  /** One training iteration; returns (best-merge 1-row frame with
-    * columns a/b/n, next symbol table). */
-  def step(syms: DataFrame, freq: DataFrame): (DataFrame, DataFrame) = {
+  /** One training iteration: pick the best pair (a 1-ROW collect — the
+    * learned RULE comes back to the driver, exactly like n25's
+    * convergence probe; O(iters) scalars, never data), then apply it
+    * as literals. Returns (None, syms) when no pair remains. Without
+    * the per-iteration lineage cuts the unrolled plan re-evaluates the
+    * corpus-sized vocab build EXPONENTIALLY often (measured: 9.6 s for
+    * 3 iterations at sf0.1 vs ~1 s with cuts — the state checkpointed
+    * is vocabulary-sized, never corpus-sized). */
+  def step(syms: DataFrame, freq: DataFrame): (Option[(String, String, Long)], DataFrame) = {
     val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
     val pairs = syms
       .withColumn("nsym", lead(col("sym"), 1).over(byPos))
       .where(col("nsym").isNotNull)
       .select(col("word"), col("pos"), col("sym").as("a"), col("nsym").as("b"))
-    val best = pairs.join(freq, "word")
+    val bestRow = pairs.join(freq, "word")
       .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
-    val matched = pairs.join(broadcast(best.select(col("a"), col("b"))), Seq("a", "b"))
-      .select(col("word"), col("pos"))
-    val applied = matched
-      .withColumn("grp", col("pos") - row_number().over(byPos))
-      .withColumn("start",
-        min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
-      .where(((col("pos") - col("start")) % 2) === 0)
-      .select(col("word"), col("pos"))
-    val consumed = applied.select(col("word"), (col("pos") + 1).as("pos"))
-    val next = syms
-      .join(consumed, Seq("word", "pos"), "left_anti")
-      .join(applied.withColumn("app", lit(1)), Seq("word", "pos"), "left")
-      .crossJoin(broadcast(best.select(concat(col("a"), col("b")).as("ab"))))
-      .select(col("word"),
-        row_number().over(byPos).as("pos"),
-        when(col("app") === 1, col("ab")).otherwise(col("sym")).as("sym"))
-    (best, next)
+      .collect().headOption
+    bestRow match {
+      case None => (None, syms)
+      case Some(r) =>
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        val matched = pairs
+          .where(col("a") === lit(a) && col("b") === lit(b))
+          .select(col("word"), col("pos"))
+        val applied = matched
+          .withColumn("grp", col("pos") - row_number().over(byPos))
+          .withColumn("start",
+            min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
+          .where(((col("pos") - col("start")) % 2) === 0)
+          .select(col("word"), col("pos"))
+        val consumed = applied.select(col("word"), (col("pos") + 1).as("pos"))
+        val next = syms
+          .join(consumed, Seq("word", "pos"), "left_anti")
+          .join(applied.withColumn("app", lit(1)), Seq("word", "pos"), "left")
+          .select(col("word"),
+            row_number().over(byPos).as("pos"),
+            when(col("app") === 1, lit(a + b)).otherwise(col("sym")).as("sym"))
+        (Some((a, b, n)), next)
+    }
   }
 
   /** Learn `iters` merges from a documents frame; returns the merge
-    * table (it 1-based, a, b, n). */
+    * table (it 1-based, a, b, n). Stops early if the corpus runs out
+    * of pairs. */
   def learnMerges(docs: DataFrame, iters: Int): DataFrame = {
-    val v = vocab(docs)
-    var syms = initSymbols(v)
-    val merges = Seq.newBuilder[DataFrame]
-    for (i <- 1 to iters) {
-      val (best, next) = step(syms, v)
-      merges += best.select(lit(i).as("it"), col("a"), col("b"), col("n"))
-      syms = next
+    // one corpus pass, then vocabulary-sized state only; each boundary
+    // is a lineage cut (see step's scaladoc for why)
+    val v = vocab(docs).coalesce(1).localCheckpoint()
+    var syms = initSymbols(v).coalesce(1).localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
+      step(syms, v) match {
+        case (Some((a, b, n)), next) =>
+          out += ((i, a, b, n))
+          syms = next.coalesce(1).localCheckpoint()
+        case (None, _) => exhausted = true
+      }
+      i += 1
     }
-    merges.result().reduce(_ unionAll _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.result().toDF("it", "a", "b", "n")
   }
 
   /** ENCODE with the learned merges: after `iters` training steps the
@@ -101,9 +126,17 @@ object Bpe {
     * exact compression in ppm. The corpus is never re-tokenized
     * per-merge — the vocab table absorbs all `iters` rewrites. */
   def encodeStats(docs: DataFrame, iters: Int): DataFrame = {
-    val v = vocab(docs)
-    var syms = initSymbols(v)
-    for (_ <- 1 to iters) syms = step(syms, v)._2
+    val v = vocab(docs).coalesce(1).localCheckpoint()
+    var syms = initSymbols(v).coalesce(1).localCheckpoint()
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
+      step(syms, v) match {
+        case (Some(_), next) => syms = next.coalesce(1).localCheckpoint()
+        case (None, _)       => exhausted = true
+      }
+      i += 1
+    }
     val nSym = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
     docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .join(nSym, "word")

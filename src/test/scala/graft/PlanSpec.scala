@@ -243,9 +243,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("BPE training never goes cartesian: 1-row best rides a broadcast") {
+  test("BPE training never goes cartesian: the learned rule applies as a literal") {
     val p = plan("n57_bpe_train")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("range-frame window is one shuffle on the partition key") {
