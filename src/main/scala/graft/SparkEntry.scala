@@ -2580,6 +2580,38 @@ object SparkEntry {
          FROM documents)
       WHERE rk <= 10"""))),
 
+    // APPLY the n54 spans: strip every duplicated span, exact
+    // before/after token counts per doc. The cover set explodes to its
+    // positions (bounded by total span tokens ≪ corpus) and the strip
+    // is one left-anti equi-join on (doc, pos) — no text surgery, no
+    // UDF; spanless docs pass through via the left join.
+    "n59_span_strip" -> (((s: SparkSession, d: String) => {
+      Dedup.stripSpans(Tables.documents(s, d), g = 8, minSpan = 12)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      occ AS (SELECT doc_id, toks,
+                unnest(range(0, len(toks) - 8 + 1)) AS pos
+              FROM d WHERE len(toks) >= 8),
+      g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              array_to_string(toks[pos+1:pos+8], ' ') AS gram FROM occ),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dp),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 8 AS l
+                FROM isl GROUP BY doc_id, grp
+                HAVING max(pos) - min(pos) + 8 >= 12),
+      cover AS (SELECT DISTINCT doc_id, s + unnest(range(0, l)) AS pos FROM spans),
+      tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos FROM d),
+      kept AS (SELECT t.doc_id, count(*) AS n_after
+               FROM tok t LEFT JOIN cover c
+                 ON t.doc_id = c.doc_id AND t.pos = c.pos
+               WHERE c.pos IS NULL GROUP BY t.doc_id)
+      SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+             CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
+      FROM d LEFT JOIN kept k USING (doc_id)"""))),
+
     "n53_priority_sample" -> (((s: SparkSession, d: String) => {
       import graft.functions.PriorityAgg
       val docs = Tables.documents(s, d)

@@ -369,6 +369,33 @@ object Dedup {
     * gram. The window in stage 3 partitions by doc_id over the
     * duplicated subset only (typically ≪ corpus). Nothing is ever
     * quadratic in documents. */
+  /** APPLY [[duplicatedSpans]]: strip every detected span from its doc
+    * and report exact before/after token counts. The span table
+    * explodes to its covered positions (bounded by total span tokens,
+    * ≪ corpus) and the strip is one left-anti equi-join on (doc, pos) —
+    * no per-row text surgery, no UDF; the surviving tokens re-join by
+    * position order. Keeps EVERY doc (left join), spanless docs pass
+    * through unchanged. */
+  def stripSpans(docs: DataFrame, g: Int = 8, minSpan: Int = 12): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1) // sequence(0,-1) is illegal
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 1)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val cover = duplicatedSpans(docs, g, minSpan)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"),
+          col("span_start") + col("span_tokens") - 1)).as("pos"))
+    val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_after"))
+    docs.select(col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_before"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   def duplicatedSpans(docs: DataFrame, g: Int = 8, minSpan: Int = 12): DataFrame = {
     val grams = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))

@@ -43,6 +43,22 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == Set((5L, 0L, 12L), (5L, 17L, 12L)))
   }
 
+  test("stripSpans removes exactly the covered positions; identical docs empty out") {
+    import spark.implicits._
+    val shared = (0 until 20).map(i => s"s$i")
+    val docs = docsOf(
+      0L -> (shared ++ (0 until 10).map(i => s"a$i")), // span 0..19 -> 10 left
+      1L -> ((0 until 5).map(i => s"b$i") ++ shared ++ Seq("b5")), // 6 left
+      2L -> (0 until 30).map(i => s"c$i"), // untouched
+      3L -> (0 until 20).map(i => s"t$i"), // identical pair:
+      4L -> (0 until 20).map(i => s"t$i")) //   both strip to zero
+    val got = Dedup.stripSpans(docs, g = 8, minSpan = 12)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      0L -> (30L, 10L), 1L -> (26L, 6L), 2L -> (30L, 30L),
+      3L -> (20L, 0L), 4L -> (20L, 0L)))
+  }
+
   test("spans below minSpan are dropped") {
     import spark.implicits._
     val shared = (0 until 10).map(i => s"s$i") // 3 dup positions -> span 10
