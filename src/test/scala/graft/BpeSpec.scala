@@ -46,6 +46,57 @@ class BpeSpec extends AnyFunSuite {
     assert(pairsSeen.take(2) == Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("random corpora match a sequential reference BPE (seeded)") {
+    // classic in-memory BPE: overlapping pair counts, greedy
+    // left-to-right application — the semantics the distributed
+    // islands construction must reproduce exactly
+    def refBpe(words: Seq[String], iters: Int): Seq[(Int, String, String, Long)] = {
+      val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var vocab: Map[Vector[String], Long] =
+        freq.map { case (w, f) => w.split("").toVector -> f }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var it = 1
+      var done = false
+      while (it <= iters && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((it, a, b, n))
+          vocab = vocab.toSeq.map { case (syms, f) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            (nb.result(), f)
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          it += 1
+        }
+      }
+      out.result()
+    }
+
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val words = Seq.fill(4 + rng.nextInt(5)) {
+        val len = 1 + rng.nextInt(7)
+        Seq.fill(len)(if (rng.nextBoolean()) "a" else "b").mkString
+      }
+      val corpus = rng.shuffle(words.flatMap(w =>
+        Seq.fill(1 + rng.nextInt(4))(w)))
+      val got = merges(Seq(corpus.mkString(" ")), 4)
+      val want = refBpe(corpus, 4)
+      assert(got == want, s"trial $trial corpus=$corpus")
+    }
+  }
+
   test("exhausted corpus yields fewer rows, not an error") {
     // 'ab':1 -> it1 merges (a,b); nothing pairable remains
     val got = merges(Seq("ab"), 3)
