@@ -902,6 +902,65 @@ object SparkEntry {
       FROM ud JOIN cohort USING (user_id)
       GROUP BY cohort"""))),
 
+    // Robust outlier gate: median + MAD (median absolute deviation)
+    // per language over token counts, outlier = |v − median| > 2·MAD
+    // (2, not the textbook 3: fixture deviations are tight enough that 3
+    // never fires — 2 exercises both branches across languages).
+    // Two passes of the a29 cumulative-histogram median — both bounded
+    // by DISTINCT values, both integer-exact (deviations of integers
+    // are integers; the 3·MAD compare is integer×integer) — so the
+    // whole robust-stats gate has no float anywhere, unlike the
+    // mean/stddev z-score it replaces (which a single 10⁹-token doc
+    // would drag arbitrarily far).
+    "a33_mad_outliers" -> (((s: SparkSession, d: String) => {
+      def median(df: DataFrame, valCol: String): DataFrame = {
+        val hist = df.groupBy(col("lang"), col(valCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        hist
+          .withColumn("cum", sum(col("c"))
+            .over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+          .groupBy(col("lang"))
+          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("med"))
+      }
+      val docs = Tables.documents(s, d).select(col("lang"),
+        Text.tokenCountWs(col("text")).cast("long").as("v"))
+      val med = median(docs, "v")
+      val dev = docs.join(med, "lang")
+        .select(col("lang"), col("v"), col("med"),
+          abs(col("v") - col("med")).as("d"))
+      val mad = median(dev.select(col("lang"), col("d")), "d")
+        .withColumnRenamed("med", "mad")
+      dev.join(mad, "lang")
+        .groupBy(col("lang"))
+        .agg(max(col("med")).as("median"), max(col("mad")).as("mad"),
+          sum(when(col("d") > col("mad") * 2, 1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_docs"))
+    }, Some(s"""
+      WITH docs AS (SELECT lang, len($toksSql) AS v FROM documents),
+      h1 AS (SELECT lang, v, count(*) AS c FROM docs GROUP BY lang, v),
+      c1 AS (SELECT lang, v,
+               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n FROM h1),
+      med AS (SELECT lang,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+              FROM c1 GROUP BY lang),
+      dev AS (SELECT d.lang, d.v, m.med, abs(d.v - m.med) AS dd
+              FROM docs d JOIN med m USING (lang)),
+      h2 AS (SELECT lang, dd, count(*) AS c FROM dev GROUP BY lang, dd),
+      c2 AS (SELECT lang, dd,
+               sum(c) OVER (PARTITION BY lang ORDER BY dd) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n FROM h2),
+      mad AS (SELECT lang,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN dd END) AS mad
+              FROM c2 GROUP BY lang)
+      SELECT dev.lang, CAST(max(dev.med) AS BIGINT) AS median,
+             CAST(max(mad.mad) AS BIGINT) AS mad,
+             CAST(sum(CASE WHEN dev.dd > mad.mad * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM dev JOIN mad USING (lang)
+      GROUP BY dev.lang"""))),
+
     // RANGE-frame window: per-customer trailing-30-day order count and
     // spend — the time-decayed-feature shape (sliding aggregates keyed
     // by event time, not row position). The frame bound is integer
