@@ -961,6 +961,44 @@ object SparkEntry {
       FROM dev JOIN mad USING (lang)
       GROUP BY dev.lang"""))),
 
+    // Batch sessionization (gaps-and-islands over event time): a new
+    // session starts when a user's inter-event gap exceeds 30 min.
+    // Session ids come from a running sum of session-start flags over a
+    // RANGE window — tie rows (equal ts) are peers on BOTH engines, so
+    // they always land in the same session regardless of their physical
+    // order, making the result deterministic without a tiebreaker
+    // column. One shuffle on user_id; the window scan is linear per
+    // user. Time is integer epoch-seconds end-to-end (both engines
+    // floor sub-second timestamps identically) — no calendar/timezone
+    // arithmetic anywhere.
+    "a34_sessionize" -> (((s: SparkSession, d: String) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("t") - col("prev") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(byUser))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("start_s"),
+          (max(col("t")) - min(col("t"))).as("dur_s"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events),
+      l AS (SELECT user_id, t,
+              lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM e),
+      n AS (SELECT user_id, t,
+              CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM l),
+      s AS (SELECT user_id, t,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY t) AS sess FROM n)
+      SELECT user_id, CAST(sess AS BIGINT) AS sess,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(t) AS BIGINT) AS start_s,
+             CAST(max(t) - min(t) AS BIGINT) AS dur_s
+      FROM s GROUP BY 1, 2"""))),
+
     // RANGE-frame window: per-customer trailing-30-day order count and
     // spend — the time-decayed-feature shape (sliding aggregates keyed
     // by event time, not row position). The frame bound is integer
@@ -2638,6 +2676,62 @@ object SparkEntry {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          FROM documents)
       WHERE rk <= 10"""))),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by how target-like its hashed token-feature distribution is,
+    // target = the English slice of the corpus. Features are md5-hashed
+    // token buckets (64 bins — the same cross-engine md5 arithmetic as
+    // n27/the pair sampler); both the target and raw bucket
+    // distributions are Laplace-smoothed. Where the paper sums
+    // log-likelihood ratios, this quantizes each smoothed probability
+    // to exact integer ppb FIRST and scores with the mean per-token
+    // probability RATIO (ppm) — monotone-equivalent for ranking and
+    // integer-exact end-to-end, so no float log ever crosses the
+    // engine boundary. Scale shape: the bucket table is 64 rows
+    // (broadcast); the only row-volume shuffle is the per-doc groupBy —
+    // the token explode joins against a broadcast literal table.
+    "n60_dsir_weight" -> (((s: SparkSession, d: String) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int") % 64)
+      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = tok.where(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = tok.agg(count(lit(1)).as("crt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctt"))
+      val ratios = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("(ct + 1) * 1000000000 div (ctt + 64)").as("pt_ppb"),
+          expr("(cr + 1) * 1000000000 div (crt + 64)").as("pr_ppb"))
+        .select(col("b"),
+          expr("pt_ppb * 1000000 div greatest(pr_ppb, 1)").as("ratio_ppm"))
+      tok.join(broadcast(ratios), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("ratio_ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("cast(sum_ppm as bigint) div n_toks").as("mean_ratio_ppm"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+      tb AS (SELECT doc_id, lang, tok,
+               (('0x' || substr(md5(tok), 1, 4))::INT % 64) AS b FROM t),
+      raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+      tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT count(*) AS crt,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ctt FROM tb),
+      st AS (SELECT raw.b,
+               ((coalesce(ct, 0) + 1) * 1000000000) // (ctt + 64) AS pt_ppb,
+               ((cr + 1) * 1000000000) // (crt + 64) AS pr_ppb
+             FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      r AS (SELECT b, (pt_ppb * 1000000) // greatest(pr_ppb, 1) AS ratio_ppm
+            FROM st)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_ratio_ppm
+      FROM tb JOIN r USING (b) GROUP BY 1"""))),
 
     // APPLY the n54 spans: strip every duplicated span, exact
     // before/after token counts per doc. The cover set explodes to its
