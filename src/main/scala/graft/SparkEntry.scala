@@ -2733,6 +2733,87 @@ object SparkEntry {
                AS mean_ratio_ppm
       FROM tb JOIN r USING (b) GROUP BY 1"""))),
 
+    // Keep-BEST dedup policy: n25 keeps each component's min id; real
+    // curation keeps its best member (longest doc here — token count is
+    // integer-deterministic; ties break to min id). Same LSH pairs and
+    // min-label components as n25; the policy is ONE ranked window over
+    // the component-labeled corpus, so upgrading keep-min to keep-best
+    // costs one extra shuffle on comp. Docs in no pair are their own
+    // singleton component (left join + coalesce) and always survive.
+    // Oracle: n25's recursive-CTE reachability closure + the same
+    // ranked pick — O(n²) pair stage, so it rides the md5-bucket pair
+    // sample at sf0.1 like the rest of the family.
+    "n61_dedup_keep_best" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+        .select(col("doc_id"), Text.tokenCountWs(col("text")).cast("long").as("n_toks"))
+      val pairs = MinHashLsh.nearDupPairs(pairDocs(s, d), "doc_id", "text",
+        threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs)
+      val win = Window.partitionBy(col("comp"))
+        .orderBy(col("n_toks").desc, col("doc_id").asc)
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"), col("n_toks"))
+        .withColumn("rk", row_number().over(win))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("comp"), col("n_toks"))
+    }, Some(s"""
+      WITH RECURSIVE
+      s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      base AS (SELECT doc_id, len($toksSql) AS n_toks FROM $docsT),
+      wc AS (SELECT b.doc_id, coalesce(c.comp, b.doc_id) AS comp, b.n_toks
+             FROM base b LEFT JOIN comp c ON c.id = b.doc_id)
+      SELECT doc_id, CAST(comp AS BIGINT) AS comp,
+             CAST(n_toks AS BIGINT) AS n_toks
+      FROM (SELECT *, row_number() OVER (PARTITION BY comp
+              ORDER BY n_toks DESC, doc_id) AS rk FROM wc)
+      WHERE rk = 1"""))),
+
+    // Deterministic global shuffle into training shards — the
+    // "shuffle then shard" step between curation and tokenization.
+    // Shard = md5 bucket of the doc id (co-sized shards, no rand());
+    // within-shard order = md5 of (doc_id, epoch tag), so re-keying the
+    // tag re-shuffles every epoch reproducibly while shard membership
+    // stays fixed (a re-shuffle never moves bytes between shards — at
+    // 100 TB that's the difference between a metadata pass and a full
+    // exchange). One hash shuffle + one linear per-shard sort; the
+    // same md5 arithmetic every sampler in this repo uses (n27/n55).
+    "n62_shard_shuffle" -> (((s: SparkSession, d: String) => {
+      val ek = md5(concat(col("doc_id").cast("string"), lit(":ep1")))
+      val win = Window.partitionBy(col("shard")).orderBy(col("ek").asc,
+        col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 8).as("shard"),
+          ek.as("ek"))
+        .withColumn("pos", row_number().over(win).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }, Some("""
+      SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+        SELECT doc_id,
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8)
+            AS shard,
+          row_number() OVER (PARTITION BY
+              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8)
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ep1'), doc_id) AS pos
+        FROM documents)"""))),
+
     // APPLY the n54 spans: strip every duplicated span, exact
     // before/after token counts per doc. The cover set explodes to its
     // positions (bounded by total span tokens ≪ corpus) and the strip
