@@ -78,17 +78,45 @@ object SkewBench {
       (pairs, sec)
     }
 
+    // ---- containment (n46) — the DIRECTED join under the same skew.
+    // No length-ratio pruning exists, so hot-gram capping / the
+    // source-side prefix bound are the only mitigations (VERDICT r8 #1).
+    def runCont(name: String, docs: DataFrame, cap: Option[Int]): (Long, Long, Double) = {
+      val df = Dedup.containmentPairs(docs, "doc_id", "text", maxDf = cap)
+      val (pairs, sec) = timed(df.collect().length.toLong)
+      val fanout = BenchUtil.metricMaxWhere(
+        df.queryExecution.executedPlan, "numOutputRows")(n =>
+        n.nodeName.contains("Join") && n.simpleString(Int.MaxValue).contains("Inner"))
+      System.err.println(f"[skew] $name%-16s fanout=$fanout%12d pairs=$pairs%6d time=$sec%7.2fs")
+      (fanout, pairs, sec)
+    }
+    def runContPrefix(docs: DataFrame): (Long, Double) = {
+      val (pairs, sec) = timed {
+        Dedup.containmentPairsPrefix(docs, "doc_id", "text").count()
+      }
+      System.err.println(f"[skew] cont_prefix_skew pairs=$pairs%6d time=$sec%7.2fs")
+      (pairs, sec)
+    }
+
     val (cleanFan, cleanPairs, cleanSec) = run("clean_exact", clean, None)
     val (skewFan, skewPairs, skewSec) = run("skew_exact", skew, None)
     val (capFan, capPairs, capSec) = run("skew_capped", skew, Some(maxDf))
     val (prefPairs, prefSec) = runPrefix(skew)
+    val (cCleanFan, cCleanPairs, cCleanSec) = runCont("cont_clean", clean, None)
+    val (cSkewFan, cSkewPairs, cSkewSec) = runCont("cont_skew", skew, None)
+    val (cCapFan, cCapPairs, cCapSec) = runCont("cont_capped", skew, Some(maxDf))
+    val (cPrefPairs, cPrefSec) = runContPrefix(skew)
 
     println(
       s"""{"bench":"skew","sf":"$sfDir","n_docs":$nDocs,"boiler_tokens":$nBoiler,"max_df":$maxDf,""" +
       s""""clean":{"fanout":$cleanFan,"pairs":$cleanPairs,"sec":$cleanSec},""" +
       s""""skew_exact":{"fanout":$skewFan,"pairs":$skewPairs,"sec":$skewSec},""" +
       s""""skew_capped":{"fanout":$capFan,"pairs":$capPairs,"sec":$capSec},""" +
-      s""""skew_prefix":{"pairs":$prefPairs,"sec":$prefSec}}""")
+      s""""skew_prefix":{"pairs":$prefPairs,"sec":$prefSec},""" +
+      s""""cont_clean":{"fanout":$cCleanFan,"pairs":$cCleanPairs,"sec":$cCleanSec},""" +
+      s""""cont_skew":{"fanout":$cSkewFan,"pairs":$cSkewPairs,"sec":$cSkewSec},""" +
+      s""""cont_capped":{"fanout":$cCapFan,"pairs":$cCapPairs,"sec":$cCapSec},""" +
+      s""""cont_prefix":{"pairs":$cPrefPairs,"sec":$cPrefSec}}""")
     spark.stop()
   }
 }

@@ -115,15 +115,26 @@ object Dedup {
     * has jaccard ≈ 0.005 but containment 1.0. Same inverted-index
     * equi-join as [[jaccardPairs]] (ONE wide shuffle on the shingle;
     * never all-pairs), but DIRECTED: both (a→b) and (b→a) are tested,
-    * no length filter can prune (containment is unbounded by size
+    * the LENGTH filter cannot prune (containment is unbounded by size
     * ratio), and the denominator is the SOURCE set alone, so the
     * threshold is an exact integer cross-multiplication
     * (inter·10 ≥ n_src·9 for 0.9) — no float at all. `minSet` drops
-    * sub-w·minSet-token fragments whose containment is trivially 1. */
+    * sub-w·minSet-token fragments whose containment is trivially 1.
+    *
+    * Skew: size-ratio pruning being unavailable does NOT leave the
+    * join unprotectable — hot-GRAM mitigation still applies, exactly
+    * as for jaccard. `maxDf` drops shingles with document frequency
+    * above the cap from the index; capped shingles leave the
+    * intersection count while `a_n` keeps the full set size, so every
+    * emitted containment is a LOWER BOUND of the true C(A→B) and
+    * near-threshold pairs whose overlap is mostly boilerplate drop
+    * (same bias direction as [[jaccardPairs]]' cap — SkewSpec pins
+    * it; SKEW.md measures the fan-out collapse). For the exact-result
+    * alternative under skew see [[containmentPairsPrefix]]. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
       w: Int = 3, num: Int = 9, den: Int = 10,
-      minSet: Int = 5): DataFrame = {
-    val inv = invertedIndex(sizedSets(docs, id, text, w), None)
+      minSet: Int = 5, maxDf: Option[Int] = None): DataFrame = {
+    val inv = invertedIndex(sizedSets(docs, id, text, w), maxDf)
     val a = inv.as("a")
     val b = inv.as("b")
     // join each unordered pair ONCE (did <) — |A∩B| is direction-free,
@@ -147,6 +158,78 @@ object Dedup {
           col("inter"), col("y_n").as("a_n")))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.inter"), col("p.a_n"))
       .where(col("a_n") >= minSet && col("inter") * den >= col("a_n") * num)
+  }
+
+  /** Prefix-filtered variant of [[containmentPairs]] — same EXACT
+    * result, skew-proof candidates.
+    *
+    * Containment prefix theorem (the directed analogue of the PPJoin
+    * bound): order shingles by a global total order (document
+    * frequency ascending, then lexicographic — rarest first). If
+    * C(A→B) = |A∩B|/|A| ≥ t then at most |A| − ⌈t·|A|⌉ shingles of A
+    * miss B, so among the FIRST |A| − ⌈t·|A|⌉ + 1 shingles of A (its
+    * rarest), at least one must be in B. Hence it suffices to index
+    * only that source-side prefix and join it against the FULL target
+    * index: every qualifying directed pair is found, and full-set
+    * verification (`array_intersect`) restores the exact intersection
+    * count — bit-identical output to [[containmentPairs]].
+    *
+    * Why this kills the skew term: boilerplate shingles have MAXIMAL
+    * df, so rarest-first ordering puts them at the end of every
+    * document's ordering — at t=0.9 the prefix is ~10% of each set,
+    * and a hot shingle enters a source prefix only for documents that
+    * are almost entirely boilerplate. The join fan-out on a shingle
+    * with frequency df drops from df² (full×full) to
+    * df·(source-prefix occurrences) ≈ 0 for the hot tail. Extra cost:
+    * one global df aggregation and one per-doc window sort, both
+    * bounded by index size — the same trade as [[jaccardPairsPrefix]],
+    * measured on the SkewBench boilerplate fixture in SKEW.md.
+    *
+    * Prefix length is computed in exact integer math:
+    * ⌈num·n/den⌉ = (num·n + den − 1) div den — no float anywhere. */
+  def containmentPairsPrefix(docs: DataFrame, id: String, text: String,
+      w: Int = 3, num: Int = 9, den: Int = 10,
+      minSet: Int = 5): DataFrame = {
+    val sized = sizedSets(docs, id, text, w)
+    val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
+    val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // n − ⌈t·n⌉ + 1 rarest shingles, integer-exact
+    val prefixLen =
+      col("n") - floor((col("n") * num + den - 1) / den).cast("int") + 1
+    val rn = row_number().over(
+      Window.partitionBy(col("did")).orderBy(col("df").asc, col("sh").asc))
+    val prefix = inv.join(freq, "sh")
+      .withColumn("rn", rn)
+      .where(col("rn") <= prefixLen)
+      .select(col("did"), col("sh"))
+    // directed candidates: source prefix × full target index
+    val candidates = prefix.as("a")
+      .join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.did") =!= col("b.did"))
+      .select(col("a.did").as("a_id"), col("b.did").as("b_id"))
+      .distinct()
+    candidates
+      .join(sized.select(col("did").as("a_id"), col("sset").as("a_sset"),
+        col("n").as("a_n")), "a_id")
+      .join(sized.select(col("did").as("b_id"), col("sset").as("b_sset")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sset"), col("b_sset"))).cast("long")
+          .as("inter"),
+        col("a_n"))
+      .where(col("a_n") >= minSet && col("inter") * den >= col("a_n") * num)
+  }
+
+  /** Diagnostic twin of [[containmentPairs]] — the pre-aggregation
+    * joined-row count of the shingle equi-join (see
+    * [[jaccardJoinFanout]]); SkewSpec asserts the maxDf cap collapses
+    * it on the boilerplate fixture. */
+  def containmentJoinFanout(docs: DataFrame, id: String, text: String,
+      w: Int = 3, maxDf: Option[Int] = None): Long = {
+    val inv = invertedIndex(sizedSets(docs, id, text, w), maxDf)
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
+      .count()
   }
 
   /** Diagnostic twin of [[jaccardPairs]]: the number of rows the

@@ -92,4 +92,62 @@ class SkewSpec extends AnyFunSuite {
       threshold = T))
     assert(prefix == exact, s"prefix drifted from exact:\n$prefix\nvs\n$exact")
   }
+
+  // ---- containment (n46) — VERDICT r8 #1: the same boilerplate shape
+  // must be mitigable on the DIRECTED join too ----
+
+  private def contOf(df: DataFrame): Map[(Long, Long), (Long, Int)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+
+  // containment threshold low enough that cross-doc overlap exists on
+  // this fixture (every doc shares the 10 boilerplate shingles)
+  private val CN = 1
+  private val CD = 4
+
+  test("maxDf cap collapses the containment join fan-out") {
+    val uncapped = Dedup.containmentJoinFanout(skewDocs, "doc_id", "text")
+    val capped = Dedup.containmentJoinFanout(skewDocs, "doc_id", "text",
+      maxDf = Some(10))
+    assert(uncapped > 4000, s"fixture not skewed enough: fanout=$uncapped")
+    assert(capped < uncapped / 10,
+      s"cap did not collapse containment fan-out: $capped vs $uncapped")
+  }
+
+  test("capped containment ⊆ exact with lower-bound inter; content pairs " +
+      "survive, boilerplate-only pairs drop") {
+    val exact = contOf(Dedup.containmentPairs(skewDocs, "doc_id", "text",
+      num = CN, den = CD))
+    val capped = contOf(Dedup.containmentPairs(skewDocs, "doc_id", "text",
+      num = CN, den = CD, maxDf = Some(10)))
+    assert(capped.keySet.subsetOf(exact.keySet),
+      s"capped emitted pairs absent from exact: ${capped.keySet -- exact.keySet}")
+    capped.foreach { case (k, (inter, an)) =>
+      val (exInter, exAn) = exact(k)
+      assert(an == exAn, s"a_n drifted under cap for $k")
+      assert(inter <= exInter, s"capped inter above exact for $k")
+    }
+    // real content overlap (58 shared tokens) survives the cap in both
+    // directions; a pair whose qualifying overlap is boilerplate drops
+    assert(capped.contains((100L, 101L)) && capped.contains((101L, 100L)),
+      s"true near-dup containment lost: ${capped.keySet}")
+    val boilerOnly = exact.keySet.filter { case (a, b) =>
+      a < 30 && b < 30 // filler docs share ONLY the boilerplate suffix
+    }
+    assert(boilerOnly.nonEmpty, s"fixture broken: no boilerplate-only pairs")
+    assert(boilerOnly.forall(!capped.contains(_)),
+      "boilerplate-only containment pair unexpectedly survived the cap")
+  }
+
+  test("containment prefix variant stays exact on the skewed corpus") {
+    val exact = contOf(Dedup.containmentPairs(skewDocs, "doc_id", "text",
+      num = CN, den = CD))
+    val prefix = contOf(Dedup.containmentPairsPrefix(skewDocs, "doc_id", "text",
+      num = CN, den = CD))
+    assert(prefix == exact, s"prefix drifted from exact:\n$prefix\nvs\n$exact")
+    // and at the n46 default operating point (0.9) too
+    val exact9 = contOf(Dedup.containmentPairs(skewDocs, "doc_id", "text"))
+    val prefix9 = contOf(Dedup.containmentPairsPrefix(skewDocs, "doc_id", "text"))
+    assert(prefix9 == exact9, s"prefix drifted at t=0.9:\n$prefix9\nvs\n$exact9")
+  }
 }
