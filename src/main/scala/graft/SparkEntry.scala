@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Ids, Rules, SimHash, Text}
-import graft.operators.{Clustering, Dedup, MinHashLsh, Multimodal, Pipeline, RuleClassifier, Similarity}
+import graft.operators.{Clustering, Dedup, MinHashLsh, Multimodal, Pipeline, RuleClassifier, Sharding, Similarity}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2787,23 +2787,14 @@ object SparkEntry {
     // Deterministic global shuffle into training shards — the
     // "shuffle then shard" step between curation and tokenization.
     // Shard = md5 bucket of the doc id (co-sized shards, no rand());
-    // within-shard order = md5 of (doc_id, epoch tag), so re-keying the
-    // tag re-shuffles every epoch reproducibly while shard membership
-    // stays fixed (a re-shuffle never moves bytes between shards — at
-    // 100 TB that's the difference between a metadata pass and a full
-    // exchange). One hash shuffle + one linear per-shard sort; the
-    // same md5 arithmetic every sampler in this repo uses (n27/n55).
+    // within-shard order = md5 of (doc_id, epoch tag). Two-phase
+    // position assignment (Sharding.scaladoc, VERDICT r8 #2): range-
+    // partition on (shard, ek, id), bounded per-partition counts →
+    // broadcast offsets, pos = offset + partition-local rank — max
+    // per-task sort is corpus/numPartitions, never corpus/nShards.
     "n62_shard_shuffle" -> (((s: SparkSession, d: String) => {
-      val ek = md5(concat(col("doc_id").cast("string"), lit(":ep1")))
-      val win = Window.partitionBy(col("shard")).orderBy(col("ek").asc,
-        col("doc_id").asc)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int") % 8).as("shard"),
-          ek.as("ek"))
-        .withColumn("pos", row_number().over(win).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
+      Sharding.shardPositions(Tables.documents(s, d), "doc_id",
+        nShards = 8, epochTag = "ep1")
     }, Some("""
       SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
         SELECT doc_id,
@@ -2970,8 +2961,7 @@ object SparkEntry {
             FROM d)
       SELECT doc_id, CAST(i AS INT) AS chunk_id,
              array_to_string(toks[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk
-      FROM c CROSS JOIN range(0, 1000) t(i)
-      WHERE i < nch"""))),
+      FROM (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM c)"""))),
 
     // Per-doc keyword extraction: top-3 terms by tf·idf with a LOG-FREE
     // idf (score = tf·N/df — monotone in tf/df, so the same ranking as
