@@ -40,19 +40,25 @@ object Bloom {
   /** Probe (relational form): rows of `probe` whose `item` has ALL k
     * bit positions set (the Bloom may-contain test — no false
     * negatives; false positives at the documented rate). Keeps
-    * `probe`'s columns. Kept as the join-shaped reference semantics;
-    * the hot path is [[mayContainExpr]]. */
+    * `probe`'s columns AND its row multiplicity: the k exploded hash
+    * rows regroup on a per-row id attached before the explode, so
+    * duplicate probe rows each pass or fail independently (grouping on
+    * the value columns alone would pool duplicates into one group of
+    * n·k hits and silently drop them — ADVICE r8). Kept as the
+    * join-shaped reference semantics; the hot path is
+    * [[mayContainExpr]]. */
   def mayContain(probe: DataFrame, filterPos: DataFrame, k: Int, m: Int,
                  item: String = "item"): DataFrame = {
     val keep = probe.columns.map(col).toSeq
     probe
+      .withColumn("__rid", monotonically_increasing_id())
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("p", bitPos(col("j"), col(item), m))
       .join(broadcast(filterPos), "p")
-      .groupBy(keep: _*)
+      .groupBy(col("__rid") +: keep: _*)
       .agg(count(lit(1)).as("bloom_hits"))
       .where(col("bloom_hits") === k)
-      .drop("bloom_hits")
+      .select(keep: _*)
   }
 
   /** Probe (packed-bitset form — the production shape): collect the

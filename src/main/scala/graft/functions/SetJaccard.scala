@@ -21,10 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   *
   * `failOnDivideByZero` mirrors the Divide the rule replaced: ANSI
   * divide (the Spark 4 default) throws DIVIDE_BY_ZERO when the union
-  * is empty (both arrays empty); legacy divide is plain IEEE division
-  * (0/0 = NaN). The SQL-registered `graft_jaccard` uses the legacy/NaN
-  * form — documented, and the rare case only arises when both sets
-  * are empty. */
+  * is empty (both arrays empty); LEGACY divide returns NULL on a zero
+  * divisor (Spark's DivModLike null-guards the divisor before any IEEE
+  * op — it is NOT 0/0 = NaN), so the kernel returns null there and the
+  * expression is marked nullable accordingly (ADVICE r8). The
+  * SQL-registered `graft_jaccard` uses the legacy/null form; the rare
+  * case only arises when both sets are empty. */
 case class SetJaccard(left: Expression, right: Expression,
     failOnDivideByZero: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
@@ -33,13 +35,28 @@ case class SetJaccard(left: Expression, right: Expression,
     Seq(ArrayType(StringType), ArrayType(StringType))
   override def prettyName: String = "graft_jaccard"
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    SetJaccard.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      failOnDivideByZero)
+  // beyond null-in/null-out: the legacy form is null on an empty union
+  override def nullable: Boolean = !failOnDivideByZero || super.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    // union == 0 iff both arrays are empty (null elements still count)
+    if (!failOnDivideByZero && a.numElements() == 0 && b.numElements() == 0) null
+    else SetJaccard.kernel(a, b, failOnDivideByZero)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.SetJaccard.kernel($l, $r, $failOnDivideByZero);")
+      if (failOnDivideByZero)
+        s"${ev.value} = graft.functions.SetJaccard.kernel($l, $r, true);"
+      else
+        s"""
+          if ($l.numElements() == 0 && $r.numElements() == 0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = graft.functions.SetJaccard.kernel($l, $r, false);
+          }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetJaccard =
@@ -67,8 +84,13 @@ object SetJaccard {
       j += 1
     }
     val union = setA.size + seenB.size - inter
-    if (union == 0 && failOnDivideByZero)
-      throw Bridge.divideByZeroError()
+    if (union == 0) {
+      // legacy (null) empties never reach the kernel — the expression
+      // short-circuits to null before calling it
+      if (failOnDivideByZero) throw Bridge.divideByZeroError()
+      else throw new IllegalStateException(
+        "SetJaccard.kernel called with two empty arrays in legacy mode")
+    }
     inter.toDouble / union
   }
 }

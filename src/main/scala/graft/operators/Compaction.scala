@@ -26,21 +26,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Bytes in the directory's parquet data files (excludes _SUCCESS
-    * and other markers). */
+  /** Bytes in the directory tree's parquet data files (excludes
+    * _SUCCESS and other markers). Recursive walk, so a PARTITIONED
+    * table (data files under key=value subdirectories) measures its
+    * real size — a flat listing would see 0 bytes and silently size
+    * every compaction to one file (ADVICE r8). */
   def dataBytes(dir: String): Long = {
-    val s = Files.list(Paths.get(dir))
+    val s = Files.walk(Paths.get(dir))
     try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
       .map(Files.size).sum
     finally s.close()
   }
 
-  /** Number of parquet data files in the directory. */
+  /** Number of parquet data files in the directory tree (recursive,
+    * same contract as [[dataBytes]]). */
   def dataFileCount(dir: String): Int = {
-    val s = Files.list(Paths.get(dir))
+    val s = Files.walk(Paths.get(dir))
     try s.iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
+      .count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
     finally s.close()
   }
 

@@ -6,13 +6,28 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[decodeStub]]); everything
-  * around it — binary column construction, metadata struct schema,
-  * partition-batched processing via `mapPartitions`, output encoder —
-  * is the real Spark plumbing a production decode UDF would use. At
-  * scale the payload column stays columnar parquet binary; decode runs
-  * executor-side per partition with zero driver involvement.
+  * TWO TIERS, deliberately kept side by side:
+  *
+  *  - REAL kernels (n21/n48/n50): the formats the JDK ships codecs for
+  *    (PNG/GIF via `javax.imageio` — no new dependency) are decoded,
+  *    resampled, and frame-walked for REAL ([[resizePng]],
+  *    [[channelStats]], [[frameSampleGif]]), each verified against an
+  *    oracle that recomputes the decoded structure in closed form from
+  *    the generation contract.
+  *  - STUB kernels (n11/n14/n17): the formats the container has NO
+  *    codec for (audio, video containers, JPEG-XL, ...) keep a
+  *    clearly-marked deterministic stand-in for the codec call, inside
+  *    the SAME partition-batched plumbing. Each stub's scaladoc states
+  *    why it stays a stub rather than being pointed at the real
+  *    kernels: the stub tier is what makes the absent-codec path
+  *    testable at all (a deterministic fake is oracle-expressible in
+  *    DuckDB; a real audio decode would be neither runnable here nor
+  *    reproducible in SQL), and its queries pin the PLUMBING — schema,
+  *    batch shape, fan-out — that a production codec would drop into
+  *    unchanged.
+  *
+  * At scale the payload column stays columnar parquet binary; decode
+  * runs executor-side per partition with zero driver involvement.
   */
 object Multimodal {
 
@@ -69,11 +84,21 @@ object Multimodal {
         lit("image/fake").as("mime"),
         col("lang").as("tag")).as("meta"))
 
-  /** STUB DECODE — stands in for an image decoder (no codec libs in
-    * this container). Deterministic fake: dimensions derived from the
+  /** STUB DECODE — stands in for a decoder of a format the container
+    * has no codec for. Deterministic fake: dimensions derived from the
     * byte length, signature = md5 prefix of the payload. The
     * mapPartitions batch shape (iterator-in/iterator-out per partition,
-    * one digest instance per batch) is exactly how a real decoder runs. */
+    * one digest instance per batch) is exactly how a real decoder runs.
+    *
+    * WHY THIS STAYS A STUB (r8 consolidation): the REAL decode tier
+    * exists — [[channelStats]] (n48) decodes actual PNG pixels and is
+    * hash-verified against a closed-form oracle. This kernel covers the
+    * complementary case: a mime type with NO JDK codec (audio/video).
+    * Pointing it at the PNG kernel would just duplicate n48; deleting
+    * it would leave the absent-codec path — the path a production
+    * pipeline hits for most media — without a pinned schema/batch-shape
+    * contract (n11). The deterministic fake is what keeps that contract
+    * DuckDB-oracle-checkable. */
   def decodeStub(media: DataFrame): Dataset[MediaMeta] = {
     implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
     media.select(col("doc_id"), col("payload"), col("meta.mime"))
@@ -106,7 +131,16 @@ object Multimodal {
     * vanish), one digest instance per partition batch. At scale this is
     * the map-side explode that precedes per-frame feature extraction —
     * no shuffle, no driver involvement, output co-partitioned with the
-    * input. */
+    * input.
+    *
+    * WHY THIS STAYS A STUB (r8 consolidation): the REAL frame walk is
+    * [[frameSampleGif]] (n50) — an actual multi-frame container opened
+    * with an imageio reader, every frame decoded and pixel-signed.
+    * This kernel keeps the VIDEO-container contract n50 cannot model
+    * with a JDK codec: frames indexed by a timebase (`ts_ms`) rather
+    * than enumeration order, and a 0-frame row that VANISHES from the
+    * fan-out (GIF containers always hold ≥1 frame, so n50 can never
+    * exercise the empty-container branch its plumbing must handle). */
   def frameSample(media: DataFrame): Dataset[Frame] = {
     implicit val enc: Encoder[Frame] = Encoders.product[Frame]
     media.select(col("doc_id"), col("payload"))
@@ -141,7 +175,18 @@ object Multimodal {
     * load per batch, exactly like a pandas_udf over mapInPandas — is
     * the production plumbing). Output feeds the similarity operators
     * (Similarity.cosinePairs / topK) unchanged: media → features →
-    * ANN is the composed pipeline. */
+    * ANN is the composed pipeline.
+    *
+    * WHY THIS STAYS A STUB (r8 consolidation): the REAL
+    * pixel-statistics kernel is [[channelStats]] (n48) — decoded
+    * channel sums, exactly the degenerate "feature vector" a real
+    * codec allows here. What n48 cannot model is the thing this stub
+    * pins: a LEARNED embedding (a model forward pass) has no
+    * closed-form oracle by definition, so the feature-extraction
+    * contract — fixed-width vector schema, batch-amortized model
+    * init, [0,1] normalization, ANN-ready output — is verified on a
+    * deterministic stand-in instead. Swapping the stand-in for a model
+    * touches nothing outside the mapPartitions body. */
   def featureExtract(media: DataFrame): Dataset[Features] = {
     implicit val enc: Encoder[Features] = Encoders.product[Features]
     media.select(col("doc_id"), col("payload"))

@@ -44,13 +44,25 @@ object Publish {
         graft.TempDirs.deleteRecursively(Paths.get(root, snap))
         Left(reason)
       case None =>
+        // the snapshot being REPLACED stays on disk one more generation:
+        // a reader that resolved CURRENT just before this commit is
+        // still mid-scan on its files, so deleting it in the commit
+        // path would yank parquet bytes out from under a concurrent
+        // read (ADVICE r8). GC therefore trails by one publish — only
+        // grandparent snapshots (two commits stale) are deleted, the
+        // same bounded-retention trade lakehouse snapshot expiry makes:
+        // a reader must finish within one full publish cycle.
+        val prevPtr = Paths.get(root, Pointer)
+        val prev =
+          if (Files.exists(prevPtr)) Some(Files.readString(prevPtr).trim)
+          else None
         val tmp = Paths.get(root, Pointer + ".tmp")
         Files.writeString(tmp, snap)
-        Files.move(tmp, Paths.get(root, Pointer),
+        Files.move(tmp, prevPtr,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        // GC the snapshot the commit replaced (best-effort; a crash
-        // here leaves an orphan directory, never corruption)
-        val live = Set(snap)
+        // best-effort GC of snapshots ≥2 generations stale; a crash
+        // here leaves an orphan directory, never corruption
+        val live = Set(snap) ++ prev
         val s = Files.list(Paths.get(root))
         try {
           import scala.jdk.CollectionConverters._

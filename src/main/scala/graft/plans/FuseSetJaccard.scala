@@ -42,9 +42,10 @@ object FuseSetJaccard extends Rule[LogicalPlan] {
       (a1.semanticEquals(b2) && b1.semanticEquals(a2))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // LEGACY divide = IEEE (0/0 → NaN); ANSI throws DIVIDE_BY_ZERO on
-    // an empty union — the kernel reproduces whichever mode it
-    // replaces. TRY mode (null-on-error) is deliberately NOT fused.
+    // LEGACY divide = NULL on a zero divisor (DivModLike null-guards
+    // before the IEEE op); ANSI throws DIVIDE_BY_ZERO on an empty
+    // union — the kernel reproduces whichever mode it replaces. TRY
+    // mode (null-on-error) is deliberately NOT fused.
     // (Spark 4.1 wraps the mode in NumericEvalContext — match through.)
     case Divide(
         Cast(Size(ArrayIntersect(a1, b1), false), DoubleType, _, _),

@@ -61,4 +61,15 @@ class BloomSpec extends AnyFunSuite {
     val out = Bloom.mayContain(probe, pos, K, M).collect()
     assert(out.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(7L, 8L)))
   }
+
+  test("duplicate probe rows each pass independently — no false negatives " +
+      "on repeated inserted items (ADVICE r8)") {
+    val pos = Bloom.build(inserted, K, M)
+    // "in1" probed 3 times: all three rows must come back (the old
+    // value-grouped form pooled them into one group of 3k hits and
+    // dropped all of them)
+    val probe = Seq("in1", "in1", "in1", "in2").toDF("item")
+    val out = Bloom.mayContain(probe, pos, K, M).as[String].collect().sorted
+    assert(out.sameElements(Array("in1", "in1", "in1", "in2")), out.toSeq.toString)
+  }
 }

@@ -49,4 +49,26 @@ class CompactionSpec extends AnyFunSuite {
     val n = Compaction.compact(spark, s"$root/small", s"$root/out", 1L << 30)
     assert(n == 1 && Compaction.dataFileCount(s"$root/out") == 1)
   }
+
+  test("partitioned directories (key=value subdirs) measure their real " +
+      "size and file count (ADVICE r8)") {
+    val root = TempDirs.create("graft-compact-part")
+    val df = (1 to 5000).map(i => (i.toLong, s"k${i % 4}", s"row$i"))
+      .toDF("id", "part", "v")
+    df.repartition(8).write.mode("overwrite").partitionBy("part")
+      .parquet(s"$root/parted")
+    // a flat listing saw 0 bytes / 0 files here; the walk must see both
+    val bytes = Compaction.dataBytes(s"$root/parted")
+    val files = Compaction.dataFileCount(s"$root/parted")
+    assert(bytes > 0, "partitioned table measured 0 bytes")
+    assert(files >= 4, s"expected data files under 4 partitions, got $files")
+    // and compact() therefore sizes from real bytes, not max(1, 0)
+    val target = bytes / 2
+    val n = Compaction.compact(spark, s"$root/parted", s"$root/out", target)
+    val expected = ((bytes + target - 1) / target).toInt
+    assert(n == expected && n > 1,
+      s"expected the multi-file byte-derived target $expected, got $n")
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 5000)
+  }
 }

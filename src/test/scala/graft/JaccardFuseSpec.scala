@@ -37,24 +37,49 @@ class JaccardFuseSpec extends AnyFunSuite {
       (arr(), arr())
     }
     val df = rows.toDF("a", "b")
-    val got = df.selectExpr("graft_jaccard(a, b) AS j").as[Double].collect()
+    val got = df.selectExpr("graft_jaccard(a, b) AS j")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     val expected = rows.map { case (a, b) =>
       val sa = a.toSet; val sb = b.toSet
-      val inter = (sa & sb).size; val union = (sa | sb).size
-      inter.toDouble / union // 0/0 => NaN, same as the idiom
+      val union = (sa | sb).size
+      // both-empty => null, matching LEGACY Divide's zero-divisor guard
+      if (union == 0) None else Some((sa & sb).size.toDouble / union)
     }
     got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
-      if (e.isNaN) assert(g.isNaN, s"row $i") else assert(g == e, s"row $i")
+      assert(g == e, s"row $i")
     }
   }
 
-  test("graft_jaccard: both-empty is NaN (legacy form), null input is null") {
+  test("graft_jaccard: both-empty is null (legacy zero-divisor guard), " +
+      "null input is null") {
     val df = Seq(
       (Some(Seq.empty[String]), Some(Seq.empty[String])),
       (None, Some(Seq("x")))).toDF("a", "b")
     val fused = df.selectExpr("graft_jaccard(a, b) AS j")
       .collect().map(r => if (r.isNullAt(0)) "null" else r.getDouble(0).toString)
-    assert(fused(0) == "NaN" && fused(1) == "null", fused.toSeq.toString)
+    assert(fused(0) == "null" && fused(1) == "null", fused.toSeq.toString)
+  }
+
+  test("legacy mode (ansi off): rewritten idiom still yields NULL on an " +
+      "empty union, same as un-fused LEGACY Divide (ADVICE r8)") {
+    val dir = TempDirs.create("graft-jaccard-legacy")
+    Seq((Seq.empty[String], Seq.empty[String]), (Seq("x"), Seq("x")))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    // ansi off flips size() to its legacy form unless sizeOfNull is
+    // explicitly modern — the rule only fuses the modern Size, so pin
+    // the exact regime ADVICE r8 flagged: ansi=false + sizeOfNull=false
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    try {
+      val q = spark.read.parquet(dir).select($"a", jacIdiom.as("j"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_jaccard"))
+      val rows = q.orderBy(size($"a")).collect()
+      assert(rows(0).isNullAt(1), s"empty-union row not NULL: ${rows(0)}")
+      assert(rows(1).getDouble(1) == 1.0)
+    } finally {
+      spark.conf.unset("spark.sql.ansi.enabled")
+      spark.conf.unset("spark.sql.legacy.sizeOfNull")
+    }
   }
 
   test("rewritten ANSI divide still throws DIVIDE_BY_ZERO on an empty union") {

@@ -60,4 +60,27 @@ class PublishSpec extends AnyFunSuite {
     val root = TempDirs.create("graft-wap-empty")
     assert(Publish.readCurrent(spark, root).isEmpty)
   }
+
+  test("GC trails by one generation: the replaced snapshot survives its " +
+      "commit, the grandparent does not (ADVICE r8)") {
+    val root = TempDirs.create("graft-wap-gc")
+    import scala.jdk.CollectionConverters._
+    def snaps(): Set[String] = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("snap-")).toSet
+      finally s.close()
+    }
+    val Right(s1) = Publish.writeAuditPublish(spark, Seq(1).toDF("v"), root, noAudit)
+    // a reader resolves CURRENT → s1, then a concurrent publish lands:
+    val reader = Publish.readCurrent(spark, root).get
+    val Right(s2) = Publish.writeAuditPublish(spark, Seq(2).toDF("v"), root, noAudit)
+    // the replaced snapshot's files are still on disk — the in-flight
+    // reader can finish its scan
+    assert(snaps() == Set(s1, s2), snaps().toString)
+    assert(reader.as[Int].collect().sameElements(Array(1)))
+    // one more publish: s1 is now two generations stale and is GC'd
+    val Right(s3) = Publish.writeAuditPublish(spark, Seq(3).toDF("v"), root, noAudit)
+    assert(snaps() == Set(s2, s3), snaps().toString)
+  }
 }
