@@ -154,6 +154,23 @@ object SparkEntry {
       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
       ELSE CAST([] AS VARCHAR[]) END)"""
 
+  /** Shared oracle for the two containment pair-finders (n46 exact /
+    * n63 prefix-filtered): the prefix variant is EXACT by the
+    * containment prefix theorem, so both queries verify against the
+    * byte-identical SQL — the strongest possible statement that the
+    * skew mitigation changes the plan, not the answer. */
+  private val containmentOracleSql = s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest($ssetSql) AS s FROM d),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+      SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+             CAST(sz.n AS INT) AS a_n
+      FROM ov JOIN sz ON sz.doc_id = ov.a_id
+      WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""
+
   // ------------------------------------------------------------------
   // Bounded-oracle input sampling for the O(n²) PAIR queries
   // (n02/n03/n13/n16/n23/n24/n25/n26, and s19 which shares n03's
@@ -2805,6 +2822,135 @@ object SparkEntry {
             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ep1'), doc_id) AS pos
         FROM documents)"""))),
 
+    // Within-doc repetition (the Gopher repetition filter family,
+    // Rae et al. '21): per doc, the fraction of 3-gram OCCURRENCES
+    // belonging to a gram that repeats inside the same doc — the
+    // self-repetition signal that catches boilerplate loops and
+    // degenerate generations doc-locally, where n54's corpus-level
+    // span dedup would not fire. Integer-exact ppm (no float). Pure
+    // per-doc work: one explode + two hash aggregates keyed by doc —
+    // map-side combined, nothing corpus-quadratic, trivially
+    // partition-parallel at any scale.
+    "n64_selfrep" -> (((s: SparkSession, d: String) => {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 2)," +
+            " i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+              unnest([array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, len(toks)-1)]) AS gram
+            FROM d WHERE len(toks) >= 3),
+      c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000
+          // sum(c) AS BIGINT) AS dup_ppm
+      FROM c GROUP BY 1"""))),
+
+    // Lexical diversity: per-doc Simpson repeat concentration —
+    // P(two tokens drawn without replacement are equal) in ppb,
+    // Σc·(c−1)·10⁹ div n·(n−1). Integer-exact twin of the type/token
+    // diversity measures (an entropy score would need ln(), which is
+    // not correctly-rounded IEEE and breaks bit-exact oracles — the
+    // Simpson index carries the same signal in pure integers). The
+    // DECIMAL widening bounds the numerator at web-document scale
+    // (10⁶ tokens → c·(c−1)·10⁹ ≈ 10²¹ > long range).
+    "n65_simpson_diversity" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(expr("c * (c - 1)")).as("rep"))
+        .where(col("n_tokens") >= 2)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(rep AS DECIMAL(30,0)) * 1000000000" +
+            " div (n_tokens * (n_tokens - 1))").as("simpson_ppb"))
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, tok, count(*) AS c
+                 FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+                 GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(sum(c * (c - 1)) * 1000000000
+          // (sum(c) * (sum(c) - 1)) AS BIGINT) AS simpson_ppb
+      FROM c GROUP BY 1
+      HAVING sum(c) >= 2"""))),
+
+    // Gopher-style composite quality gate (Rae et al. '21 §A1.1) in
+    // pure integer arithmetic: token count bounds, mean word length
+    // 3..10 via cross-multiplication (never a float division), a
+    // max-token-length cap, and ≥2 stopword hits. n18 is the float
+    // quality SCORE; this is the rule-list FILTER form real pipelines
+    // compose, exact to the last row on both engines. One explode +
+    // one per-doc aggregate — embarrassingly parallel.
+    "n66_gopher_quality" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("t")).cast("long")).as("len_sum"),
+          max(length(col("t"))).as("max_len"),
+          sum(when(col("t").isin(Text.Stopwords: _*), lit(1L))
+            .otherwise(lit(0L))).as("stop_hits"))
+        .where(col("n_tokens").between(20, 1000) &&
+          col("len_sum") >= col("n_tokens") * 3 &&
+          col("len_sum") <= col("n_tokens") * 10 &&
+          col("max_len") <= 20 && col("stop_hits") >= 2)
+        .select(col("doc_id"), col("n_tokens"), col("len_sum"),
+          col("stop_hits"))
+    }, Some(s"""
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(len_sum AS BIGINT) AS len_sum,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM (SELECT doc_id, len(toks) AS n_tokens,
+              list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+              list_max(list_transform(toks, t -> length(t))) AS max_len,
+              len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
+        AND max_len <= 20 AND stop_hits >= 2"""))),
+
+    // Temperature-scaled mixture weights (the multilingual/domain
+    // rebalancing step: sample ∝ n^α with α = 1/2 so small domains are
+    // upweighted). sqrt IS usable in a bit-exact oracle — IEEE 754
+    // requires correctly-rounded sqrt and both JVM and DuckDB delegate
+    // to it (unlike ln/exp, which are why n33/n49 are log-free) — on
+    // an exactly-representable double input: n·10⁶ stays integer-exact
+    // below 2⁵³ for any real domain count, giving weight = √n·10³
+    // with three sub-integer digits. Share in ppm by integral
+    // division; the total rides a 1-row broadcast (never a shuffle of
+    // the dimension). |domains| rows at any corpus size.
+    "n67_temperature_mixture" -> (((s: SparkSession, d: String) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight",
+          floor(sqrt(col("n_docs").cast("double") * 1e6)).cast("long"))
+      val tot = counts.agg(sum(col("weight")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("weight"),
+          expr("weight * 1000000 div tot").as("share_ppm"))
+    }, Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)
+                AS weight FROM c),
+      t AS (SELECT sum(weight) AS tot FROM w)
+      SELECT source, n_docs, weight,
+        CAST(weight * 1000000 // t.tot AS BIGINT) AS share_ppm
+      FROM w CROSS JOIN t"""))),
+
     // APPLY the n54 spans: strip every duplicated span, exact
     // before/after token counts per doc. The cover set explodes to its
     // positions (bounded by total span tokens ≪ corpus) and the strip
@@ -2912,17 +3058,18 @@ object SparkEntry {
     // inverted-index join, so it runs unsampled at every SF.
     "n46_containment" -> (((s: SparkSession, d: String) => {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")
-    }, Some(s"""
-      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-      sh AS (SELECT doc_id, unnest($ssetSql) AS s FROM d),
-      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-             GROUP BY 1, 2)
-      SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
-             CAST(sz.n AS INT) AS a_n
-      FROM ov JOIN sz ON sz.doc_id = ov.a_id
-      WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""))),
+    }, Some(containmentOracleSql))),
+
+    // The skew-proof twin of n46 under the SAME oracle: the directed
+    // prefix bound (Dedup.containmentPairsPrefix scaladoc) indexes only
+    // each source's rarest |A|−⌈t·|A|⌉+1 shingles against the full
+    // target index, then verifies candidates on full sets — exact by
+    // the containment prefix theorem, and the 100 TB default for
+    // boilerplate-skewed corpora (SKEW.md: the exact join's fan-out is
+    // quadratic in df, the prefix never indexes the hot tail).
+    "n63_containment_prefix" -> (((s: SparkSession, d: String) => {
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id", "text")
+    }, Some(containmentOracleSql))),
 
     // Sliding-window document chunking (32-token chunks, stride 24 —
     // 8-token overlap): the context-window prep step between cleaning
