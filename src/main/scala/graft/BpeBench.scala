@@ -36,7 +36,7 @@ object BpeBench {
       v0
     }
     val (syms0, initSec) = timed {
-      val s0 = Bpe.initSymbols(v).coalesce(1).localCheckpoint()
+      val s0 = graft.operators.Iterate.cut(Bpe.initSymbols(v))
       s0.count()
       s0
     }
@@ -45,11 +45,17 @@ object BpeBench {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 1
     var exhausted = false
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     while (i <= iters && !exhausted) {
+      val gc0 = gcMs
       val (res, sec) = timed {
         Bpe.step(syms, v) match {
           case (Some(m), next) =>
-            val cut = next.coalesce(1).localCheckpoint()
+            val cut = graft.operators.Iterate.cut(next)
             cut.count() // materialize INSIDE the timed window
             Some((m, cut))
           case (None, _) => None
@@ -58,9 +64,12 @@ object BpeBench {
       res match {
         case Some(((a, b, n), next)) =>
           merges += ((i, a, b, n))
+          val nodes = next.queryExecution.optimizedPlan
+            .collect { case p => p }.size
           syms = next
           perIter += sec
-          System.err.println(f"[bpe] iter=$i%3d merge=($a|$b) n=$n%8d time=$sec%6.2fs")
+          System.err.println(f"[bpe] iter=$i%3d merge=($a|$b) n=$n%8d " +
+            f"time=$sec%6.2fs plan_nodes=$nodes%3d gc_delta=${gcMs - gc0}%5dms")
         case None => exhausted = true
       }
       i += 1

@@ -171,6 +171,22 @@ object SparkEntry {
       FROM ov JOIN sz ON sz.doc_id = ov.a_id
       WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""
 
+  /** Shared oracle for the Gopher composite quality gate: n66 (batch
+    * explode+agg form) and s24 (stateless streaming HOF form) emit the
+    * identical survivor table. */
+  private lazy val gopherOracleSql = s"""
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(len_sum AS BIGINT) AS len_sum,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM (SELECT doc_id, len(toks) AS n_tokens,
+              list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+              list_max(list_transform(toks, t -> length(t))) AS max_len,
+              len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
+        AND max_len <= 20 AND stop_hits >= 2"""
+
   // ------------------------------------------------------------------
   // Bounded-oracle input sampling for the O(n²) PAIR queries
   // (n02/n03/n13/n16/n23/n24/n25/n26, and s19 which shares n03's
@@ -2909,18 +2925,7 @@ object SparkEntry {
           col("max_len") <= 20 && col("stop_hits") >= 2)
         .select(col("doc_id"), col("n_tokens"), col("len_sum"),
           col("stop_hits"))
-    }, Some(s"""
-      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             CAST(len_sum AS BIGINT) AS len_sum,
-             CAST(stop_hits AS BIGINT) AS stop_hits
-      FROM (SELECT doc_id, len(toks) AS n_tokens,
-              list_sum(list_transform(toks, t -> length(t))) AS len_sum,
-              list_max(list_transform(toks, t -> length(t))) AS max_len,
-              len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits
-            FROM (SELECT doc_id, $toksSql AS toks FROM documents))
-      WHERE n_tokens BETWEEN 20 AND 1000
-        AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
-        AND max_len <= 20 AND stop_hits >= 2"""))),
+    }, Some(gopherOracleSql))),
 
     // Temperature-scaled mixture weights (the multilingual/domain
     // rebalancing step: sample ∝ n^α with α = 1/2 so small domains are
@@ -3977,6 +3982,13 @@ object SparkEntry {
     "s23_stream_quantiles" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamQuantiles(s, d)
     }, Some(exactQuantilesSql))),
+
+    // n66's streaming twin: the Gopher composite gate as a STATELESS
+    // per-row HOF map+filter — append mode, zero state store, the
+    // ingest-time filter shape (StreamQueries.streamQualityGate).
+    "s24_stream_quality_gate" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamQualityGate(s, d)
+    }, Some(gopherOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

@@ -98,9 +98,11 @@ object Bpe {
     * of pairs. */
   def learnMerges(docs: DataFrame, iters: Int): DataFrame = {
     // one corpus pass, then vocabulary-sized state only; each boundary
-    // is a lineage cut (see step's scaladoc for why)
+    // is an Iterate.cut — a lineage AND statistics cut (plain
+    // localCheckpoint carries compounding sizeInBytes estimates that
+    // stall the driver after ~18 rounds; see Iterate.scaladoc)
     val v = vocab(docs).coalesce(1).localCheckpoint()
-    var syms = initSymbols(v).coalesce(1).localCheckpoint()
+    var syms = Iterate.cut(initSymbols(v))
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var i = 1
     var exhausted = false
@@ -108,7 +110,7 @@ object Bpe {
       step(syms, v) match {
         case (Some((a, b, n)), next) =>
           out += ((i, a, b, n))
-          syms = next.coalesce(1).localCheckpoint()
+          syms = Iterate.cut(next)
         case (None, _) => exhausted = true
       }
       i += 1
@@ -127,12 +129,12 @@ object Bpe {
     * per-merge — the vocab table absorbs all `iters` rewrites. */
   def encodeStats(docs: DataFrame, iters: Int): DataFrame = {
     val v = vocab(docs).coalesce(1).localCheckpoint()
-    var syms = initSymbols(v).coalesce(1).localCheckpoint()
+    var syms = Iterate.cut(initSymbols(v))
     var i = 1
     var exhausted = false
     while (i <= iters && !exhausted) {
       step(syms, v) match {
-        case (Some(_), next) => syms = next.coalesce(1).localCheckpoint()
+        case (Some(_), next) => syms = Iterate.cut(next)
         case (None, _)       => exhausted = true
       }
       i += 1

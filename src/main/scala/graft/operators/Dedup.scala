@@ -410,11 +410,16 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
       // prev label rides along into the checkpoint, so the convergence
       // probe is a filter over materialized rows — not another join
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
-          labels("comp").as("prev"))
-        .localCheckpoint(true)
+      // Iterate.cut, not plain localCheckpoint: the checkpoint's carried
+      // sizeInBytes estimate compounds through the per-round self-join
+      // and stalls the driver in stats estimation after ~18 rounds
+      // (measured on the BPE loop — Iterate.scaladoc; same shape here)
+      val next = Iterate.cut(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
+            labels("comp").as("prev")),
+        coalesceTo = None)
       val changed = next.where(col("comp") =!= col("prev")).limit(1).count()
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0

@@ -742,6 +742,36 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming quality gate (s24) — n66's streaming twin: the Gopher
+    * composite rule list as a pure STATELESS per-row map + filter. The
+    * batch form aggregates an explode; here the same integer stats
+    * come from codegen'd array HOFs (aggregate/transform/filter) so
+    * the streaming plan carries NO state store at all — the shape an
+    * ingest-time quality gate wants at 100 TB: each micro-batch is
+    * embarrassingly parallel, append mode, nothing to checkpoint but
+    * source offsets. Shares n66's oracle: HOF stats ≡ explode+agg
+    * stats row for row. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = graft.functions.Text.Stopwords
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    val gated = documentsStream(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("len_sum"),
+        coalesce(expr("array_max(transform(toks, t -> length(t)))"), lit(0))
+          .as("max_len"),
+        expr(s"size(filter(toks, t -> t IN $stopList))").cast("long")
+          .as("stop_hits"))
+      .where(col("n_tokens").between(20, 1000) &&
+        col("len_sum") >= col("n_tokens") * 3 &&
+        col("len_sum") <= col("n_tokens") * 10 &&
+        col("max_len") <= 20 && col("stop_hits") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("len_sum"), col("stop_hits"))
+    runToTable(spark, gated, "append")
+  }
+
   /** Streaming count-min maintenance (s21) — the CMS twin of s15's KMV
     * sketch: the d×w counter table IS the streaming aggregation state
     * (complete mode over ≤ depth·width groups), updated per micro-
