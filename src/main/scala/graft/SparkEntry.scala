@@ -2956,6 +2956,89 @@ object SparkEntry {
         CAST(weight * 1000000 // t.tot AS BIGINT) AS share_ppm
       FROM w CROSS JOIN t"""))),
 
+    // Length-bucketed batching prep: round each doc's token count up
+    // to the next 32-token bucket (the padded sequence length a
+    // training batch would allocate) and report exact padding waste
+    // per bucket in ppm — the measurement that decides bucket
+    // granularity for a packing/batching stage (complement of n28,
+    // which packs greedily instead of padding). One explode-free
+    // per-row map + one |buckets|-group aggregate; integer-exact.
+    "n68_length_buckets" -> (((s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(Text.tokenCountWs(col("text")).cast("long").as("n_toks"))
+        .where(col("n_toks") > 0)
+        .withColumn("bucket", expr("((n_toks + 31) div 32) * 32"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_tokens"),
+          sum(col("bucket") - col("n_toks")).as("padding_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("padding_tokens"),
+          expr("padding_tokens * 1000000 div (n_docs * bucket)")
+            .as("waste_ppm"))
+    }, Some(s"""
+      WITH d AS (SELECT len($toksSql) AS n_toks FROM documents
+                 WHERE len($toksSql) > 0),
+      b AS (SELECT n_toks, ((n_toks + 31) // 32) * 32 AS bucket FROM d)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        CAST(sum(bucket - n_toks) AS BIGINT) AS padding_tokens,
+        CAST(sum(bucket - n_toks) * 1000000
+          // (count(*) * bucket) AS BIGINT) AS waste_ppm
+      FROM b GROUP BY bucket"""))),
+
+    // Score stratification: exact per-lang DECILES of the n65 Simpson
+    // diversity score via the a29 cumulative-histogram idiom — the
+    // threshold-selection step behind every "keep the top X% by
+    // quality score" filter. Shuffles bounded by DISTINCT score
+    // values; rank thresholds are integer ceiling divisions, never a
+    // float q·n.
+    "n69_score_deciles" -> (((s: SparkSession, d: String) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("lang"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1)")).as("rep"))
+        .where(col("n") >= 2)
+        .select(col("lang"),
+          expr("CAST(rep AS DECIMAL(30,0)) * 1000000000 div (n * (n - 1))")
+            .as("v"))
+      val hist = scored.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      val decs = (1 to 9).map(q =>
+        min(when(col("cum") >= expr(s"(n * $q + 9) div 10"), col("v")))
+          .as(s"d$q"))
+      cum.groupBy(col("lang"))
+        .agg(decs.head, decs.tail :+ max(col("n")).as("n_docs"): _*)
+    }, Some {
+      val decs = (1 to 9).map(q =>
+        s"CAST(min(CASE WHEN cum >= (n * $q + 9) // 10 THEN v END) AS BIGINT) AS d$q")
+        .mkString(",\n        ")
+      s"""
+      WITH c0 AS (SELECT doc_id, lang, tok, count(*) AS c
+                  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2, 3),
+      sc AS (SELECT lang,
+               sum(c * (c - 1)) * 1000000000
+                 // (sum(c) * (sum(c) - 1)) AS v
+             FROM c0 GROUP BY doc_id, lang HAVING sum(c) >= 2),
+      hist AS (SELECT lang, v, count(*) AS c FROM sc GROUP BY 1, 2),
+      cum AS (SELECT lang, v,
+                sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                sum(c) OVER (PARTITION BY lang) AS n
+              FROM hist)
+      SELECT lang, $decs,
+        CAST(max(n) AS BIGINT) AS n_docs
+      FROM cum GROUP BY lang"""
+    })),
+
     // APPLY the n54 spans: strip every duplicated span, exact
     // before/after token counts per doc. The cover set explodes to its
     // positions (bounded by total span tokens ≪ corpus) and the strip

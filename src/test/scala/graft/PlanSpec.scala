@@ -103,6 +103,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("containment prefix variant stays equi-join shaped, never cartesian") {
+    val p = plan("n63_containment_prefix")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("temperature mixture's total rides a broadcast, never a shuffled join") {
+    val p = plan("n67_temperature_mixture")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("length buckets: pure aggregate, no join or window anywhere") {
+    val p = plan("n68_length_buckets")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("score deciles: histogram windows only, no join, no cartesian") {
+    val p = plan("n69_score_deciles")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("simhash banding is an equi-join on (band, bits), never cartesian") {
     val p = plan("n26_simhash_neardup")
     assert(!p.contains("CartesianProduct"))
