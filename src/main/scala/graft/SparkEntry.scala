@@ -3039,6 +3039,59 @@ object SparkEntry {
       FROM cum GROUP BY lang"""
     })),
 
+    // Greedy token-budget curation: rank domains by stopword density
+    // (the cheap English-ness/quality proxy, exact integer ppm), then
+    // fill a 60%-of-corpus token budget in rank order — the "keep the
+    // best sources until the budget is spent" mixture-curation step.
+    // kept = the running total BEFORE this source is under budget, so
+    // exactly the greedy prefix (first overshooter included, matching
+    // classic budget fill). Every window/join here runs on the
+    // |domains|-row dimension table, never the corpus; the only
+    // corpus-sized work is one explode-free HOF aggregate.
+    "n70_budget_fill" -> (((s: SparkSession, d: String) => {
+      val src = Tables.documents(s, d)
+        .select(col("source"), Text.tokens(col("text")).as("toks"))
+        .select(col("source"), size(col("toks")).cast("long").as("nt"),
+          expr(s"size(filter(toks, t -> t IN $stopListSql))").cast("long")
+            .as("sh"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("src_tokens"), sum(col("sh")).as("stop_hits"))
+        .withColumn("density_ppm",
+          expr("stop_hits * 1000000 div src_tokens"))
+      val ranked = src.withColumn("rk", row_number().over(
+        Window.orderBy(col("density_ppm").desc, col("source").asc))
+        .cast("long"))
+      val tot = ranked.agg(sum(col("src_tokens")).as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("cum_tokens",
+          sum(col("src_tokens")).over(Window.orderBy(col("rk"))))
+        .withColumn("budget", expr("total * 6 div 10"))
+        .select(col("source"), col("rk"), col("src_tokens"),
+          col("density_ppm"), col("cum_tokens"),
+          (col("cum_tokens") - col("src_tokens") < col("budget"))
+            .cast("int").as("kept"))
+    }, Some(s"""
+      WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+      src AS (SELECT source,
+                CAST(sum(len(toks)) AS BIGINT) AS src_tokens,
+                CAST(sum(len(list_filter(toks, t -> t IN $stopListSql)))
+                  AS BIGINT) AS stop_hits
+              FROM d GROUP BY 1),
+      ranked AS (SELECT source, src_tokens,
+                   stop_hits * 1000000 // src_tokens AS density_ppm,
+                   row_number() OVER (ORDER BY
+                     stop_hits * 1000000 // src_tokens DESC, source) AS rk
+                 FROM src),
+      tot AS (SELECT sum(src_tokens) AS total FROM ranked),
+      cum AS (SELECT r.*, sum(src_tokens) OVER (ORDER BY rk) AS cum_tokens,
+                     t.total * 6 // 10 AS budget
+              FROM ranked r CROSS JOIN tot t)
+      SELECT source, CAST(rk AS BIGINT) AS rk, src_tokens,
+             CAST(density_ppm AS BIGINT) AS density_ppm,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST(cum_tokens - src_tokens < budget AS INT) AS kept
+      FROM cum"""))),
+
     // APPLY the n54 spans: strip every duplicated span, exact
     // before/after token counts per doc. The cover set explodes to its
     // positions (bounded by total span tokens ≪ corpus) and the strip
