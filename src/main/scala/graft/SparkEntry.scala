@@ -171,6 +171,21 @@ object SparkEntry {
       FROM ov JOIN sz ON sz.doc_id = ov.a_id
       WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""
 
+  /** Shared oracle for the length-bucket padding accounting: n68
+    * (batch) and s25 (complete-mode streaming aggregation with state
+    * bounded by the bucket count) drain identical tables. */
+  private lazy val lengthBucketsOracleSql = s"""
+      WITH d AS (SELECT len($toksSql) AS n_toks FROM documents
+                 WHERE len($toksSql) > 0),
+      b AS (SELECT n_toks, ((n_toks + 31) // 32) * 32 AS bucket FROM d)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        CAST(sum(bucket - n_toks) AS BIGINT) AS padding_tokens,
+        CAST(sum(bucket - n_toks) * 1000000
+          // (count(*) * bucket) AS BIGINT) AS waste_ppm
+      FROM b GROUP BY bucket"""
+
   /** Shared oracle for the Gopher composite quality gate: n66 (batch
     * explode+agg form) and s24 (stateless streaming HOF form) emit the
     * identical survivor table. */
@@ -2976,17 +2991,7 @@ object SparkEntry {
           col("padding_tokens"),
           expr("padding_tokens * 1000000 div (n_docs * bucket)")
             .as("waste_ppm"))
-    }, Some(s"""
-      WITH d AS (SELECT len($toksSql) AS n_toks FROM documents
-                 WHERE len($toksSql) > 0),
-      b AS (SELECT n_toks, ((n_toks + 31) // 32) * 32 AS bucket FROM d)
-      SELECT CAST(bucket AS BIGINT) AS bucket,
-        CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
-        CAST(sum(bucket - n_toks) AS BIGINT) AS padding_tokens,
-        CAST(sum(bucket - n_toks) * 1000000
-          // (count(*) * bucket) AS BIGINT) AS waste_ppm
-      FROM b GROUP BY bucket"""))),
+    }, Some(lengthBucketsOracleSql))),
 
     // Score stratification: exact per-lang DECILES of the n65 Simpson
     // diversity score via the a29 cumulative-histogram idiom — the
@@ -4125,6 +4130,13 @@ object SparkEntry {
     "s24_stream_quality_gate" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamQualityGate(s, d)
     }, Some(gopherOracleSql))),
+
+    // n68's streaming twin: complete-mode aggregation with state
+    // bounded by the BUCKET count, additive merge — any micro-batching
+    // drains the batch answer (StreamQueries.streamLengthBuckets).
+    "s25_stream_length_buckets" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamLengthBuckets(s, d)
+    }, Some(lengthBucketsOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

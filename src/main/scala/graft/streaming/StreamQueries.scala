@@ -742,6 +742,29 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming length-bucket accounting (s25) — n68's streaming twin:
+    * per-bucket padding-waste totals as a complete-mode aggregation
+    * whose state is bounded by the BUCKET COUNT (≤ max doc length / 32
+    * groups at any stream length — the same bounded-state argument as
+    * s21's counter table). Sums and counts merge by addition, so any
+    * micro-batching drains to exactly the batch answer. */
+  def streamLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val binned = documentsStream(spark, dir)
+      .select(graft.functions.Text.tokenCountWs(col("text")).cast("long")
+        .as("n_toks"))
+      .where(col("n_toks") > 0)
+      .withColumn("bucket", expr("((n_toks + 31) div 32) * 32"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("bucket") - col("n_toks")).as("padding_tokens"))
+    runToTable(spark, binned, "complete")
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("padding_tokens"),
+        expr("padding_tokens * 1000000 div (n_docs * bucket)")
+          .as("waste_ppm"))
+  }
+
   /** Streaming quality gate (s24) — n66's streaming twin: the Gopher
     * composite rule list as a pure STATELESS per-row map + filter. The
     * batch form aggregates an explode; here the same integer stats
