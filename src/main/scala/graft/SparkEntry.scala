@@ -2923,17 +2923,17 @@ object SparkEntry {
     // 3..10 via cross-multiplication (never a float division), a
     // max-token-length cap, and ≥2 stopword hits. n18 is the float
     // quality SCORE; this is the rule-list FILTER form real pipelines
-    // compose, exact to the last row on both engines. One explode +
-    // one per-doc aggregate — embarrassingly parallel.
+    // compose, exact to the last row on both engines. All four stats
+    // come from ONE pass over the text bytes (native TextStats kernel
+    // — no token array, no explode, no row inflation; TextStatsSpec
+    // pins equality with the explode+agg form this replaced).
     "n66_gopher_quality" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(length(col("t")).cast("long")).as("len_sum"),
-          max(length(col("t"))).as("max_len"),
-          sum(when(col("t").isin(Text.Stopwords: _*), lit(1L))
-            .otherwise(lit(0L))).as("stop_hits"))
+        .select(col("doc_id"),
+          graft.functions.TextStats.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.len_sum").as("len_sum"), col("st.max_len").as("max_len"),
+          col("st.stop_hits").as("stop_hits"))
         .where(col("n_tokens").between(20, 1000) &&
           col("len_sum") >= col("n_tokens") * 3 &&
           col("len_sum") <= col("n_tokens") * 10 &&
@@ -3055,12 +3055,11 @@ object SparkEntry {
     // corpus-sized work is one explode-free HOF aggregate.
     "n70_budget_fill" -> (((s: SparkSession, d: String) => {
       val src = Tables.documents(s, d)
-        .select(col("source"), Text.tokens(col("text")).as("toks"))
-        .select(col("source"), size(col("toks")).cast("long").as("nt"),
-          expr(s"size(filter(toks, t -> t IN $stopListSql))").cast("long")
-            .as("sh"))
+        .select(col("source"),
+          graft.functions.TextStats.textStats(col("text")).as("st"))
         .groupBy(col("source"))
-        .agg(sum(col("nt")).as("src_tokens"), sum(col("sh")).as("stop_hits"))
+        .agg(sum(col("st.n_tokens")).as("src_tokens"),
+          sum(col("st.stop_hits")).as("stop_hits"))
         .withColumn("density_ppm",
           expr("stop_hits * 1000000 div src_tokens"))
       val ranked = src.withColumn("rk", row_number().over(

@@ -775,18 +775,12 @@ object StreamQueries {
     * source offsets. Shares n66's oracle: HOF stats ≡ explode+agg
     * stats row for row. */
   def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = graft.functions.Text.Stopwords
-      .map(s => s"'$s'").mkString("(", ",", ")")
     val gated = documentsStream(spark, dir)
       .select(col("doc_id"),
-        graft.functions.Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("len_sum"),
-        coalesce(expr("array_max(transform(toks, t -> length(t)))"), lit(0))
-          .as("max_len"),
-        expr(s"size(filter(toks, t -> t IN $stopList))").cast("long")
-          .as("stop_hits"))
+        graft.functions.TextStats.textStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.len_sum").as("len_sum"), col("st.max_len").as("max_len"),
+        col("st.stop_hits").as("stop_hits"))
       .where(col("n_tokens").between(20, 1000) &&
         col("len_sum") >= col("n_tokens") * 3 &&
         col("len_sum") <= col("n_tokens") * 10 &&

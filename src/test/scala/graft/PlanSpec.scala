@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("gopher gate is a shuffle-free scan: TextStats kernel, no explode, " +
+      "no Exchange") {
+    val p = plan("n66_gopher_quality")
+    assert(!p.contains("Exchange"), p) // the explode+groupBy form shuffled corpus×tokens rows
+    assert(!p.contains("Generate"), p) // no explode anywhere
+    assert(p.contains("graft_text_stats"), p)
+  }
+
   test("score deciles: histogram windows only, no join, no cartesian") {
     val p = plan("n69_score_deciles")
     assert(!p.contains("Join"), p)
