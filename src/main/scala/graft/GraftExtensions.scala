@@ -71,8 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val a = arity("graft_jaccard", 2)(args)
         graft.functions.SetJaccard(a(0), a(1))
       }))
-    // optimizer rule: fuse size(array_intersect)/size(array_union)
-    // into the one-pass SetJaccard kernel (FuseSetJaccard scaladoc)
+    ext.injectFunction((FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats",
+        "single-pass (n_tokens, len_sum, max_len, stop_hits) token stats"),
+      (args: Seq[Expression]) =>
+        graft.functions.TextStats(arity("graft_text_stats", 1)(args).head)))
+    // optimizer rules: fuse size(array_intersect)/size(array_union)
+    // into the one-pass SetJaccard kernel (FuseSetJaccard scaladoc),
+    // and the whitespace token-count idiom into the TextStats kernel
+    // (FuseTokenCount scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseSetJaccard)
+    ext.injectOptimizerRule(_ => graft.plans.FuseTokenCount)
   }
 }
