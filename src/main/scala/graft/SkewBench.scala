@@ -98,10 +98,49 @@ object SkewBench {
       (pairs, sec)
     }
 
+    // ---- AQE skew-join: the RUNTIME backstop measured. The exact
+    // join's hot shingle lands its entire df² fan-out in ONE reducer;
+    // forcing OptimizeSkewedJoin (factor/threshold floored, force flag
+    // for the post-join agg distribution) splits that partition so the
+    // quadratic work spreads across cores — total work is unchanged
+    // (only the index-side cap/prefix remove work), wall divides by
+    // the split count. Reported: wall + how many skew splits engaged.
+    def runSkewAqe(docs: DataFrame): (Long, Long, Double) = {
+      val c = spark.conf
+      val saved = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> c.getOption(k))
+      try {
+        c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        // the inverted index must SHUFFLE for skew-join to apply — a
+        // broadcast of the index side would bypass the reducer split
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.jaccardPairs(docs, "doc_id", "text")
+        val (pairs, sec) = timed(df.collect().length.toLong)
+        val planStr = df.queryExecution.executedPlan.toString
+        val splits = "isSkewJoin=true|skew=true".r.findAllIn(planStr).size.toLong
+        System.err.println(f"[skew] skew_aqe         splits=$splits%12d pairs=$pairs%6d time=$sec%7.2fs")
+        (splits, pairs, sec)
+      } finally saved.foreach {
+        case (k, Some(v)) => c.set(k, v)
+        case (k, None) => c.unset(k)
+      }
+    }
+
     val (cleanFan, cleanPairs, cleanSec) = run("clean_exact", clean, None)
     val (skewFan, skewPairs, skewSec) = run("skew_exact", skew, None)
     val (capFan, capPairs, capSec) = run("skew_capped", skew, Some(maxDf))
     val (prefPairs, prefSec) = runPrefix(skew)
+    val (aqeSplits, aqePairs, aqeSec) = runSkewAqe(skew)
     val (cCleanFan, cCleanPairs, cCleanSec) = runCont("cont_clean", clean, None)
     val (cSkewFan, cSkewPairs, cSkewSec) = runCont("cont_skew", skew, None)
     val (cCapFan, cCapPairs, cCapSec) = runCont("cont_capped", skew, Some(maxDf))
@@ -113,6 +152,7 @@ object SkewBench {
       s""""skew_exact":{"fanout":$skewFan,"pairs":$skewPairs,"sec":$skewSec},""" +
       s""""skew_capped":{"fanout":$capFan,"pairs":$capPairs,"sec":$capSec},""" +
       s""""skew_prefix":{"pairs":$prefPairs,"sec":$prefSec},""" +
+      s""""skew_aqe":{"splits":$aqeSplits,"pairs":$aqePairs,"sec":$aqeSec},""" +
       s""""cont_clean":{"fanout":$cCleanFan,"pairs":$cCleanPairs,"sec":$cCleanSec},""" +
       s""""cont_skew":{"fanout":$cSkewFan,"pairs":$cSkewPairs,"sec":$cSkewSec},""" +
       s""""cont_capped":{"fanout":$cCapFan,"pairs":$cCapPairs,"sec":$cCapSec},""" +
