@@ -171,6 +171,50 @@ object SparkEntry {
       FROM ov JOIN sz ON sz.doc_id = ov.a_id
       WHERE sz.n >= 5 AND inter * 10 >= sz.n * 9"""
 
+  /** Shared oracle for DSIR importance weighting: n60 (batch bucket
+    * join) and s27 (the trained model served over the stream as a
+    * literal map — pure per-row HOF scoring) emit identical per-doc
+    * mean importance ratios. */
+  private lazy val dsirOracleSql = s"""
+      WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+      tb AS (SELECT doc_id, lang, tok,
+               (('0x' || substr(md5(tok), 1, 4))::INT % 64) AS b FROM t),
+      raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+      tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT count(*) AS crt,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ctt FROM tb),
+      st AS (SELECT raw.b,
+               ((coalesce(ct, 0) + 1) * 1000000000) // (ctt + 64) AS pt_ppb,
+               ((cr + 1) * 1000000000) // (crt + 64) AS pr_ppb
+             FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      r AS (SELECT b, (pt_ppb * 1000000) // greatest(pr_ppb, 1) AS ratio_ppm
+            FROM st)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_ratio_ppm
+      FROM tb JOIN r USING (b) GROUP BY 1"""
+
+  /** Shared oracle for Bloom decontamination: n44 (batch packed-bitset
+    * probe + per-doc groupBy) and s26 (stateless streaming HOF probe)
+    * emit the identical contaminated-doc table, false positives
+    * included — the filter is bit-reproducible by construction. */
+  private lazy val bloomOracleSql = s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($ssetSql) AS s
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id <= 20),
+      pos AS (SELECT DISTINCT
+                (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024) AS p
+              FROM bench CROSS JOIN range(0, 3) t(j)),
+      hits AS (SELECT doc_id, s, count(*) AS h
+               FROM (SELECT doc_id, s FROM sh WHERE doc_id > 20) probe
+               CROSS JOIN range(0, 3) t(j)
+               JOIN pos ON pos.p =
+                 (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024)
+               GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits WHERE h = 3 GROUP BY 1"""
+
   /** Shared oracle for the length-bucket padding accounting: n68
     * (batch) and s25 (complete-mode streaming aggregation with state
     * bounded by the bucket count) drain identical tables. */
@@ -2740,46 +2784,17 @@ object SparkEntry {
     // (broadcast); the only row-volume shuffle is the per-doc groupBy —
     // the token explode joins against a broadcast literal table.
     "n60_dsir_weight" -> (((s: SparkSession, d: String) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(Text.tokens(col("text"))).as("tok"))
-        .withColumn("b",
-          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int") % 64)
-      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = tok.where(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val tot = tok.agg(count(lit(1)).as("crt"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctt"))
-      val ratios = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(tot))
-        .select(col("b"),
-          expr("(ct + 1) * 1000000000 div (ctt + 64)").as("pt_ppb"),
-          expr("(cr + 1) * 1000000000 div (crt + 64)").as("pr_ppb"))
-        .select(col("b"),
-          expr("pt_ppb * 1000000 div greatest(pr_ppb, 1)").as("ratio_ppm"))
-      tok.join(broadcast(ratios), "b")
+      import graft.operators.Dsir
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .withColumn("b", Dsir.bucket(col("tok")))
+      tok.join(broadcast(Dsir.ratioModel(docs)), "b")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"), sum(col("ratio_ppm")).as("sum_ppm"))
         .select(col("doc_id"), col("n_toks"),
           expr("cast(sum_ppm as bigint) div n_toks").as("mean_ratio_ppm"))
-    }, Some(s"""
-      WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
-      tb AS (SELECT doc_id, lang, tok,
-               (('0x' || substr(md5(tok), 1, 4))::INT % 64) AS b FROM t),
-      raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
-      tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
-      tot AS (SELECT count(*) AS crt,
-                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ctt FROM tb),
-      st AS (SELECT raw.b,
-               ((coalesce(ct, 0) + 1) * 1000000000) // (ctt + 64) AS pt_ppb,
-               ((cr + 1) * 1000000000) // (crt + 64) AS pr_ppb
-             FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
-      r AS (SELECT b, (pt_ppb * 1000000) // greatest(pr_ppb, 1) AS ratio_ppm
-            FROM st)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-             CAST(CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS BIGINT)
-               AS mean_ratio_ppm
-      FROM tb JOIN r USING (b) GROUP BY 1"""))),
+    }, Some(dsirOracleSql))),
 
     // Keep-BEST dedup policy: n25 keeps each component's min id; real
     // curation keeps its best member (longest doc here — token count is
@@ -3344,22 +3359,7 @@ object SparkEntry {
         .select(col("doc_id"), explode(Text.shingleSet(col("text"))).as("item"))
         .where(Bloom.mayContainExpr(pos, k = 3, m = 1024, col("item")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    }, Some(s"""
-      WITH sh AS (
-        SELECT doc_id, unnest($ssetSql) AS s
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id <= 20),
-      pos AS (SELECT DISTINCT
-                (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024) AS p
-              FROM bench CROSS JOIN range(0, 3) t(j)),
-      hits AS (SELECT doc_id, s, count(*) AS h
-               FROM (SELECT doc_id, s FROM sh WHERE doc_id > 20) probe
-               CROSS JOIN range(0, 3) t(j)
-               JOIN pos ON pos.p =
-                 (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT % 1024)
-               GROUP BY 1, 2)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-      FROM hits WHERE h = 3 GROUP BY 1"""))),
+    }, Some(bloomOracleSql))),
 
     // Text cleaning / PII-style redaction — the scrub step every
     // training corpus passes through: mask email-shaped tokens and long
@@ -4136,6 +4136,21 @@ object SparkEntry {
     "s25_stream_length_buckets" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamLengthBuckets(s, d)
     }, Some(lengthBucketsOracleSql))),
+
+    // n44's streaming twin: ingest-time Bloom decontamination with the
+    // membership predicate inside a filter HOF — per-doc hit counts as
+    // a pure per-row expression, zero state store
+    // (StreamQueries.streamBloomDecontam; same oracle as n44).
+    "s26_stream_bloom_decontam" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamBloomDecontam(s, d)
+    }, Some(bloomOracleSql))),
+
+    // n60's model-serving twin: the trained 64-bucket DSIR model as a
+    // literal map, scored per arriving doc with pure HOFs — no join,
+    // no state (StreamQueries.streamDsirScore; same oracle as n60).
+    "s27_stream_dsir_score" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamDsirScore(s, d)
+    }, Some(dsirOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

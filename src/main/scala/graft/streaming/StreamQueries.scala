@@ -742,6 +742,63 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming Bloom decontamination (s26) — n44's streaming twin and
+    * the ingest-time contamination gate: the benchmark's packed-bitset
+    * Bloom filter (built ONCE from the static eval set, a ≤m-position
+    * design constant — the broadcast-model idiom, like s14's
+    * centroids) is probed per document with the membership predicate
+    * INSIDE a `filter` HOF over the doc's shingle set, so the per-doc
+    * hit count is a pure per-row expression: NO explode row inflation,
+    * NO per-doc aggregation state — append mode, zero state store.
+    * Any doc with ≥1 filter hit drains with its exact hit count,
+    * which equals the batch n44 groupBy row for row (same oracle). */
+  def streamBloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bloom, Text}
+    val bench = graft.sources.Tables.documents(spark, dir)
+      .where(col("doc_id") <= 20)
+      .select(explode(Text.shingleSet(col("text"))).as("item"))
+      .distinct()
+    val pos = Bloom.build(bench, k = 3, m = 1024)
+    val hits = documentsStream(spark, dir)
+      .where(col("doc_id") > 20)
+      .select(col("doc_id"),
+        size(filter(Text.shingleSet(col("text")),
+          sh => Bloom.mayContainExpr(pos, k = 3, m = 1024, sh)))
+          .cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+    runToTable(spark, hits, "append")
+  }
+
+  /** Streaming DSIR scoring (s27) — n60's model-serving twin: the
+    * 64-bucket importance-ratio model trains ONCE on the static corpus
+    * (`Dsir.ratioModel`, the corpus-sized work), then ships to the
+    * stream as a LITERAL map (`Dsir.ratioMapLiteral` — the same
+    * broadcast-model idiom as s14's centroids and s26's bitset). Each
+    * arriving document scores with a pure per-row HOF chain
+    * (transform → lookup → filter → aggregate): no join, no explode,
+    * no state store — append mode. Drained rows equal batch n60's
+    * bucket-join scoring row for row (same oracle): tokens whose
+    * bucket is absent from the model drop from BOTH the count and the
+    * sum, exactly like the batch inner join. */
+  def streamDsirScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dsir
+    val m = Dsir.ratioMapLiteral(
+      Dsir.ratioModel(graft.sources.Tables.documents(spark, dir)))
+    val scored = documentsStream(spark, dir)
+      .select(col("doc_id"),
+        filter(
+          transform(graft.functions.Text.tokens(col("text")),
+            t => element_at(m, Dsir.bucket(t))),
+          r => r.isNotNull).as("rs"))
+      .select(col("doc_id"),
+        size(col("rs")).cast("long").as("n_toks"),
+        aggregate(col("rs"), lit(0L), (acc, x) => acc + x).as("sum_ppm"))
+      .where(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"),
+        expr("sum_ppm div n_toks").as("mean_ratio_ppm"))
+    runToTable(spark, scored, "append")
+  }
+
   /** Streaming length-bucket accounting (s25) — n68's streaming twin:
     * per-bucket padding-waste totals as a complete-mode aggregation
     * whose state is bounded by the BUCKET COUNT (≤ max doc length / 32
