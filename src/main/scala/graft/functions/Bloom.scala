@@ -72,11 +72,7 @@ object Bloom {
     * literal shift, while the underlying expression takes a column.
     * BloomSpec pins expr ≡ join-form row-for-row. */
   def mayContainExpr(filterPos: DataFrame, k: Int, m: Int, item: Column): Column = {
-    val words = Array.ofDim[Long]((m + 63) / 64)
-    filterPos.collect().foreach { r =>
-      val p = r.getLong(0).toInt
-      words(p >> 6) |= 1L << (p & 63)
-    }
+    val words = packed(filterPos, m)
     val w = typedlit(words.toSeq)
     (0 until k).map { j =>
       val p = bitPos(lit(j), item, m)
@@ -85,5 +81,99 @@ object Bloom {
         (p % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
+
+  private def packed(filterPos: DataFrame, m: Int): Array[Long] = {
+    val words = Array.ofDim[Long]((m + 63) / 64)
+    filterPos.collect().foreach { r =>
+      val p = r.getLong(0).toInt
+      words(p >> 6) |= 1L << (p & 63)
+    }
+    words
+  }
+
+  /** Per-document hit COUNT over a whole shingle-set array in one
+    * native pass ([[BloomHits]]): the s26 ingest-gate hot path. The
+    * HOF form (`size(filter(sset, mayContainExpr))`) runs the k-hash
+    * predicate through interpreted lambda eval per element; this
+    * kernel walks the array once inside whole-stage codegen with a
+    * thread-local digest. Bit-identical to the HOF form (BloomSpec). */
+  def hitCountExpr(filterPos: DataFrame, k: Int, m: Int, sset: Column): Column = {
+    require(k <= 9, s"BloomHits writes j as one ASCII digit; k=$k > 9")
+    org.apache.spark.sql.graftx.Bridge.column(
+      BloomHits(org.apache.spark.sql.graftx.Bridge.expression(sset),
+        packed(filterPos, m).toSeq, k, m))
+  }
+}
+
+/** Native one-pass Bloom hit counter: for each element of a string
+  * array, test all `k` md5-derived bit positions against the packed
+  * `words` bitset (the [[Bloom.bitPos]] arithmetic bit for bit: first
+  * 4 md5 bytes of "j:element" as an unsigned 32-bit value mod `m`);
+  * count elements with every bit set. One scan, no lambda
+  * interpretation, no per-element row machinery. */
+case class BloomHits(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    words: Seq[Long], k: Int, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[org.apache.spark.sql.graftx.Bridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def prettyName: String = "graft_bloom_hits"
+
+  @transient private lazy val wordArr = words.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BloomHits.kernel(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      wordArr, k, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wref = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomHits.kernel($c, $wref, $k, $m);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BloomHits =
+    copy(child = newChild)
+}
+
+object BloomHits {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def kernel(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      words: Array[Long], k: Int, m: Int): Long = {
+    val md = mdLocal.get()
+    var hits = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      val sBytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      var all = true
+      while (j < k && all) {
+        md.reset()
+        // "j:" prefix — j is a single digit for any practical k (<10),
+        // matching bitPos's j.cast("string") || ':' byte-exactly
+        md.update(('0' + j).toByte)
+        md.update(':'.toByte)
+        md.update(sBytes)
+        val d = md.digest()
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val p = (v % m).toInt
+        all = (words(p >> 6) & (1L << (p & 63))) != 0
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
   }
 }

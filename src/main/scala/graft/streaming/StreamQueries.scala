@@ -759,12 +759,15 @@ object StreamQueries {
       .select(explode(Text.shingleSet(col("text"))).as("item"))
       .distinct()
     val pos = Bloom.build(bench, k = 3, m = 1024)
+    // native one-pass hit counter (Bloom.hitCountExpr) — the HOF form
+    // size(filter(sset, mayContainExpr)) is value-identical (BloomSpec)
+    // but interprets the k-hash lambda per element; measured 2.64 s →
+    // see the round-9 bench note
     val hits = documentsStream(spark, dir)
       .where(col("doc_id") > 20)
       .select(col("doc_id"),
-        size(filter(Text.shingleSet(col("text")),
-          sh => Bloom.mayContainExpr(pos, k = 3, m = 1024, sh)))
-          .cast("long").as("n_hits"))
+        Bloom.hitCountExpr(pos, k = 3, m = 1024,
+          Text.shingleSet(col("text"))).as("n_hits"))
       .where(col("n_hits") > 0)
     runToTable(spark, hits, "append")
   }

@@ -62,6 +62,35 @@ class BloomSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(7L, 8L)))
   }
 
+  test("native BloomHits array kernel equals the HOF filter composition " +
+      "and stays in codegen") {
+    val pos = Bloom.build(inserted, K, M)
+    // arrays mixing inserted items, fresh items, and empties
+    val rows = Seq(
+      Seq("in1", "out5", "in2", "out6"),
+      Seq("out1"), Seq.empty[String],
+      (1 to 40).map(i => s"in$i") ++ (1 to 50).map(i => s"out$i"))
+    val df = rows.toDF("sset")
+    val viaHof = df.select(
+      size(filter($"sset", sh => Bloom.mayContainExpr(pos, K, M, sh)))
+        .cast("long").as("n")).as[Long].collect()
+    val viaKernel = df.select(
+      Bloom.hitCountExpr(pos, K, M, $"sset").as("n")).as[Long].collect()
+    assert(viaKernel.sameElements(viaHof),
+      s"${viaKernel.toSeq} vs ${viaHof.toSeq}")
+    assert(viaKernel(0) >= 2 && viaKernel(2) == 0 && viaKernel(3) >= 40)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = df.select(Bloom.hitCountExpr(pos, K, M, $"sset").as("n"))
+        .as[Long].collect()
+      assert(n.sameElements(viaHof))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("duplicate probe rows each pass independently — no false negatives " +
       "on repeated inserted items (ADVICE r8)") {
     val pos = Bloom.build(inserted, K, M)
