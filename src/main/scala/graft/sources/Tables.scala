@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet fixture loaders (see /root/repo/TESTDATA.md).
   *
@@ -28,10 +29,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) rejects outright. Read it as a raw long (legacy conf) and floor
-    * to micros — integer `div`, not `/`, since ns-since-epoch exceeds
-    * double's 2^53 mantissa.
+  /** events.ts has shipped under more than one parquet encoding across
+    * fixture generations — TIMESTAMP(NANOS) in earlier drops (read as a
+    * raw long via the legacy conf, floored to micros), TIMESTAMP(micros,
+    * isAdjustedToUTC=false) in the current ones (surfacing as
+    * TimestampNTZType). At 100 TB you never control every producer's
+    * parquet writer, so the reader PROBES the footer once per path and
+    * adapts instead of hardwiring one physical type (the r9 regression:
+    * a hardwired `ts div 1000` threw DATATYPE_MISMATCH on 16 batch
+    * queries and silently shrank streaming timestamps 1000×).
     *
     * `nanosAsLong` is pinned at session construction by every entry
     * point this library owns (Verify / Bench / SparkTestSession), so a
@@ -42,10 +48,48 @@ object Tables {
     * EFFECTIVE value, not presence: `getOption` on a registered conf
     * returns its default ("false") even when unset, so an
     * `isEmpty` guard would never fire (ADVICE r02). */
-  def events(s: SparkSession, d: String): DataFrame = {
+  private def ensureNanosAsLong(s: SparkSession): Unit =
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Footer-probed Spark type of events.ts at `d` — a driver-side footer
+    * read (no job), cached per path because every `events` call during a
+    * 161-query bench run would otherwise re-list and re-read footers. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  def eventsTsType(s: SparkSession, d: String): DataType = {
+    ensureNanosAsLong(s)
+    tsTypeCache.computeIfAbsent(s"$d/events.parquet",
+      p => s.read.parquet(p).schema("ts").dataType)
+  }
+
+  /** Normalize the probed ts encoding to a session-TZ TimestampType (µs)
+    * column. All supported encodings converge here so every downstream
+    * plan (windows, sessionization, stream-stream joins, date_format
+    * oracles) sees one canonical type:
+    *  - LongType: nanos-since-epoch (TIMESTAMP(NANOS) under the legacy
+    *    conf, or a plain INT64 column) → integer `div` to micros — not
+    *    `/`, since ns-since-epoch exceeds double's 2^53 mantissa;
+    *  - TimestampNTZType: naive micros; cast interprets the wall clock
+    *    in the session TZ (UTC per GraftSession), matching how the
+    *    TZ-naive DuckDB oracle reads the same file;
+    *  - TimestampType: already instant-typed micros — pass through.
+    * Anything else fails LOUDLY at plan time: an unknown encoding must
+    * never reach the silent-wrong-answer mode r9 hit on the stream path. */
+  def normalizedTs(dt: DataType): Column = dt match {
+    case LongType           => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType   => col("ts").cast(TimestampType)
+    case TimestampType      => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported parquet encoding $other; expected INT64 " +
+        "nanos-as-long, TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) — " +
+        "extend Tables.normalizedTs for the new fixture encoding")
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val dt = eventsTsType(s, d)
+    table(s, d, "events").withColumn("ts", normalizedTs(dt))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -28,9 +28,19 @@ object StreamQueries {
 
   private val nameCounter = new AtomicInteger(0)
 
-  val eventsSchema: StructType = StructType(Seq(
+  /** Events stream schema with the ts physical type PROBED from the
+    * batch footer (`Tables.eventsTsType`), never declared statically.
+    * This is the silent-corruption guard from r9: a user-supplied
+    * schema bypasses parquet's logical-type check, so a static
+    * `LongType` over TIMESTAMP(micros) silently read micros as nanos
+    * and collapsed every event into January 1970 (s02/s07/s11 returned
+    * wrong ROWS, not errors). Deriving the stream schema from the same
+    * probe the batch reader uses makes batch/stream divergence
+    * impossible, and `Tables.normalizedTs` throws loudly on any
+    * encoding neither reader understands. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+    StructField("ts", graft.sources.Tables.eventsTsType(spark, dir)),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,17 +48,12 @@ object StreamQueries {
 
   /** Streaming events source (file-based stand-in for the Kafka topic). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // pinned at session construction by our builders; defensive set only
-    // for caller-owned sessions — probe the effective value, since
-    // getOption returns the registered default even when unset (see
-    // Tables.events)
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.sources.Tables.eventsTsType(spark, dir)
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
-    spark.readStream.schema(eventsSchema)
+    spark.readStream.schema(eventsSchema(spark, dir))
       .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.sources.Tables.normalizedTs(tsType))
   }
 
   /** Scoped shuffle-partition override while a bounded streaming query
@@ -167,17 +172,28 @@ object StreamQueries {
   }
 
   /** Streaming documents source (file stand-in for the announcements
-    * topic; same glob trick as eventsStream). */
+    * topic; same glob trick as eventsStream). Stream schema is
+    * footer-derived like eventsStream — a static user schema over
+    * parquet bypasses logical-type checks and is one fixture
+    * regeneration away from silent misreads (the r9 events lesson);
+    * the explicit casts then pin the canonical downstream types, so
+    * an int32/int64 width drift in the fixture cannot change oracle
+    * aggregate types. */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .parquet(s"$dir/[d]ocuments.parquet")
+      .select(col("doc_id").cast("long"), col("text").cast("string"),
+        col("lang").cast("string"), col("source").cast("string"),
+        col("n_chars").cast("long"))
 
-  /** Streaming embeddings source (file stand-in, like the others). */
+  /** Streaming embeddings source (file stand-in, like the others;
+    * footer-derived schema per documentsStream). */
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
       .parquet(s"$dir/[e]mbeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
 
   /** ANN threshold filter as a STREAM (n05's streaming twin): each
     * arriving vector is scored against the probe with the native dot

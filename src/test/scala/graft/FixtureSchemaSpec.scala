@@ -1,0 +1,154 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.StreamQueries
+
+/** Fixture-drift resilience (r9 regression pin).
+  *
+  * The driver regenerates `/root/testdata` between rounds, and round 9's
+  * regeneration changed events.ts from parquet TIMESTAMP(NANOS) to
+  * TIMESTAMP(micros, NTZ): the then-hardwired batch reader threw
+  * DATATYPE_MISMATCH on 16 queries, and the streaming reader's static
+  * LongType schema silently read micros as nanos, collapsing every event
+  * into January 1970 (s02/s07/s11 returned wrong rows, not errors).
+  *
+  * This spec pins the schema-adaptive contract that replaced it:
+  *   1. `Tables.events` yields IDENTICAL instants for the same logical
+  *      data under every supported encoding — nanos-as-long (the
+  *      documented-previous fixture encoding), TIMESTAMP_NTZ micros (the
+  *      current one), and instant-typed TIMESTAMP micros;
+  *   2. the streaming reader derives its schema from the same footer
+  *      probe, so batch/stream parity holds under every encoding — the
+  *      silent-corruption guard;
+  *   3. an encoding neither reader understands fails LOUDLY at plan
+  *      time, never the silent wrong-answer mode.
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (event_id, micros-since-epoch, user_id, event_type, value, props) */
+  private val logical = Seq(
+    (1L, 0L, 1L, "view", 1.5, "{}"),
+    (2L, 1700000000000000L, 1L, "click", 2.5, "{}"),
+    (3L, 1700000123456789L, 2L, "purchase", 3.5, "{}"),
+    (4L, 1700086400000000L, 2L, "view", 4.5, "{}"))
+
+  private def writeNanosLong(dir: String): Unit =
+    logical.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def writeNtzMicros(dir: String): Unit =
+    logical.map { case (id, us, u, t, v, p) =>
+      (id, microsToNtz(us), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def writeInstantMicros(dir: String): Unit =
+    logical.map { case (id, us, u, t, v, p) =>
+      (id, java.time.Instant.EPOCH.plusNanos(us * 1000L), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def microsToNtz(us: Long): LocalDateTime =
+    LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  /** Canonical view of a batch read: id + formatted UTC instant. */
+  private def batchRows(dir: String): Set[(Long, String)] =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"))
+      .as[(Long, String)].collect().toSet
+
+  /** Same view through the REAL streaming engine (file source → memory
+    * sink) — exercises the user-supplied stream schema end to end. */
+  private def streamRows(dir: String): Set[(Long, String)] =
+    StreamQueries.runToTable(spark,
+      StreamQueries.eventsStream(spark, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s")),
+      "append").as[(Long, String)].collect().toSet
+
+  private val expected: Set[(Long, String)] = Set(
+    (1L, "1970-01-01 00:00:00.000000"),
+    (2L, "2023-11-14 22:13:20.000000"),
+    (3L, "2023-11-14 22:15:23.456789"),
+    (4L, "2023-11-15 22:13:20.000000"))
+
+  test("batch reader normalizes every supported ts encoding to the same instants") {
+    val encodings = Seq[(String, String => Unit)](
+      ("nanos-long", writeNanosLong),
+      ("ntz-micros", writeNtzMicros),
+      ("instant-micros", writeInstantMicros))
+    for ((name, write) <- encodings) {
+      val dir = TempDirs.create(s"fixture-enc-$name")
+      write(dir)
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType,
+        s"$name must normalize to TimestampType")
+      assert(batchRows(dir) === expected, s"encoding $name")
+    }
+  }
+
+  test("stream reader derives its schema from the footer probe — parity under both fixture encodings") {
+    for ((name, write) <- Seq[(String, String => Unit)](
+        ("nanos-long", writeNanosLong), ("ntz-micros", writeNtzMicros))) {
+      val dir = TempDirs.create(s"fixture-stream-$name")
+      write(dir)
+      assert(streamRows(dir) === expected, s"encoding $name")
+      assert(streamRows(dir) === batchRows(dir), s"batch/stream parity, $name")
+    }
+  }
+
+  test("an unsupported ts encoding fails loudly at plan time, batch and stream") {
+    val dir = TempDirs.create("fixture-enc-bad")
+    logical.map { case (id, us, u, t, v, p) => (id, us.toString, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val eBatch = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(eBatch.getMessage.contains("unsupported parquet encoding"))
+    val eStream =
+      intercept[IllegalStateException](StreamQueries.eventsStream(spark, dir))
+    assert(eStream.getMessage.contains("unsupported parquet encoding"))
+  }
+
+  test("documents/embeddings stream schemas are footer-derived and width-drift tolerant") {
+    // write a documents fixture with DRIFTED physical widths (int32
+    // doc_id/n_chars) — the footer-derived stream schema must read it
+    // and the canonical casts must still surface long columns
+    val dir = TempDirs.create("fixture-docs-drift")
+    Seq((1, "hello world", "en", "web", 11), (2, "bonjour", "fr", "web", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = StreamQueries.runToTable(spark,
+      StreamQueries.documentsStream(spark, dir), "append")
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.schema("n_chars").dataType === LongType)
+    assert(docs.as[(Long, String, String, String, Long)].collect().toSet ===
+      Set((1L, "hello world", "en", "web", 11L), (2L, "bonjour", "fr", "web", 7L)))
+
+    val edir = TempDirs.create("fixture-emb-drift")
+    // drifted: double elements + extra column ordering
+    Seq((1L, Seq(1.0, 2.0), 7), (2L, Seq(3.0, 4.0), 8))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+    val emb = StreamQueries.runToTable(spark,
+      StreamQueries.embeddingsStream(spark, edir), "append")
+    assert(emb.schema("embedding").dataType === ArrayType(FloatType, true) ||
+      emb.schema("embedding").dataType === ArrayType(FloatType, false))
+    assert(emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSet ===
+      Set((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))))
+  }
+}
