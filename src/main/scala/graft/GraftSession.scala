@@ -23,9 +23,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // oracle compare and date_format are timezone-sensitive
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS): read as raw long, the
-      // engine floors to micros (Tables.events). Pinned here so no
-      // query ever mutates session state mid-run.
+      // events.parquet fixtures have shipped as TIMESTAMP(NANOS) in
+      // some generations: under this conf they surface as raw longs,
+      // which Tables.events' footer probe detects and floors to micros
+      // (current TIMESTAMP(micros) fixtures are unaffected by the
+      // conf). Pinned here so no query ever mutates session state
+      // mid-run.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
