@@ -87,9 +87,28 @@ object Tables {
         "extend Tables.normalizedTs for the new fixture encoding")
   }
 
+  /** For TIMESTAMP(micros) files — NTZ or instant — events reads with a
+    * REQUESTED schema that declares ts as TimestampType instead of
+    * casting after the scan: the parquet reader fills LTZ vectors from
+    * the same int64 micros either way, but a post-scan cast would turn
+    * ts into a derived column and block predicate pushdown + row-group
+    * stats pruning on it. The change-detection probe (p10: `count(*)
+    * WHERE ts >= last-check`) is exactly the query that must prune at
+    * 100 TB — `PushedFilters: [GreaterThanOrEqual(ts,...)]` is pinned in
+    * PlanSpec. Reading naive micros as instant micros equals
+    * `cast(ntz AS timestamp)` ONLY under the UTC session this library
+    * pins (see the SESSION REQUIREMENT note above). */
   def events(s: SparkSession, d: String): DataFrame = {
-    val dt = eventsTsType(s, d)
-    table(s, d, "events").withColumn("ts", normalizedTs(dt))
+    val path = s"$d/events.parquet"
+    eventsTsType(s, d) match {
+      case TimestampNTZType | TimestampType =>
+        val footer = s.read.parquet(path).schema
+        val forced = StructType(footer.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(forced).parquet(path)
+      case dt => // nanos-as-long (or unsupported → normalizedTs throws)
+        table(s, d, "events").withColumn("ts", normalizedTs(dt))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

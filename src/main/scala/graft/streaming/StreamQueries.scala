@@ -38,22 +38,38 @@ object StreamQueries {
     * probe the batch reader uses makes batch/stream divergence
     * impossible, and `Tables.normalizedTs` throws loudly on any
     * encoding neither reader understands. */
-  def eventsSchema(spark: SparkSession, dir: String): StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", graft.sources.Tables.eventsTsType(spark, dir)),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    // micros encodings (NTZ or instant) are requested directly as
+    // TimestampType — same int64 micros in the vectors, but ts stays a
+    // source attribute (no post-scan cast), mirroring Tables.events'
+    // pushdown-preserving batch read; nanos-as-long keeps LongType and
+    // is floored after the scan. Unsupported encodings throw here via
+    // normalizedTs before any query is built.
+    val probed = graft.sources.Tables.eventsTsType(spark, dir)
+    val tsField = probed match {
+      case TimestampNTZType | TimestampType => TimestampType
+      case dt => graft.sources.Tables.normalizedTs(dt); dt
+    }
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsField),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** Streaming events source (file-based stand-in for the Kafka topic). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val tsType = graft.sources.Tables.eventsTsType(spark, dir)
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
-    spark.readStream.schema(eventsSchema(spark, dir))
+    val src = spark.readStream.schema(eventsSchema(spark, dir))
       .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", graft.sources.Tables.normalizedTs(tsType))
+    tsType match {
+      case TimestampNTZType | TimestampType => src // already TimestampType
+      case dt => src.withColumn("ts", graft.sources.Tables.normalizedTs(dt))
+    }
   }
 
   /** Scoped shuffle-partition override while a bounded streaming query

@@ -322,4 +322,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("events ts filter pushes down to the parquet scan (probe query prunes, not scans)") {
+    // the change-detection probe (`count(*) WHERE ts >= last-check`)
+    // must prune via row-group stats at 100 TB; requires ts to stay a
+    // SCAN ATTRIBUTE — the schema-adaptive reader requests micros
+    // encodings as TimestampType instead of casting after the scan,
+    // because a cast-derived ts would make the filter unpushable
+    val p = plan("p10_refresh_probe")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
+  }
 }
