@@ -22,11 +22,41 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  /** Pin the named columns to their canonical engine types regardless of
+    * the fixture's physical widths (fixture-drift hardening, the r9
+    * events lesson applied to the value columns: a double→decimal drift
+    * in a measure column would silently change every rendered aggregate;
+    * an int-width drift would change join/output schemas). When the
+    * fixture already matches — the normal case — every cast is
+    * `cast(x AS x.dataType)`, which `SimplifyCasts` removes before the
+    * pushdown rules run, so scans keep their PushedFilters/pruning
+    * (PlanSpec pins a01's pushed l_shipdate filter through this path).
+    * Canonicalizing to double also matches how the DuckDB oracle's
+    * pandas bridge surfaces drifted decimals (DECIMAL → float64), so
+    * engine and oracle stay in lockstep under drift. */
+  private def canonical(df: DataFrame, types: (String, String)*): DataFrame = {
+    val want = types.toMap
+    df.select(df.columns.map(c =>
+      want.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "lineitem"),
+      "l_orderkey" -> "long", "l_partkey" -> "long", "l_suppkey" -> "long",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double")
+  def orders(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "orders"),
+      "o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double")
+  def customer(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "customer"),
+      "c_custkey" -> "long", "c_acctbal" -> "double")
+  def supplier(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "supplier"),
+      "s_suppkey" -> "long", "s_acctbal" -> "double")
+  def part(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "part"),
+      "p_partkey" -> "long", "p_retailprice" -> "double")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** events.ts has shipped under more than one parquet encoding across
@@ -100,7 +130,7 @@ object Tables {
     * pins (see the SESSION REQUIREMENT note above). */
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    eventsTsType(s, d) match {
+    val read = eventsTsType(s, d) match {
       case TimestampNTZType | TimestampType =>
         val footer = s.read.parquet(path).schema
         val forced = StructType(footer.map(f =>
@@ -109,7 +139,13 @@ object Tables {
       case dt => // nanos-as-long (or unsupported → normalizedTs throws)
         table(s, d, "events").withColumn("ts", normalizedTs(dt))
     }
+    canonical(read,
+      "event_id" -> "long", "user_id" -> "long", "value" -> "double")
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "documents"),
+      "doc_id" -> "long", "n_chars" -> "long")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "embeddings"),
+      "vec_id" -> "long", "embedding" -> "array<float>")
 }

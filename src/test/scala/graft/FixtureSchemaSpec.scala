@@ -123,6 +123,21 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(eStream.getMessage.contains("unsupported parquet encoding"))
   }
 
+  test("TPC-H value columns canonicalize under width drift (decimal measures, int32 keys)") {
+    // a drifted generation: int32 keys, DECIMAL(12,2) measures — the
+    // canonical casts must restore long/double so aggregates render
+    // identically to the current-generation fixtures
+    val dir = TempDirs.create("fixture-lineitem-drift")
+    Seq((1, BigDecimal("1.50"), "A"), (2, BigDecimal("2.25"), "A"))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = Tables.lineitem(spark, dir)
+    assert(li.schema("l_orderkey").dataType === LongType)
+    assert(li.schema("l_quantity").dataType === DoubleType)
+    val s = li.agg(sum(col("l_quantity")).as("q")).as[Double].collect()(0)
+    assert(s === 3.75)
+  }
+
   test("documents/embeddings stream schemas are footer-derived and width-drift tolerant") {
     // write a documents fixture with DRIFTED physical widths (int32
     // doc_id/n_chars) — the footer-derived stream schema must read it
