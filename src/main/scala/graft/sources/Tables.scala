@@ -44,10 +44,15 @@ object Tables {
     canonical(table(s, d, "lineitem"),
       "l_orderkey" -> "long", "l_partkey" -> "long", "l_suppkey" -> "long",
       "l_quantity" -> "double", "l_extendedprice" -> "double",
-      "l_discount" -> "double", "l_tax" -> "double")
+      "l_discount" -> "double", "l_tax" -> "double",
+      // timestamp→timestamp is a removed no-op today; a generation that
+      // flips these to DATE keeps today's midnight-UTC semantics (and
+      // DuckDB's DATE→TIMESTAMP coercion matches)
+      "l_shipdate" -> "timestamp")
   def orders(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "orders"),
-      "o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double")
+      "o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp")
   def customer(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "customer"),
       "c_custkey" -> "long", "c_acctbal" -> "double")
@@ -82,16 +87,20 @@ object Tables {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Footer-probed Spark type of events.ts at `d` — a driver-side footer
-    * read (no job), cached per path because every `events` call during a
-    * 161-query bench run would otherwise re-list and re-read footers. */
-  private val tsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  /** Footer-derived schema of a parquet path — a driver-side footer
+    * read (no job), cached per path because every reader call during a
+    * 161-query bench run would otherwise re-list and re-read footers.
+    * Fixture files are immutable within a run; tests that write their
+    * own fixtures use fresh temp dirs, so paths never alias. */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def footerSchema(s: SparkSession, path: String): StructType =
+    footerCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
 
   def eventsTsType(s: SparkSession, d: String): DataType = {
-    ensureNanosAsLong(s)
-    tsTypeCache.computeIfAbsent(s"$d/events.parquet",
-      p => s.read.parquet(p).schema("ts").dataType)
+    ensureNanosAsLong(s) // must precede the probe: NANOS footers throw without it
+    footerSchema(s, s"$d/events.parquet")("ts").dataType
   }
 
   /** Normalize the probed ts encoding to a session-TZ TimestampType (µs)
@@ -132,8 +141,7 @@ object Tables {
     val path = s"$d/events.parquet"
     val read = eventsTsType(s, d) match {
       case TimestampNTZType | TimestampType =>
-        val footer = s.read.parquet(path).schema
-        val forced = StructType(footer.map(f =>
+        val forced = StructType(footerSchema(s, path).map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
         s.read.schema(forced).parquet(path)
       case dt => // nanos-as-long (or unsupported → normalizedTs throws)

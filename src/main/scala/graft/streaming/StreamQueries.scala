@@ -197,7 +197,7 @@ object StreamQueries {
     * aggregate types. */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .schema(graft.sources.Tables.footerSchema(spark, s"$dir/documents.parquet"))
       .parquet(s"$dir/[d]ocuments.parquet")
       .select(col("doc_id").cast("long"), col("text").cast("string"),
         col("lang").cast("string"), col("source").cast("string"),
@@ -207,7 +207,7 @@ object StreamQueries {
     * footer-derived schema per documentsStream). */
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .schema(graft.sources.Tables.footerSchema(spark, s"$dir/embeddings.parquet"))
       .parquet(s"$dir/[e]mbeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
 
