@@ -103,26 +103,64 @@ object Tables {
     footerSchema(s, s"$d/events.parquet")("ts").dataType
   }
 
+  /** Epoch unit of a RAW int64 ts column, inferred by magnitude: a bare
+    * INT64 carries no unit annotation, and assuming one is the r9
+    * silent-corruption mode waiting to recur (micros interpreted as
+    * nanos → every event lands in January 1970). Epoch magnitudes are
+    * separated by ~10³ per unit, so for any era in 1973–2200 the unit
+    * is unambiguous from a single non-zero value:
+    *   seconds ~1e9 · millis ~1e12 · micros ~1e15 · nanos ~1e18.
+    * Probes ≤4096 non-zero rows ONCE per path (first row group of one
+    * file even on a 100 TB table; cached like the footer probe) and
+    * fails LOUDLY when nothing non-zero exists to infer from. */
+  private val epochUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def epochUnit(s: SparkSession, path: String): String =
+    epochUnitCache.computeIfAbsent(path, { p =>
+      val row = s.read.parquet(p)
+        .where(col("ts").isNotNull && col("ts") =!= 0L)
+        .select(col("ts")).limit(4096)
+        .agg(max(abs(col("ts")))).collect()(0)
+      val m = if (row.isNullAt(0)) None else Some(row.getLong(0))
+      m match {
+        case Some(v) if v >= 5e16.toLong => "ns"
+        case Some(v) if v >= 5e13.toLong => "us"
+        case Some(v) if v >= 5e10.toLong => "ms"
+        case Some(v) if v >= 1e8.toLong  => "s"
+        case other => throw new IllegalStateException(
+          s"cannot infer epoch unit of raw INT64 events.ts at $p " +
+            s"(sampled max |ts| = $other): no non-zero value in range — " +
+            "refusing to guess a divisor (the silent-1970-collapse mode)")
+      }
+    })
+
   /** Normalize the probed ts encoding to a session-TZ TimestampType (µs)
     * column. All supported encodings converge here so every downstream
     * plan (windows, sessionization, stream-stream joins, date_format
     * oracles) sees one canonical type:
-    *  - LongType: nanos-since-epoch (TIMESTAMP(NANOS) under the legacy
-    *    conf, or a plain INT64 column) → integer `div` to micros — not
-    *    `/`, since ns-since-epoch exceeds double's 2^53 mantissa;
+    *  - LongType: raw epoch int64 (TIMESTAMP(NANOS) under the legacy
+    *    conf, or an unannotated INT64 column) — unit INFERRED per
+    *    [[epochUnit]], converted with integer ops only (`div`/`*`,
+    *    never `/`: ns-since-epoch exceeds double's 2^53 mantissa);
     *  - TimestampNTZType: naive micros; cast interprets the wall clock
     *    in the session TZ (UTC per GraftSession), matching how the
     *    TZ-naive DuckDB oracle reads the same file;
     *  - TimestampType: already instant-typed micros — pass through.
     * Anything else fails LOUDLY at plan time: an unknown encoding must
     * never reach the silent-wrong-answer mode r9 hit on the stream path. */
-  def normalizedTs(dt: DataType): Column = dt match {
-    case LongType           => timestamp_micros(expr("ts div 1000"))
+  def normalizedTs(s: SparkSession, path: String, dt: DataType): Column = dt match {
+    case LongType => epochUnit(s, path) match {
+      case "ns" => timestamp_micros(expr("ts div 1000"))
+      case "us" => timestamp_micros(col("ts"))
+      case "ms" => timestamp_micros(col("ts") * 1000L)
+      case _    => timestamp_micros(col("ts") * 1000000L)
+    }
     case TimestampNTZType   => col("ts").cast(TimestampType)
     case TimestampType      => col("ts")
     case other => throw new IllegalStateException(
       s"events.ts has unsupported parquet encoding $other; expected INT64 " +
-        "nanos-as-long, TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) — " +
+        "epoch, TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) — " +
         "extend Tables.normalizedTs for the new fixture encoding")
   }
 
@@ -144,8 +182,8 @@ object Tables {
         val forced = StructType(footerSchema(s, path).map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
         s.read.schema(forced).parquet(path)
-      case dt => // nanos-as-long (or unsupported → normalizedTs throws)
-        table(s, d, "events").withColumn("ts", normalizedTs(dt))
+      case dt => // raw epoch int64 (or unsupported → normalizedTs throws)
+        table(s, d, "events").withColumn("ts", normalizedTs(s, path, dt))
     }
     canonical(read,
       "event_id" -> "long", "user_id" -> "long", "value" -> "double")

@@ -48,7 +48,10 @@ object StreamQueries {
     val probed = graft.sources.Tables.eventsTsType(spark, dir)
     val tsField = probed match {
       case TimestampNTZType | TimestampType => TimestampType
-      case dt => graft.sources.Tables.normalizedTs(dt); dt
+      case dt =>
+        // validation only: throws on encodings neither reader supports
+        graft.sources.Tables.normalizedTs(spark, s"$dir/events.parquet", dt)
+        dt
     }
     StructType(Seq(
       StructField("event_id", LongType),
@@ -68,7 +71,8 @@ object StreamQueries {
       .parquet(s"$dir/[e]vents.parquet")
     tsType match {
       case TimestampNTZType | TimestampType => src // already TimestampType
-      case dt => src.withColumn("ts", graft.sources.Tables.normalizedTs(dt))
+      case dt => src.withColumn("ts",
+        graft.sources.Tables.normalizedTs(spark, s"$dir/events.parquet", dt))
     }
   }
 

@@ -47,6 +47,15 @@ class FixtureSchemaSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+  private def writeMicrosLong(dir: String): Unit =
+    logical.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def writeMillisLong(dir: String): Unit =
+    logical.map { case (id, us, u, t, v, p) => (id, us / 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
   private def writeNtzMicros(dir: String): Unit =
     logical.map { case (id, us, u, t, v, p) =>
       (id, microsToNtz(us), u, t, v, p)
@@ -89,6 +98,7 @@ class FixtureSchemaSpec extends AnyFunSuite {
   test("batch reader normalizes every supported ts encoding to the same instants") {
     val encodings = Seq[(String, String => Unit)](
       ("nanos-long", writeNanosLong),
+      ("micros-long", writeMicrosLong), // raw INT64 micros — unit sniffed
       ("ntz-micros", writeNtzMicros),
       ("instant-micros", writeInstantMicros))
     for ((name, write) <- encodings) {
@@ -101,14 +111,36 @@ class FixtureSchemaSpec extends AnyFunSuite {
     }
   }
 
-  test("stream reader derives its schema from the footer probe — parity under both fixture encodings") {
+  test("stream reader derives its schema from the footer probe — parity under every fixture encoding") {
     for ((name, write) <- Seq[(String, String => Unit)](
-        ("nanos-long", writeNanosLong), ("ntz-micros", writeNtzMicros))) {
+        ("nanos-long", writeNanosLong), ("micros-long", writeMicrosLong),
+        ("ntz-micros", writeNtzMicros))) {
       val dir = TempDirs.create(s"fixture-stream-$name")
       write(dir)
       assert(streamRows(dir) === expected, s"encoding $name")
       assert(streamRows(dir) === batchRows(dir), s"batch/stream parity, $name")
     }
+  }
+
+  test("millis-as-long is sniffed and scaled up (sub-milli precision honestly absent)") {
+    val dir = TempDirs.create("fixture-enc-millis")
+    writeMillisLong(dir)
+    val expectMs = Set( // event 3's .456789 truncates to .456000 at source
+      (1L, "1970-01-01 00:00:00.000000"),
+      (2L, "2023-11-14 22:13:20.000000"),
+      (3L, "2023-11-14 22:15:23.456000"),
+      (4L, "2023-11-15 22:13:20.000000"))
+    assert(batchRows(dir) === expectMs)
+  }
+
+  test("an all-zero raw INT64 ts refuses to guess a unit — loud, never a silent divisor") {
+    val dir = TempDirs.create("fixture-enc-zero")
+    logical.map { case (id, _, u, t, v, p) => (id, 0L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](
+      Tables.events(spark, dir).collect())
+    assert(e.getMessage.contains("cannot infer epoch unit"))
   }
 
   test("an unsupported ts encoding fails loudly at plan time, batch and stream") {

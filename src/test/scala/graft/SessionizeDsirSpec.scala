@@ -28,8 +28,12 @@ class SessionizeDsirSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val dir = TempDirs.create("a34-fixture")
-    // ts written as plain long nanos — Tables.events floors to micros
-    def ns(sec: Long): Long = sec * 1000000000L
+    // ts written as plain long nanos on an era-realistic 2023 base —
+    // Tables.events infers the epoch UNIT from magnitude (a 1970-era
+    // nanos value is indistinguishable from 2023-era millis), so
+    // synthetic fixtures must live in a real era like the driver's do
+    val base = 1700000000L // 2023-11-14 22:13:20 UTC, in seconds
+    def ns(sec: Long): Long = (base + sec) * 1000000000L
     Seq(
       (1L, ns(0), 1L, "view", 0.0, "{}"),
       (2L, ns(2000), 1L, "view", 0.0, "{}"), // tie: 2000 s gap > 1800
@@ -44,9 +48,9 @@ class SessionizeDsirSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(out === Set(
-      (1L, 1L, 1L, 0L, 0L), // lone first event
-      (1L, 2L, 3L, 2000L, 500L), // both tie rows + the 2500 s follower
-      (2L, 1L, 1L, 100L, 0L)))
+      (1L, 1L, 1L, base + 0L, 0L), // lone first event
+      (1L, 2L, 3L, base + 2000L, 500L), // both tie rows + the 2500 s follower
+      (2L, 1L, 1L, base + 100L, 0L)))
   }
 
   test("n60: target-token docs outscore never-in-target docs") {
