@@ -186,11 +186,13 @@ object Tables {
         table(s, d, "events").withColumn("ts", normalizedTs(s, path, dt))
     }
     canonical(read,
-      "event_id" -> "long", "user_id" -> "long", "value" -> "double")
+      "event_id" -> "long", "user_id" -> "long", "value" -> "double",
+      "event_type" -> "string", "props" -> "string")
   }
   def documents(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "documents"),
-      "doc_id" -> "long", "n_chars" -> "long")
+      "doc_id" -> "long", "n_chars" -> "long",
+      "text" -> "string", "lang" -> "string", "source" -> "string")
   def embeddings(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "embeddings"),
       "vec_id" -> "long", "embedding" -> "array<float>")
