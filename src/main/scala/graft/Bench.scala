@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // a warm sbt daemon JVM can span a fixture regeneration: drop every
+    // source-probe cache so THIS run re-probes footers/epoch units
+    graft.sources.Tables.clearCaches()
     // untimed warmup: touch every table once so parquet footer reads,
     // codegen and JIT don't land on whichever query happens to run
     // first; one broadcast join and one micro-batch query warm the

@@ -11,6 +11,9 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // a warm sbt daemon JVM can span a fixture regeneration: drop every
+    // source-probe cache so THIS run re-probes footers/epoch units
+    graft.sources.Tables.clearCaches()
     // self-describing run: the effective pair-sample setting is frozen at
     // SparkEntry init, so print what THIS JVM actually resolved (a warm
     // sbt daemon keeps its launch-time env — see scripts/verify_all.sh)

@@ -87,20 +87,93 @@ object Tables {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Data files of a fixture path: the path itself when it is a bare
+    * parquet file, else the non-hidden files inside it (part files as
+    * Spark and other producers write them; `_SUCCESS`/`.crc` skipped).
+    * A driver-side metadata listing, no job. */
+  private def dataFiles(
+      s: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(hp)
+    if (st.isFile) Seq(st)
+    else fs.listStatus(hp).toSeq.filter(f => f.isFile && {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+  }
+
+  /** Content signature of a fixture path: every data file's
+    * (name, length, mtime). Probe caches are keyed by `path#signature`
+    * instead of path alone so a long-lived JVM (warm `sbt -client`
+    * daemon, notebook session) that spans a fixture REGENERATION
+    * re-probes instead of reusing a stale encoding — a stale ts-unit
+    * cache entry is exactly the silent-1000×-collapse mode the probe
+    * layer exists to prevent (ADVICE r10). The listing is a driver
+    * metadata op per reader call; a production deployment over an
+    * object store would pin immutable input paths instead and make the
+    * signature a constant. */
+  private def signature(
+      files: Seq[org.apache.hadoop.fs.FileStatus]): String =
+    files.map(f => s"${f.getPath.getName}=${f.getLen}@${f.getModificationTime}")
+      .sorted.mkString("|")
+
+  private def cacheKey(s: SparkSession, path: String): String =
+    path + "#" + signature(dataFiles(s, path))
+
   /** Footer-derived schema of a parquet path — a driver-side footer
-    * read (no job), cached per path because every reader call during a
-    * 161-query bench run would otherwise re-list and re-read footers.
-    * Fixture files are immutable within a run; tests that write their
-    * own fixtures use fresh temp dirs, so paths never alias. */
+    * read (no job), cached by content signature because every reader
+    * call during a 161-query bench run would otherwise re-read footers. */
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   def footerSchema(s: SparkSession, path: String): StructType =
-    footerCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    footerCache.computeIfAbsent(cacheKey(s, path),
+      _ => s.read.parquet(path).schema)
 
+  /** Drop every probe cache. Bench/Verify call this at run start as a
+    * belt-and-braces second line behind the signature keys: a fresh run
+    * always re-probes even if a filesystem reports coarse mtimes. */
+  def clearCaches(): Unit = {
+    footerCache.clear()
+    epochUnitCache.clear()
+    fileTsCache.clear()
+  }
+
+  /** Per-FILE ts encodings of an events path: (file name, footer ts
+    * type) for every data file, not one merged footer. One parquet
+    * directory accumulated across producer generations can mix
+    * INT64-epoch and TIMESTAMP(micros) files (at 100 TB you never
+    * control every writer's upgrade schedule); a single-footer probe
+    * would describe whichever file the listing returned first and
+    * silently misread the rest. Cached by content signature like the
+    * other probes; cost is one driver-side footer read per file, paid
+    * once per distinct fixture state. */
+  private val fileTsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, DataType)]]()
+
+  def eventsTsEncodings(s: SparkSession, d: String): Seq[(String, DataType)] = {
+    ensureNanosAsLong(s) // must precede the probes: NANOS footers throw without it
+    val path = s"$d/events.parquet"
+    val files = dataFiles(s, path)
+    fileTsCache.computeIfAbsent(path + "#" + signature(files), _ =>
+      files.map(f => f.getPath.getName ->
+        s.read.parquet(f.getPath.toString).schema("ts").dataType))
+  }
+
+  /** The SINGLE ts encoding of an events path. Throws loudly — naming
+    * the files per encoding — when the path mixes generations; callers
+    * that can handle the mixed case ([[events]], eventsStream) branch
+    * on [[eventsTsEncodings]] before calling this. */
   def eventsTsType(s: SparkSession, d: String): DataType = {
-    ensureNanosAsLong(s) // must precede the probe: NANOS footers throw without it
-    footerSchema(s, s"$d/events.parquet")("ts").dataType
+    val encs = eventsTsEncodings(s, d)
+    val distinct = encs.map(_._2).distinct
+    if (distinct.size != 1) throw new IllegalStateException(
+      s"events at $d/events.parquet mixes ts encodings across files: " +
+        encs.groupBy(_._2).map { case (t, fs) =>
+          s"$t=[${fs.map(_._1).sorted.mkString(",")}]" }.mkString("; ") +
+        " — this caller requires one encoding per path")
+    distinct.head
   }
 
   /** Epoch unit of a RAW int64 ts column, inferred by magnitude: a bare
@@ -116,22 +189,36 @@ object Tables {
   private val epochUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Magnitude band → unit, or None outside every band. */
+  private def unitOf(v: Long): Option[String] =
+    if (v >= 5e16.toLong) Some("ns")
+    else if (v >= 5e13.toLong) Some("us")
+    else if (v >= 5e10.toLong) Some("ms")
+    else if (v >= 1e8.toLong) Some("s")
+    else None
+
   private def epochUnit(s: SparkSession, path: String): String =
-    epochUnitCache.computeIfAbsent(path, { p =>
-      val row = s.read.parquet(p)
+    epochUnitCache.computeIfAbsent(cacheKey(s, path), { _ =>
+      val row = s.read.parquet(path)
         .where(col("ts").isNotNull && col("ts") =!= 0L)
         .select(col("ts")).limit(4096)
-        .agg(max(abs(col("ts")))).collect()(0)
-      val m = if (row.isNullAt(0)) None else Some(row.getLong(0))
-      m match {
-        case Some(v) if v >= 5e16.toLong => "ns"
-        case Some(v) if v >= 5e13.toLong => "us"
-        case Some(v) if v >= 5e10.toLong => "ms"
-        case Some(v) if v >= 1e8.toLong  => "s"
-        case other => throw new IllegalStateException(
-          s"cannot infer epoch unit of raw INT64 events.ts at $p " +
-            s"(sampled max |ts| = $other): no non-zero value in range — " +
-            "refusing to guess a divisor (the silent-1970-collapse mode)")
+        .agg(max(abs(col("ts"))), min(abs(col("ts")))).collect()(0)
+      if (row.isNullAt(0)) throw new IllegalStateException(
+        s"cannot infer epoch unit of raw INT64 events.ts at $path " +
+          "(no non-zero sampled value): refusing to guess a divisor " +
+          "(the silent-1970-collapse mode)")
+      val (maxV, minV) = (row.getLong(0), row.getLong(1))
+      // min AND max must land in the same band: the bands are ~10³ wide
+      // (any era 1973–3553 stays inside one), so a sample whose extremes
+      // straddle bands means mixed units or near-epoch data — a silent
+      // rescale either way; fail loudly instead (ADVICE r10)
+      (unitOf(maxV), unitOf(minV)) match {
+        case (Some(u1), Some(u2)) if u1 == u2 => u1
+        case (u1, u2) => throw new IllegalStateException(
+          s"cannot infer epoch unit of raw INT64 events.ts at $path: " +
+            s"sampled |ts| extremes $minV ($u2) and $maxV ($u1) imply " +
+            "different units — mixed-unit or near-epoch data; refusing " +
+            "to rescale silently")
       }
     })
 
@@ -151,7 +238,14 @@ object Tables {
     * never reach the silent-wrong-answer mode r9 hit on the stream path. */
   def normalizedTs(s: SparkSession, path: String, dt: DataType): Column = dt match {
     case LongType => epochUnit(s, path) match {
-      case "ns" => timestamp_micros(expr("ts div 1000"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-1970 nanos instant must round down to the earlier micro,
+      // matching Math.floorDiv and how a micros-native file renders the
+      // same instant (ADVICE r10). pmod's result is always in [0,1000),
+      // so ts - pmod(ts,1000) is the floor multiple for either sign,
+      // and the integer `div` after it is exact (ns magnitudes exceed
+      // double's 2^53 mantissa — never use `/` here).
+      case "ns" => timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L"))
       case "us" => timestamp_micros(col("ts"))
       case "ms" => timestamp_micros(col("ts") * 1000L)
       case _    => timestamp_micros(col("ts") * 1000000L)
@@ -175,9 +269,117 @@ object Tables {
     * PlanSpec. Reading naive micros as instant micros equals
     * `cast(ntz AS timestamp)` ONLY under the UTC session this library
     * pins (see the SESSION REQUIREMENT note above). */
+  /** Per-file epoch unit map of a MIXED-encoding events path: raw
+    * INT64 files get a magnitude-inferred unit ([[epochUnit]] per
+    * file); annotated micros files (NTZ or instant) read RAW as micros
+    * under a forced INT64 schema, so their unit is "us". Any file with
+    * an encoding outside the supported set fails loudly BY NAME — a
+    * mixed directory must never silently merge (the multi-generation
+    * variant of the r9 lesson). */
+  /** PHYSICAL parquet type of a file's ts column ("INT64", "INT96",
+    * ...). The Spark footer probe reports only the logical type, and
+    * TimestampType can sit over either physical encoding; the mixed
+    * reader's forced raw-INT64 read is only sound over INT64. One
+    * driver-side footer open per file, mixed branch only. */
+  private def tsPhysical(s: SparkSession, file: String): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), s.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getPrimitiveTypeName.name()
+    } finally r.close()
+  }
+
+  private def mixedUnits(s: SparkSession, path: String,
+      encs: Seq[(String, DataType)]): Map[String, String] = {
+    val bad = encs.filter { case (_, dt) =>
+      dt != LongType && dt != TimestampNTZType && dt != TimestampType }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"events at $path mixes ts encodings and file(s) " +
+        bad.map { case (n, t) => s"$n ($t)" }.mkString(", ") +
+        " carry unsupported encodings — expected INT64 epoch, " +
+        "TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) per file")
+    val int96 = encs.collect {
+      case (name, dt) if dt != LongType &&
+        tsPhysical(s, s"$path/$name") == "INT96" => name
+    }
+    if (int96.nonEmpty) throw new IllegalStateException(
+      s"events at $path mixes ts encodings and file(s) " +
+        int96.sorted.mkString(", ") +
+        " store timestamps as legacy parquet INT96, which cannot join a " +
+        "per-file raw-INT64 normalization — rewrite those files with " +
+        "outputTimestampType=TIMESTAMP_MICROS or split generations into " +
+        "separate paths")
+    encs.map {
+      case (name, LongType) => name -> epochUnit(s, s"$path/$name")
+      case (name, _)        => name -> "us" // annotated INT64 micros, read raw
+    }.toMap
+  }
+
+  /** (forced read schema with ts as raw INT64, file→unit map) for a
+    * mixed-encoding events path — shared by the batch reader and
+    * `StreamQueries.eventsStream` so both generations-mixed reads
+    * normalize IDENTICALLY (batch/stream parity by construction, as in
+    * the single-encoding design). Every supported encoding is
+    * physically INT64, so forcing LongType reads each file's raw
+    * value; non-ts fields come from one sampled footer — a non-ts
+    * width drift across generations fails the scan loudly
+    * (SchemaColumnConvertNotSupported), never silently. */
+  private[graft] def mixedReadPlan(
+      s: SparkSession, d: String): (StructType, Map[String, String]) = {
+    val path = s"$d/events.parquet"
+    val units = mixedUnits(s, path, eventsTsEncodings(s, d))
+    val forced = StructType(footerSchema(s, path).map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    (forced, units)
+  }
+
+  /** Normalize the raw-INT64 ts of a mixed-generation read to micros
+    * instants, choosing the divisor PER ROW from the probed per-file
+    * unit map via `_metadata.file_name`. Integer ops only (floor
+    * semantics as in [[normalizedTs]]); a file that appears at scan
+    * time but was never probed raises instead of yielding nulls. */
+  private[graft] def normalizeMixedTs(
+      df: DataFrame, units: Map[String, String]): DataFrame = {
+    val unitMap = map(
+      units.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("__ts_file", col("_metadata.file_name"))
+      .withColumn("__ts_unit", element_at(unitMap, col("__ts_file")))
+      .withColumn("ts", timestamp_micros(expr(
+        """CASE __ts_unit
+             WHEN 'ns' THEN (ts - pmod(ts, 1000L)) div 1000L
+             WHEN 'us' THEN ts
+             WHEN 'ms' THEN ts * 1000L
+             WHEN 's'  THEN ts * 1000000L
+             ELSE cast(raise_error(concat(
+               'events file not covered by the ts probe: ',
+               coalesce(__ts_file, '?'))) as bigint)
+           END""")))
+      .drop("__ts_unit", "__ts_file")
+  }
+
+  /** Canonical value-column types of the events table — shared by the
+    * batch reader and eventsStream so a width/decimal drift in a
+    * non-ts column can never diverge batch from stream (ADVICE r10:
+    * the "divergence impossible" claim previously held only for ts). */
+  private[graft] def canonicalEvents(df: DataFrame): DataFrame =
+    canonical(df,
+      "event_id" -> "long", "user_id" -> "long", "value" -> "double",
+      "event_type" -> "string", "props" -> "string")
+
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val read = eventsTsType(s, d) match {
+    val encs = eventsTsEncodings(s, d)
+    val read = if (encs.map(_._2).distinct.size > 1) {
+      // multi-generation directory: normalize per file. ts becomes a
+      // derived column, so row-group pruning on it is lost — the price
+      // of mixed generations; compact or split per-generation paths to
+      // get the pushdown-preserving single-encoding read back.
+      val (forced, units) = mixedReadPlan(s, d)
+      normalizeMixedTs(s.read.schema(forced).parquet(path), units)
+    } else eventsTsType(s, d) match {
       case TimestampNTZType | TimestampType =>
         val forced = StructType(footerSchema(s, path).map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
@@ -185,9 +387,7 @@ object Tables {
       case dt => // raw epoch int64 (or unsupported → normalizedTs throws)
         table(s, d, "events").withColumn("ts", normalizedTs(s, path, dt))
     }
-    canonical(read,
-      "event_id" -> "long", "user_id" -> "long", "value" -> "double",
-      "event_type" -> "string", "props" -> "string")
+    canonicalEvents(read)
   }
   def documents(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "documents"),

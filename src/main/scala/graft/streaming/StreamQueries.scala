@@ -39,7 +39,10 @@ object StreamQueries {
     * impossible, and `Tables.normalizedTs` throws loudly on any
     * encoding neither reader understands. */
   def eventsSchema(spark: SparkSession, dir: String): StructType = {
-    // micros encodings (NTZ or instant) are requested directly as
+    // FULL schema footer-derived, not just ts (ADVICE r10: a static
+    // LongType/DoubleType for the value columns would fail the stream
+    // on an int32/decimal width drift that the batch reader tolerates).
+    // ts: micros encodings (NTZ or instant) are requested directly as
     // TimestampType — same int64 micros in the vectors, but ts stays a
     // source attribute (no post-scan cast), mirroring Tables.events'
     // pushdown-preserving batch read; nanos-as-long keeps LongType and
@@ -53,27 +56,38 @@ object StreamQueries {
         graft.sources.Tables.normalizedTs(spark, s"$dir/events.parquet", dt)
         dt
     }
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", tsField),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
+    val footer =
+      graft.sources.Tables.footerSchema(spark, s"$dir/events.parquet")
+    StructType(footer.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsField) else f))
   }
 
-  /** Streaming events source (file-based stand-in for the Kafka topic). */
+  /** Streaming events source (file-based stand-in for the Kafka topic).
+    * Batch/stream parity by construction under every supported fixture
+    * encoding — single-generation AND mixed-generation directories: the
+    * schema, the per-file unit map and the canonical value casts all
+    * come from the same `Tables` probes the batch reader uses. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = graft.sources.Tables.eventsTsType(spark, dir)
+    import graft.sources.Tables
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
-    val src = spark.readStream.schema(eventsSchema(spark, dir))
-      .parquet(s"$dir/[e]vents.parquet")
-    tsType match {
-      case TimestampNTZType | TimestampType => src // already TimestampType
-      case dt => src.withColumn("ts",
-        graft.sources.Tables.normalizedTs(spark, s"$dir/events.parquet", dt))
+    val glob = s"$dir/[e]vents.parquet"
+    val encs = Tables.eventsTsEncodings(spark, dir)
+    val src = if (encs.map(_._2).distinct.size > 1) {
+      // multi-generation directory: read ts raw and normalize per file,
+      // exactly as the batch reader does (same forced schema + unit map)
+      val (forced, units) = Tables.mixedReadPlan(spark, dir)
+      Tables.normalizeMixedTs(
+        spark.readStream.schema(forced).parquet(glob), units)
+    } else {
+      val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(glob)
+      Tables.eventsTsType(spark, dir) match {
+        case TimestampNTZType | TimestampType => raw // already TimestampType
+        case dt => raw.withColumn("ts",
+          Tables.normalizedTs(spark, s"$dir/events.parquet", dt))
+      }
     }
+    Tables.canonicalEvents(src)
   }
 
   /** Scoped shuffle-partition override while a bounded streaming query

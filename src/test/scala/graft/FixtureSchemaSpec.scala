@@ -170,6 +170,196 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(s === 3.75)
   }
 
+  private def fmtMicros(us: Long): String =
+    LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** Copy the part files of a spark-written parquet dir into `target`
+    * under generation-stamped names — builds one directory whose files
+    * span producer generations, the multi-writer accumulation shape a
+    * 100 TB table actually has. */
+  private def copyParts(srcDir: String, target: java.nio.file.Path,
+      prefix: String): Unit = {
+    java.nio.file.Files.createDirectories(target)
+    new java.io.File(srcDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, target.resolve(s"$prefix-$i.parquet"))
+      }
+  }
+
+  /** events 1-2 written by `writeOld` into one generation of files,
+    * events 3-4 by `writeNew` into another, both merged into a single
+    * `$dir/events.parquet` directory. */
+  private def writeTwoGenerations(dir: String,
+      writeOld: (String, Seq[(Long, Long, Long, String, Double, String)]) => Unit,
+      writeNew: (String, Seq[(Long, Long, Long, String, Double, String)]) => Unit): Unit = {
+    val (oldRows, newRows) = logical.partition(_._1 <= 2)
+    val (genA, genB) = (TempDirs.create("gen-a"), TempDirs.create("gen-b"))
+    writeOld(genA, oldRows)
+    writeNew(genB, newRows)
+    val target = java.nio.file.Paths.get(dir, "events.parquet")
+    copyParts(s"$genA/events.parquet", target, "gen-a")
+    copyParts(s"$genB/events.parquet", target, "gen-b")
+  }
+
+  private def genNanos(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+  private def genMillis(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.map { case (id, us, u, t, v, p) => (id, us / 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+  private def genNtz(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.map { case (id, us, u, t, v, p) => (id, microsToNtz(us), u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+  /** Instant-typed micros written as parquet INT64 (TIMESTAMP_MICROS) —
+    * the modern writer setting; Spark's default still writes legacy
+    * INT96, covered separately below. */
+  private def genInstant(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try genInstant96(d, rows) finally spark.conf.set(key, prev)
+  }
+  private def genInstant96(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.map { case (id, us, u, t, v, p) =>
+      (id, java.time.Instant.EPOCH.plusNanos(us * 1000L), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+  private def genStringTs(d: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+    rows.map { case (id, us, u, t, v, p) => (id, us.toString, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+  test("a directory mixing ts generations normalizes per file — batch AND stream, never silent merge") {
+    // two drift shapes: raw INT64 nanos alongside annotated NTZ micros
+    // (the r9 pair), and raw INT64 millis alongside instant micros
+    // (covers the multiplier path; sub-milli events 3-4 live in the
+    // micros generation, so full precision survives)
+    val combos = Seq(
+      ("nanos+ntz", genNanos _, genNtz _),
+      ("millis+instant", genMillis _, genInstant _))
+    for ((name, old, neu) <- combos) {
+      val dir = TempDirs.create(s"fixture-mixed-$name")
+      writeTwoGenerations(dir, old, neu)
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType, name)
+      assert(batchRows(dir) === expected, s"batch, $name")
+      assert(streamRows(dir) === expected, s"stream, $name")
+    }
+  }
+
+  test("a mixed directory with a legacy INT96 generation fails loudly naming the file") {
+    // INT96 has no raw-INT64 read, so it cannot join a per-file
+    // normalization — the reader must say so BY NAME, not throw a
+    // mid-scan type mismatch from deep inside the parquet reader
+    val dir = TempDirs.create("fixture-mixed-int96")
+    writeTwoGenerations(dir, genNanos _, genInstant96 _)
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("INT96"), e.getMessage)
+    assert(e.getMessage.contains("gen-b-0.parquet"), e.getMessage)
+  }
+
+  test("a mixed directory with an unsupported generation fails loudly NAMING the file, batch and stream") {
+    val dir = TempDirs.create("fixture-mixed-bad")
+    writeTwoGenerations(dir, genNanos _, genStringTs _)
+    val eBatch = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(eBatch.getMessage.contains("unsupported"))
+    assert(eBatch.getMessage.contains("gen-b-0.parquet"),
+      s"must name the offending file: ${eBatch.getMessage}")
+    val eStream =
+      intercept[IllegalStateException](StreamQueries.eventsStream(spark, dir))
+    assert(eStream.getMessage.contains("gen-b-0.parquet"))
+  }
+
+  test("probe caches invalidate when a fixture path is regenerated in place (warm-JVM safety)") {
+    // the ADVICE r10 scenario: a long-lived JVM (warm sbt daemon) spans
+    // a driver fixture regeneration that flips the ts encoding. A
+    // path-keyed cache would reuse the nanos unit and floor the new
+    // micros by 1000 on the stream path — the silent r9 collapse.
+    val dir = TempDirs.create("fixture-regen")
+    writeNanosLong(dir)
+    assert(batchRows(dir) === expected)
+    assert(streamRows(dir) === expected) // populates footer+unit caches
+    writeNtzMicros(dir)                  // regeneration flips the encoding
+    assert(Tables.events(spark, dir).schema("ts").dataType === TimestampType)
+    assert(batchRows(dir) === expected, "stale footer cache after regen")
+    assert(streamRows(dir) === expected, "stale stream schema after regen")
+  }
+
+  test("raw INT64 whose sampled extremes imply different units fails loudly (mixed-unit/near-epoch)") {
+    val dir = TempDirs.create("fixture-enc-straddle")
+    // 5 (near-epoch, no band) alongside 2023-era micros: any silent
+    // choice rescales one of them — must refuse instead
+    Seq((1L, 5L, 1L, "view", 1.0, "{}"),
+        (2L, 1700000000000000L, 1L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir).collect())
+    assert(e.getMessage.contains("different units"))
+  }
+
+  test("pre-1970 nanos floor to the earlier micro, matching a micros-native read of the same instant") {
+    val dir = TempDirs.create("fixture-enc-negns")
+    // -59_999_999_999_999_999 ns (1968 era, inside the ns band, NOT
+    // divisible by 1000): truncation toward zero would yield
+    // -59_999_999_999_999 µs, one µs LATE vs the true instant
+    val negNs = -59999999999999999L
+    Seq((1L, negNs, 1L, "view", 1.0, "{}"),
+        (2L, 1700000000000000000L, 1L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = Set(
+      (1L, fmtMicros(Math.floorDiv(negNs, 1000L))),
+      (2L, fmtMicros(1700000000000000L)))
+    assert(batchRows(dir) === want)
+    assert(streamRows(dir) === want)
+  }
+
+  test("documents text shipped as un-annotated BINARY normalizes to string — batch and stream") {
+    val dir = TempDirs.create("fixture-docs-binary")
+    Seq((1L, "hello world".getBytes("UTF-8"), "en", "web", 11L),
+        (2L, "bonjour".getBytes("UTF-8"), "fr", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = Tables.documents(spark, dir)
+    assert(batch.schema("text").dataType === StringType)
+    assert(batch.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSet === Set((1L, "hello world"), (2L, "bonjour")))
+    val stream = StreamQueries.runToTable(spark,
+      StreamQueries.documentsStream(spark, dir), "append")
+    assert(stream.schema("text").dataType === StringType)
+    assert(stream.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSet === Set((1L, "hello world"), (2L, "bonjour")))
+  }
+
+  test("embeddings shipped as array<double> normalize to array<float> in the batch reader") {
+    val dir = TempDirs.create("fixture-emb-double")
+    Seq((1L, Seq(1.5, 2.5)), (2L, Seq(3.5, 4.5)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType === FloatType)
+    assert(emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSet ===
+      Set((1L, Seq(1.5, 2.5)), (2L, Seq(3.5, 4.5))))
+  }
+
+  test("an un-castable embedding encoding fails loudly at plan time, never a silent misread") {
+    val dir = TempDirs.create("fixture-emb-bad")
+    Seq((1L, "not a vector"), (2L, "also not"))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    intercept[org.apache.spark.sql.AnalysisException](
+      Tables.embeddings(spark, dir))
+  }
+
   test("documents/embeddings stream schemas are footer-derived and width-drift tolerant") {
     // write a documents fixture with DRIFTED physical widths (int32
     // doc_id/n_chars) — the footer-derived stream schema must read it
