@@ -197,30 +197,44 @@ object Tables {
     else if (v >= 1e8.toLong) Some("s")
     else None
 
-  private def epochUnit(s: SparkSession, path: String): String =
-    epochUnitCache.computeIfAbsent(cacheKey(s, path), { _ =>
+  /** None = the path holds NO non-zero ts at all (the where-then-limit
+    * sample exhausts the data before limiting, so an empty sample is
+    * proof, not sampling luck). Such data is unit-INDEPENDENT — every
+    * divisor maps 0→0 and null→null — which is why per-file callers may
+    * resolve it from sibling evidence instead of failing. */
+  private def epochUnitOpt(s: SparkSession, path: String): Option[String] = {
+    // "none" sentinel rather than null: CHM.computeIfAbsent records no
+    // entry for null, which would re-run the probe job on every call
+    val u = epochUnitCache.computeIfAbsent(cacheKey(s, path), { _ =>
       val row = s.read.parquet(path)
         .where(col("ts").isNotNull && col("ts") =!= 0L)
         .select(col("ts")).limit(4096)
         .agg(max(abs(col("ts"))), min(abs(col("ts")))).collect()(0)
-      if (row.isNullAt(0)) throw new IllegalStateException(
-        s"cannot infer epoch unit of raw INT64 events.ts at $path " +
-          "(no non-zero sampled value): refusing to guess a divisor " +
-          "(the silent-1970-collapse mode)")
-      val (maxV, minV) = (row.getLong(0), row.getLong(1))
-      // min AND max must land in the same band: the bands are ~10³ wide
-      // (any era 1973–3553 stays inside one), so a sample whose extremes
-      // straddle bands means mixed units or near-epoch data — a silent
-      // rescale either way; fail loudly instead (ADVICE r10)
-      (unitOf(maxV), unitOf(minV)) match {
-        case (Some(u1), Some(u2)) if u1 == u2 => u1
-        case (u1, u2) => throw new IllegalStateException(
-          s"cannot infer epoch unit of raw INT64 events.ts at $path: " +
-            s"sampled |ts| extremes $minV ($u2) and $maxV ($u1) imply " +
-            "different units — mixed-unit or near-epoch data; refusing " +
-            "to rescale silently")
+      if (row.isNullAt(0)) "none"
+      else {
+        val (maxV, minV) = (row.getLong(0), row.getLong(1))
+        // min AND max must land in the same band: the bands are ~10³
+        // wide (any era 1973–3553 stays inside one), so a sample whose
+        // extremes straddle bands means mixed units or near-epoch data
+        // — a silent rescale either way; fail loudly instead (ADVICE r10)
+        (unitOf(maxV), unitOf(minV)) match {
+          case (Some(u1), Some(u2)) if u1 == u2 => u1
+          case (u1, u2) => throw new IllegalStateException(
+            s"cannot infer epoch unit of raw INT64 events.ts at $path: " +
+              s"sampled |ts| extremes $minV ($u2) and $maxV ($u1) imply " +
+              "different units — mixed-unit or near-epoch data; refusing " +
+              "to rescale silently")
+        }
       }
     })
+    if (u == "none") None else Some(u)
+  }
+
+  private def epochUnit(s: SparkSession, path: String): String =
+    epochUnitOpt(s, path).getOrElse(throw new IllegalStateException(
+      s"cannot infer epoch unit of raw INT64 events.ts at $path " +
+        "(no non-zero sampled value): refusing to guess a divisor " +
+        "(the silent-1970-collapse mode)"))
 
   /** Normalize the probed ts encoding to a session-TZ TimestampType (µs)
     * column. All supported encodings converge here so every downstream
@@ -297,9 +311,9 @@ object Tables {
     val bad = encs.filter { case (_, dt) =>
       dt != LongType && dt != TimestampNTZType && dt != TimestampType }
     if (bad.nonEmpty) throw new IllegalStateException(
-      s"events at $path mixes ts encodings and file(s) " +
+      s"events at $path: file(s) " +
         bad.map { case (n, t) => s"$n ($t)" }.mkString(", ") +
-        " carry unsupported encodings — expected INT64 epoch, " +
+        " carry an unsupported parquet encoding — expected INT64 epoch, " +
         "TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) per file")
     val int96 = encs.collect {
       case (name, dt) if dt != LongType &&
@@ -312,9 +326,30 @@ object Tables {
         "per-file raw-INT64 normalization — rewrite those files with " +
         "outputTimestampType=TIMESTAMP_MICROS or split generations into " +
         "separate paths")
-    encs.map {
-      case (name, LongType) => name -> epochUnit(s, s"$path/$name")
-      case (name, _)        => name -> "us" // annotated INT64 micros, read raw
+    val probed = encs.map {
+      case (name, LongType) => name -> epochUnitOpt(s, s"$path/$name")
+      case (name, _) => name -> Some("us") // annotated INT64 micros, read raw
+    }
+    // a file with NO non-zero ts cannot self-infer — but it is also
+    // unit-INDEPENDENT (0→0, null→null under every divisor), so it may
+    // inherit the unit its inferable raw-INT64 siblings agree on; with
+    // no inferable sibling at all the whole-table loud contract applies
+    // (an events table with zero real instants is a broken fixture,
+    // not a unit question)
+    val siblingUnits = probed.collect {
+      case (n, Some(u)) if encs.toMap.apply(n) == LongType => u
+    }.distinct
+    probed.map {
+      case (name, Some(u)) => name -> u
+      case (name, None) => siblingUnits match {
+        case Seq(u) => name -> u
+        case _ => throw new IllegalStateException(
+          s"cannot infer epoch unit of raw INT64 events.ts in " +
+            s"$path/$name (no non-zero sampled value) and sibling files " +
+            s"give ${if (siblingUnits.isEmpty) "no" else "conflicting"} " +
+            "unit evidence: refusing to guess a divisor " +
+            "(the silent-1970-collapse mode)")
+      }
     }.toMap
   }
 

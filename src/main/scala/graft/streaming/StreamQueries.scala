@@ -72,20 +72,27 @@ object StreamQueries {
     // The file stream source requires a directory (or glob) path; `[e]`
     // makes the single-file path a glob whose base is the sf directory.
     val glob = s"$dir/[e]vents.parquet"
-    val encs = Tables.eventsTsEncodings(spark, dir)
-    val src = if (encs.map(_._2).distinct.size > 1) {
-      // multi-generation directory: read ts raw and normalize per file,
-      // exactly as the batch reader does (same forced schema + unit map)
+    val types = Tables.eventsTsEncodings(spark, dir).map(_._2).distinct
+    val src = if (types.size == 1 &&
+        (types.head == TimestampNTZType || types.head == TimestampType)) {
+      // all-micros path: forced TimestampType schema, ts stays a source
+      // attribute. A file of any OTHER encoding arriving mid-stream
+      // fails the scan loudly (parquet type-convert error) — no silent
+      // mode on this branch.
+      spark.readStream.schema(eventsSchema(spark, dir)).parquet(glob)
+    } else {
+      // any raw-INT64 generation present (single-unit or mixed): read
+      // ts raw and normalize per file via the probed unit map, exactly
+      // as the batch mixed reader. This branch deliberately uses the
+      // map even when every probed file shares one unit: a stream
+      // outlives its probe, and a later-arriving file under a frozen
+      // GLOBAL divisor would be silently rescaled if its encoding
+      // differed (the r9 collapse arriving mid-stream) — per-file
+      // lookup instead raises loudly on any file the probe never saw;
+      // restart the query to re-probe and admit it.
       val (forced, units) = Tables.mixedReadPlan(spark, dir)
       Tables.normalizeMixedTs(
         spark.readStream.schema(forced).parquet(glob), units)
-    } else {
-      val raw = spark.readStream.schema(eventsSchema(spark, dir)).parquet(glob)
-      Tables.eventsTsType(spark, dir) match {
-        case TimestampNTZType | TimestampType => raw // already TimestampType
-        case dt => raw.withColumn("ts",
-          Tables.normalizedTs(spark, s"$dir/events.parquet", dt))
-      }
     }
     Tables.canonicalEvents(src)
   }

@@ -321,6 +321,64 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(streamRows(dir) === want)
   }
 
+  /** Start a CONTINUOUS events stream on `dir`, drain the initial 4
+    * events, then let `addLate` drop a late-arriving file in and return
+    * the failure the next drain dies with. A stream outlives its
+    * encoding probe, so late files are where silent misreads would
+    * hide — the contract is a loud, named failure. */
+  private def midStreamDrift(dir: String)(addLate: => Unit): String = {
+    val df = StreamQueries.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-mid")
+    val name = s"graft_mid_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 4)
+      addLate
+      val e = intercept[Throwable](q.processAllAvailable())
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    } finally {
+      if (q.isActive) q.stop()
+      TempDirs.deleteRecursively(ckpt)
+    }
+  }
+
+  test("an unprobed generation arriving MID-STREAM fails loudly naming the file (mixed directory)") {
+    val dir = TempDirs.create("fixture-midstream-mixed")
+    writeTwoGenerations(dir, genNanos _, genNtz _)
+    val msg = midStreamDrift(dir) {
+      val genC = TempDirs.create("gen-c")
+      genMillis(genC, logical.map { case (id, us, u, t, v, p) =>
+        (id + 10, us, u, t, v, p) })
+      copyParts(s"$genC/events.parquet",
+        java.nio.file.Paths.get(dir, "events.parquet"), "gen-c")
+    }
+    assert(msg.contains("not covered by the ts probe"), msg)
+    assert(msg.contains("gen-c-0.parquet"), msg)
+  }
+
+  test("an NTZ file arriving mid-stream over a raw-nanos table fails loudly — the r9 silent mode, closed mid-stream") {
+    // the frozen-global-divisor failure shape: a pure INT64-nanos table
+    // streams with unit ns; an annotated-micros file arrives later. A
+    // global divisor would silently floor its micros by 1000 (January
+    // 1970 again); the per-file unit map raises on the unprobed name.
+    val dir = TempDirs.create("fixture-midstream-ns")
+    genNanos(dir, logical)
+    val msg = midStreamDrift(dir) {
+      val genB = TempDirs.create("late-ntz")
+      genNtz(genB, logical.map { case (id, us, u, t, v, p) =>
+        (id + 10, us, u, t, v, p) })
+      copyParts(s"$genB/events.parquet",
+        java.nio.file.Paths.get(dir, "events.parquet"), "late-ntz")
+    }
+    assert(msg.contains("not covered by the ts probe"), msg)
+    assert(msg.contains("late-ntz-0.parquet"), msg)
+  }
+
   test("documents text shipped as un-annotated BINARY normalizes to string — batch and stream") {
     val dir = TempDirs.create("fixture-docs-binary")
     Seq((1L, "hello world".getBytes("UTF-8"), "en", "web", 11L),
