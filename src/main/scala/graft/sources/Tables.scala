@@ -156,9 +156,23 @@ object Tables {
     ensureNanosAsLong(s) // must precede the probes: NANOS footers throw without it
     val path = s"$d/events.parquet"
     val files = dataFiles(s, path)
-    fileTsCache.computeIfAbsent(path + "#" + signature(files), _ =>
-      files.map(f => f.getPath.getName ->
-        s.read.parquet(f.getPath.toString).schema("ts").dataType))
+    fileTsCache.computeIfAbsent(path + "#" + signature(files), _ => {
+      // footer opens are independent driver-side IO: probe on a bounded
+      // pool — a 100 TB table's directory holds thousands of files, and
+      // serializing ~30 ms opens would turn a one-time probe into
+      // minutes of driver latency (schema inference itself is
+      // thread-safe; concurrent reads are a supported Spark pattern)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(files.map(f => Future(f.getPath.getName ->
+          s.read.parquet(f.getPath.toString).schema("ts").dataType))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    })
   }
 
   /** The SINGLE ts encoding of an events path. Throws loudly — naming
