@@ -438,6 +438,44 @@ object Tables {
     }
     canonicalEvents(read)
   }
+  /** Rewrite a (possibly multi-generation) events path into the
+    * canonical single-encoding layout: ts as parquet TIMESTAMP(micros)
+    * INSTANT — physically INT64 with usable row-group min/max stats,
+    * never legacy INT96 — and value columns at canonical engine types.
+    * This is the remedy the mixed-generation read path's scaladoc and
+    * error text name ("compact or split generations"): after the
+    * rewrite, [[events]] / `StreamQueries.eventsStream` on `dstDir`
+    * take the pushdown-preserving single-encoding branch again, so the
+    * one documented cost of a mixed directory (ts becomes a derived
+    * column, row-group pruning on it is lost) is recovered.
+    *
+    * Reads through [[events]], so every probe, per-file unit
+    * normalization and loud-failure contract applies to the input.
+    * Output file count is sized from input bytes (`ceil(bytes /
+    * targetFileBytes)`) via one round-robin repartition — at 100 TB
+    * this is the periodic compaction job a multi-writer ingest needs
+    * against small-file accumulation anyway (p26's operator twin),
+    * and the per-row normalization CASE parallelizes across it.
+    *
+    * `spark.sql.parquet.outputTimestampType` has no per-write option
+    * (verified against Spark's `ParquetOptions`), so it is set and
+    * restored around the write; run compaction from its own session
+    * when a shared driver has concurrent parquet writers. */
+  def compactEvents(s: SparkSession, srcDir: String, dstDir: String,
+      targetFileBytes: Long = 512L << 20): Unit = {
+    require(new org.apache.hadoop.fs.Path(srcDir) !=
+      new org.apache.hadoop.fs.Path(dstDir),
+      s"compactEvents cannot overwrite its own input path $srcDir")
+    val bytes = dataFiles(s, s"$srcDir/events.parquet").map(_.getLen).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try events(s, srcDir).repartition(parts)
+      .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+    finally s.conf.set(key, prev)
+  }
+
   def documents(s: SparkSession, d: String): DataFrame =
     canonical(table(s, d, "documents"),
       "doc_id" -> "long", "n_chars" -> "long",

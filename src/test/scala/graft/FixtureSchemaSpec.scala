@@ -292,6 +292,30 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(streamRows(dir) === expected, "stale stream schema after regen")
   }
 
+  test("compactEvents rewrites a mixed directory to one encoding; ts pushdown re-engages") {
+    val src = TempDirs.create("fixture-compact-src")
+    writeTwoGenerations(src, genNanos _, genNtz _)
+    val dst = TempDirs.create("fixture-compact-dst")
+    val prevConf = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    Tables.compactEvents(spark, src, dst)
+    // same instants, batch AND stream, through the normal readers
+    assert(batchRows(dst) === expected)
+    assert(streamRows(dst) === expected)
+    // single generation of instant-typed micros — the probe sees ONE
+    // encoding, so the pushdown-preserving branch engages (eventsTsType
+    // throws on any mixed path, its success IS the single-encoding pin)
+    assert(Tables.eventsTsType(spark, dst) === TimestampType)
+    // physically INT64 (never legacy INT96: no usable row-group stats),
+    // and the change-probe's ts filter reaches the scan again
+    val p = Tables.events(spark, dst)
+      .where(col("ts") >= "2023-11-14")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    assert(p.contains("PushedFilters"), p)
+    // and the session's writer conf was restored
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") === prevConf)
+  }
+
   test("raw INT64 whose sampled extremes imply different units fails loudly (mixed-unit/near-epoch)") {
     val dir = TempDirs.create("fixture-enc-straddle")
     // 5 (near-epoch, no band) alongside 2023-era micros: any silent
