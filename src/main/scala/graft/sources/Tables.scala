@@ -19,8 +19,23 @@ import org.apache.spark.sql.types._
   * user" is indistinguishable from "unset".
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Every fixture table reads under a FORCED widened union schema
+    * derived from per-file footers ([[widenedSchema]]) instead of
+    * whatever single footer Spark's no-merge inference happens to
+    * sample. On a single-generation path the forced schema equals the
+    * inferred one — byte-identical plans, pushdown intact. On a
+    * multi-generation path inference's pick is ORDER-DEPENDENT: if it
+    * samples the narrow generation (float embedding, int32 id), the
+    * wide generation's files fail mid-scan; sample the wide one and
+    * everything reads. The widened schema makes the outcome
+    * deterministic — always the widest member of each column's family,
+    * which Spark 4's vectorized reader serves from every narrower
+    * sibling (type-widening reads), with cross-family conflicts
+    * failing loudly at plan time naming the files. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(widenedSchema(spark, path)).parquet(path)
+  }
 
   /** Pin the named columns to their canonical engine types regardless of
     * the fixture's physical widths (fixture-drift hardening, the r9
@@ -121,47 +136,25 @@ object Tables {
   private def cacheKey(s: SparkSession, path: String): String =
     path + "#" + signature(dataFiles(s, path))
 
-  /** Footer-derived schema of a parquet path — a driver-side footer
-    * read (no job), cached by content signature because every reader
-    * call during a 161-query bench run would otherwise re-read footers. */
-  private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  /** Per-FILE footer schemas of a parquet path: (file name, schema)
+    * for every data file, not one sampled/merged footer. One directory
+    * accumulated across producer generations can mix physical widths
+    * and encodings (at 100 TB you never control every writer's upgrade
+    * schedule); a single-footer probe would describe whichever file
+    * the listing returned first and silently misdescribe the rest.
+    * Cached by content signature; cost is one driver-side footer read
+    * per file, paid once per distinct fixture state. Footer opens are
+    * independent driver-side IO, probed on a bounded pool — a 100 TB
+    * table's directory holds thousands of files, and serializing
+    * ~30 ms opens would turn a one-time probe into minutes of driver
+    * latency (schema inference is thread-safe; concurrent reads are a
+    * supported Spark pattern). */
+  private val fileSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, StructType)]]()
 
-  def footerSchema(s: SparkSession, path: String): StructType =
-    footerCache.computeIfAbsent(cacheKey(s, path),
-      _ => s.read.parquet(path).schema)
-
-  /** Drop every probe cache. Bench/Verify call this at run start as a
-    * belt-and-braces second line behind the signature keys: a fresh run
-    * always re-probes even if a filesystem reports coarse mtimes. */
-  def clearCaches(): Unit = {
-    footerCache.clear()
-    epochUnitCache.clear()
-    fileTsCache.clear()
-  }
-
-  /** Per-FILE ts encodings of an events path: (file name, footer ts
-    * type) for every data file, not one merged footer. One parquet
-    * directory accumulated across producer generations can mix
-    * INT64-epoch and TIMESTAMP(micros) files (at 100 TB you never
-    * control every writer's upgrade schedule); a single-footer probe
-    * would describe whichever file the listing returned first and
-    * silently misread the rest. Cached by content signature like the
-    * other probes; cost is one driver-side footer read per file, paid
-    * once per distinct fixture state. */
-  private val fileTsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, DataType)]]()
-
-  def eventsTsEncodings(s: SparkSession, d: String): Seq[(String, DataType)] = {
-    ensureNanosAsLong(s) // must precede the probes: NANOS footers throw without it
-    val path = s"$d/events.parquet"
+  def fileSchemas(s: SparkSession, path: String): Seq[(String, StructType)] = {
     val files = dataFiles(s, path)
-    fileTsCache.computeIfAbsent(path + "#" + signature(files), _ => {
-      // footer opens are independent driver-side IO: probe on a bounded
-      // pool — a 100 TB table's directory holds thousands of files, and
-      // serializing ~30 ms opens would turn a one-time probe into
-      // minutes of driver latency (schema inference itself is
-      // thread-safe; concurrent reads are a supported Spark pattern)
+    fileSchemaCache.computeIfAbsent(path + "#" + signature(files), _ => {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, math.max(1, files.size)))
@@ -169,10 +162,91 @@ object Tables {
         ExecutionContext.fromExecutor(pool)
       try Await.result(
         Future.sequence(files.map(f => Future(f.getPath.getName ->
-          s.read.parquet(f.getPath.toString).schema("ts").dataType))),
+          s.read.parquet(f.getPath.toString).schema))),
         scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
     })
+  }
+
+  /** Drop every probe cache. Bench/Verify call this at run start as a
+    * belt-and-braces second line behind the signature keys: a fresh run
+    * always re-probes even if a filesystem reports coarse mtimes. */
+  def clearCaches(): Unit = {
+    epochUnitCache.clear()
+    fileSchemaCache.clear()
+  }
+
+  /** Widest common type of two footer types, or None when they cross
+    * families. Widening stays within what Spark 4's vectorized parquet
+    * reader serves as a WIDENING read from the narrower file —
+    * integer chain, float→double, binary/string — so a widened forced
+    * schema never asks a scan for a lossy narrow. Arrays/structs
+    * recurse; everything else (decimal precision drift, date vs
+    * timestamp, int vs float) must match exactly or the caller fails
+    * loudly: a silent lossy pick is the r9 wrong-answer mode. */
+  private val intChain = Seq(ByteType, ShortType, IntegerType, LongType)
+  private def widenType(a: DataType, b: DataType): Option[DataType] =
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if intChain.contains(a) && intChain.contains(b) =>
+        Some(intChain(math.max(intChain.indexOf(a), intChain.indexOf(b))))
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (StringType, BinaryType) | (BinaryType, StringType) =>
+        Some(StringType)
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        widenType(ea, eb).map(e => ArrayType(e, containsNull = true))
+      case (StructType(fa), StructType(fb)) =>
+        val bByName = fb.map(f => f.name -> f.dataType).toMap
+        val merged = fa.map { f =>
+          bByName.get(f.name).fold(Option(f.dataType))(widenType(f.dataType, _))
+            .map(t => StructField(f.name, t, nullable = true))
+        }
+        val extras = fb.filterNot(f => fa.exists(_.name == f.name))
+          .map(f => Some(f.copy(nullable = true)))
+        if ((merged ++ extras).forall(_.isDefined))
+          Some(StructType((merged ++ extras).map(_.get)))
+        else None
+      case _ => None
+    }
+
+  /** The widened UNION schema across a path's per-file footers: field
+    * order from the first file (later generations' new columns append;
+    * files missing a column read it as null), each column widened to
+    * its family's widest member, `pinned` columns taking the given
+    * type untouched (the events ts machinery handles those
+    * separately). Cross-family conflicts fail loudly at PLAN time
+    * naming the column, the types and the files that carry them —
+    * never an order-dependent mid-scan failure, never a silent narrow. */
+  def widenedSchema(s: SparkSession, path: String,
+      pinned: Map[String, DataType] = Map.empty): StructType = {
+    val perFile = fileSchemas(s, path)
+    val ordered = perFile.flatMap(_._2.fieldNames).distinct
+    StructType(ordered.map { name =>
+      pinned.get(name) match {
+        case Some(t) => StructField(name, t, nullable = true)
+        case None =>
+          val types = perFile.flatMap { case (_, sch) =>
+            sch.find(_.name == name).map(_.dataType) }.distinct
+          val widened = types.reduceLeft[DataType] { (x, y) =>
+            widenType(x, y).getOrElse(throw new IllegalStateException(
+              s"$path: column `$name` crosses type families across " +
+                "generations: " +
+                perFile.flatMap { case (f, sch) =>
+                  sch.find(_.name == name).map(fd => s"$f=${fd.dataType}") }
+                  .mkString(", ") +
+                " — no lossless widening exists; rewrite the offending " +
+                "generation or split paths"))
+          }
+          StructField(name, widened, nullable = true)
+      }
+    })
+  }
+
+  def eventsTsEncodings(s: SparkSession, d: String): Seq[(String, DataType)] = {
+    ensureNanosAsLong(s) // must precede the probes: NANOS footers throw without it
+    fileSchemas(s, s"$d/events.parquet").map { case (name, sch) =>
+      name -> sch("ts").dataType }
   }
 
   /** The SINGLE ts encoding of an events path. Throws loudly — naming
@@ -373,16 +447,14 @@ object Tables {
     * normalize IDENTICALLY (batch/stream parity by construction, as in
     * the single-encoding design). Every supported encoding is
     * physically INT64, so forcing LongType reads each file's raw
-    * value; non-ts fields come from one sampled footer — a non-ts
-    * width drift across generations fails the scan loudly
-    * (SchemaColumnConvertNotSupported), never silently. */
+    * value; non-ts fields take the per-file widened union schema, so a
+    * value-column width drift riding along with the ts drift still
+    * reads (or fails loudly at plan time naming files). */
   private[graft] def mixedReadPlan(
       s: SparkSession, d: String): (StructType, Map[String, String]) = {
     val path = s"$d/events.parquet"
     val units = mixedUnits(s, path, eventsTsEncodings(s, d))
-    val forced = StructType(footerSchema(s, path).map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    (forced, units)
+    (widenedSchema(s, path, pinned = Map("ts" -> LongType)), units)
   }
 
   /** Normalize the raw-INT64 ts of a mixed-generation read to micros
@@ -430,8 +502,8 @@ object Tables {
       normalizeMixedTs(s.read.schema(forced).parquet(path), units)
     } else eventsTsType(s, d) match {
       case TimestampNTZType | TimestampType =>
-        val forced = StructType(footerSchema(s, path).map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        val forced = widenedSchema(s, path,
+          pinned = Map("ts" -> TimestampType))
         s.read.schema(forced).parquet(path)
       case dt => // raw epoch int64 (or unsupported → normalizedTs throws)
         table(s, d, "events").withColumn("ts", normalizedTs(s, path, dt))

@@ -56,10 +56,8 @@ object StreamQueries {
         graft.sources.Tables.normalizedTs(spark, s"$dir/events.parquet", dt)
         dt
     }
-    val footer =
-      graft.sources.Tables.footerSchema(spark, s"$dir/events.parquet")
-    StructType(footer.map(f =>
-      if (f.name == "ts") f.copy(dataType = tsField) else f))
+    graft.sources.Tables.widenedSchema(spark, s"$dir/events.parquet",
+      pinned = Map("ts" -> tsField))
   }
 
   /** Streaming events source (file-based stand-in for the Kafka topic).
@@ -222,7 +220,7 @@ object StreamQueries {
     * aggregate types. */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(graft.sources.Tables.footerSchema(spark, s"$dir/documents.parquet"))
+      .schema(graft.sources.Tables.widenedSchema(spark, s"$dir/documents.parquet"))
       .parquet(s"$dir/[d]ocuments.parquet")
       .select(col("doc_id").cast("long"), col("text").cast("string"),
         col("lang").cast("string"), col("source").cast("string"),
@@ -232,7 +230,7 @@ object StreamQueries {
     * footer-derived schema per documentsStream). */
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(graft.sources.Tables.footerSchema(spark, s"$dir/embeddings.parquet"))
+      .schema(graft.sources.Tables.widenedSchema(spark, s"$dir/embeddings.parquet"))
       .parquet(s"$dir/[e]mbeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
 

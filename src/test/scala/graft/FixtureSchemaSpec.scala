@@ -292,6 +292,94 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(streamRows(dir) === expected, "stale stream schema after regen")
   }
 
+  test("a documents dir mixing BINARY and UTF8 generations reads deterministically, batch and stream") {
+    // no-merge schema inference samples ONE footer, so which generation
+    // wins is listing-order luck; the widened forced schema makes the
+    // outcome deterministic (string) regardless of file order
+    val a = TempDirs.create("fixture-docs-gen-a")
+    val b = TempDirs.create("fixture-docs-gen-b")
+    Seq((1L, "hello".getBytes("UTF-8"), "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$a/documents.parquet")
+    Seq((2L, "bonjour", "fr", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$b/documents.parquet")
+    val dir = TempDirs.create("fixture-docs-mixed")
+    val tgt = java.nio.file.Paths.get(dir, "documents.parquet")
+    copyParts(s"$a/documents.parquet", tgt, "gen-a")
+    copyParts(s"$b/documents.parquet", tgt, "gen-b")
+    val want = Set((1L, "hello"), (2L, "bonjour"))
+    assert(Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet === want)
+    assert(StreamQueries.runToTable(spark,
+      StreamQueries.documentsStream(spark, dir), "append")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet === want)
+  }
+
+  test("an embeddings dir mixing float and double generations widens to double at the scan") {
+    // the hazard: inference sampling the FLOAT footer would make the
+    // double file fail mid-scan (no narrowing read); the widened schema
+    // always requests double, which the reader serves from both
+    val a = TempDirs.create("fixture-emb-gen-a")
+    val b = TempDirs.create("fixture-emb-gen-b")
+    Seq((1L, Seq(1.5, 2.5))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$a/embeddings.parquet")
+    Seq((2L, Seq(3.5f, 4.5f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$b/embeddings.parquet")
+    val dir = TempDirs.create("fixture-emb-mixed")
+    val tgt = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    copyParts(s"$a/embeddings.parquet", tgt, "gen-a")
+    copyParts(s"$b/embeddings.parquet", tgt, "gen-b")
+    val want = Set((1L, Seq(1.5, 2.5)), (2L, Seq(3.5, 4.5)))
+    assert(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSet === want)
+    assert(StreamQueries.runToTable(spark,
+      StreamQueries.embeddingsStream(spark, dir), "append")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSet === want)
+  }
+
+  test("a cross-family generation mix fails loudly at plan time naming the files") {
+    // string text in one generation, LONG text in the other: no
+    // lossless widening exists — must refuse BY NAME at plan time,
+    // never an order-dependent mid-scan convert error
+    val a = TempDirs.create("fixture-docs-fam-a")
+    val b = TempDirs.create("fixture-docs-fam-b")
+    Seq((1L, "hello", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$a/documents.parquet")
+    Seq((2L, 42L, "fr", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$b/documents.parquet")
+    val dir = TempDirs.create("fixture-docs-fam-mixed")
+    val tgt = java.nio.file.Paths.get(dir, "documents.parquet")
+    copyParts(s"$a/documents.parquet", tgt, "gen-a")
+    copyParts(s"$b/documents.parquet", tgt, "gen-b")
+    val e = intercept[IllegalStateException](Tables.documents(spark, dir))
+    assert(e.getMessage.contains("`text`"), e.getMessage)
+    assert(e.getMessage.contains("gen-a-0.parquet") &&
+      e.getMessage.contains("gen-b-0.parquet"), e.getMessage)
+  }
+
+  test("a generation that ADDS a column appends it; older files read it as null") {
+    val a = TempDirs.create("fixture-emb-add-a")
+    val b = TempDirs.create("fixture-emb-add-b")
+    Seq((1L, Seq(1.5f, 2.5f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$a/embeddings.parquet")
+    Seq((2L, Seq(3.5f, 4.5f), "web")).toDF("vec_id", "embedding", "origin")
+      .coalesce(1).write.mode("overwrite").parquet(s"$b/embeddings.parquet")
+    val dir = TempDirs.create("fixture-emb-add-mixed")
+    val tgt = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    copyParts(s"$a/embeddings.parquet", tgt, "gen-a")
+    copyParts(s"$b/embeddings.parquet", tgt, "gen-b")
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("origin"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(rows === Set((1L, None), (2L, Some("web"))))
+  }
+
   test("compactEvents rewrites a mixed directory to one encoding; ts pushdown re-engages") {
     val src = TempDirs.create("fixture-compact-src")
     writeTwoGenerations(src, genNanos _, genNtz _)
