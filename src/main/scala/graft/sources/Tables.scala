@@ -115,7 +115,11 @@ object Tables {
     else fs.listStatus(hp).toSeq.filter(f => f.isFile && {
       val n = f.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
-    })
+    // name-sorted: listStatus order is filesystem-dependent, and the
+    // widened schema's field order ("first file") plus any probe that
+    // folds over files must not change when a different filesystem
+    // enumerates the same directory differently
+    }).sortBy(_.getPath.getName)
   }
 
   /** Content signature of a fixture path: every data file's
@@ -185,7 +189,7 @@ object Tables {
     * timestamp, int vs float) must match exactly or the caller fails
     * loudly: a silent lossy pick is the r9 wrong-answer mode. */
   private val intChain = Seq(ByteType, ShortType, IntegerType, LongType)
-  private def widenType(a: DataType, b: DataType): Option[DataType] =
+  private[graft] def widenType(a: DataType, b: DataType): Option[DataType] =
     (a, b) match {
       case _ if a == b => Some(a)
       case _ if intChain.contains(a) && intChain.contains(b) =>
