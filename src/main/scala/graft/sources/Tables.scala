@@ -497,20 +497,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val encs = eventsTsEncodings(s, d)
-    val read = if (encs.map(_._2).distinct.size > 1) {
-      // multi-generation directory: normalize per file. ts becomes a
-      // derived column, so row-group pruning on it is lost — the price
-      // of mixed generations; compact or split per-generation paths to
-      // get the pushdown-preserving single-encoding read back.
+    val types = encs.map(_._2).distinct
+    val read = if (types == Seq(TimestampNTZType) || types == Seq(TimestampType)) {
+      // all-micros path: ts stays a scan attribute, pushdown preserved
+      val forced = widenedSchema(s, path, pinned = Map("ts" -> TimestampType))
+      s.read.schema(forced).parquet(path)
+    } else {
+      // any raw-INT64 generation present (single-type, mixed, or
+      // unsupported → mixedUnits throws naming files): read ts raw and
+      // normalize per file via the probed unit map, EXACTLY like
+      // eventsStream. Per-file even when every footer agrees on
+      // LongType: a bare INT64 carries no unit annotation, so two
+      // raw-INT64 generations of DIFFERENT units (a nanos file beside
+      // a micros file) are footer-indistinguishable — a whole-path
+      // magnitude probe can exhaust its 4096-row sample inside the
+      // first file and silently rescale the second (the r9 collapse
+      // hiding inside one logical type). Only per-file unit probes see
+      // it. ts becomes a derived column on this branch, so row-group
+      // pruning on it is lost — the price of raw-INT64 generations;
+      // [[compactEvents]] restores the pushdown-preserving layout.
       val (forced, units) = mixedReadPlan(s, d)
       normalizeMixedTs(s.read.schema(forced).parquet(path), units)
-    } else eventsTsType(s, d) match {
-      case TimestampNTZType | TimestampType =>
-        val forced = widenedSchema(s, path,
-          pinned = Map("ts" -> TimestampType))
-        s.read.schema(forced).parquet(path)
-      case dt => // raw epoch int64 (or unsupported → normalizedTs throws)
-        table(s, d, "events").withColumn("ts", normalizedTs(s, path, dt))
     }
     canonicalEvents(read)
   }

@@ -292,6 +292,33 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(streamRows(dir) === expected, "stale stream schema after regen")
   }
 
+  test("two raw-INT64 generations of DIFFERENT units normalize per file — the footer-invisible drift") {
+    // both files' footers say plain INT64; only magnitude tells nanos
+    // from micros. The nanos generation carries >4096 non-zero rows, so
+    // a whole-path sample can exhaust its limit inside it, infer "ns",
+    // and silently divide the micros generation's instants by 1000 —
+    // the r9 collapse hiding inside ONE logical type. Per-file unit
+    // probes are the only detection; this pins batch AND stream on it.
+    val base = 1700000000000000L // 2023-11-14T22:13:20 in micros
+    val nanosRows = (0 until 5000).map(i =>
+      (1000L + i, (base + i) * 1000L, 1L, "view", 1.0, "{}"))
+    val microsRows = logical.map { case (id, us, u, t, v, p) => (id, us, u, t, v, p) }
+    val a = TempDirs.create("fixture-unit-gen-a")
+    val b = TempDirs.create("fixture-unit-gen-b")
+    nanosRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$a/events.parquet")
+    microsRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$b/events.parquet")
+    val dir = TempDirs.create("fixture-unit-mixed")
+    val tgt = java.nio.file.Paths.get(dir, "events.parquet")
+    copyParts(s"$a/events.parquet", tgt, "gen-a")
+    copyParts(s"$b/events.parquet", tgt, "gen-b")
+    val want = nanosRows.map(r => (r._1, fmtMicros(r._2 / 1000L))).toSet ++
+      logical.map { case (id, us, _, _, _, _) => (id, fmtMicros(us)) }.toSet
+    assert(batchRows(dir) === want)
+    assert(streamRows(dir) === want)
+  }
+
   test("a documents dir mixing BINARY and UTF8 generations reads deterministically, batch and stream") {
     // no-merge schema inference samples ONE footer, so which generation
     // wins is listing-order luck; the widened forced schema makes the
