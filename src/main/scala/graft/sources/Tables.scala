@@ -156,20 +156,23 @@ object Tables {
   private val fileSchemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, StructType)]]()
 
+  /** Run `f` over `items` on a bounded pool (≤16 driver threads) —
+    * the shared shape of every per-file footer probe. */
+  private def probePar[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, items.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(i => Future(f(i)))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
+
   def fileSchemas(s: SparkSession, path: String): Seq[(String, StructType)] = {
     val files = dataFiles(s, path)
-    fileSchemaCache.computeIfAbsent(path + "#" + signature(files), _ => {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, math.max(1, files.size)))
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(files.map(f => Future(f.getPath.getName ->
-          s.read.parquet(f.getPath.toString).schema))),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    })
+    fileSchemaCache.computeIfAbsent(path + "#" + signature(files),
+      _ => probePar(files)(f => f.getPath.getName ->
+        s.read.parquet(f.getPath.toString).schema))
   }
 
   /** Drop every probe cache. Bench/Verify call this at run start as a
@@ -178,6 +181,7 @@ object Tables {
   def clearCaches(): Unit = {
     epochUnitCache.clear()
     fileSchemaCache.clear()
+    mixedUnitsCache.clear()
   }
 
   /** Widest common type of two footer types, or None when they cross
@@ -398,7 +402,19 @@ object Tables {
     } finally r.close()
   }
 
+  /** Cached by content signature like the other probes: the per-file
+    * unit map is consulted on EVERY events read of a raw-INT64-bearing
+    * path (batch and stream), and its INT96 physical probe re-opens
+    * footers — once per distinct fixture state is enough. */
+  private val mixedUnitsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, String]]()
+
   private def mixedUnits(s: SparkSession, path: String,
+      encs: Seq[(String, DataType)]): Map[String, String] =
+    mixedUnitsCache.computeIfAbsent(cacheKey(s, path),
+      _ => mixedUnitsUncached(s, path, encs))
+
+  private def mixedUnitsUncached(s: SparkSession, path: String,
       encs: Seq[(String, DataType)]): Map[String, String] = {
     val bad = encs.filter { case (_, dt) =>
       dt != LongType && dt != TimestampNTZType && dt != TimestampType }
@@ -407,10 +423,10 @@ object Tables {
         bad.map { case (n, t) => s"$n ($t)" }.mkString(", ") +
         " carry an unsupported parquet encoding — expected INT64 epoch, " +
         "TIMESTAMP_NTZ(micros) or TIMESTAMP(micros) per file")
-    val int96 = encs.collect {
-      case (name, dt) if dt != LongType &&
-        tsPhysical(s, s"$path/$name") == "INT96" => name
-    }
+    val annotated = encs.filter(_._2 != LongType).map(_._1)
+    val int96 = probePar(annotated)(name =>
+      name -> tsPhysical(s, s"$path/$name"))
+      .collect { case (name, "INT96") => name }
     if (int96.nonEmpty) throw new IllegalStateException(
       s"events at $path mixes ts encodings and file(s) " +
         int96.sorted.mkString(", ") +
