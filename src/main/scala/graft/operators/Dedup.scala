@@ -408,20 +408,21 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      // prev label rides along into the checkpoint, so the convergence
-      // probe is a filter over materialized rows — not another join
-      // Iterate.cut, not plain localCheckpoint: the checkpoint's carried
-      // sizeInBytes estimate compounds through the per-round self-join
-      // and stalls the driver in stats estimation after ~18 rounds
-      // (measured on the BPE loop — Iterate.scaladoc; same shape here)
-      val next = Iterate.cut(
+      // prev label rides along INTO the materialization and the
+      // convergence probe is counted in the SAME job (cutChanged): a
+      // fixpoint's wall is made of driver rounds, so the former
+      // separate probe action — one extra job per round — was the
+      // family's measured overhead (FixpointBench). cutChanged also
+      // severs carried statistics like Iterate.cut: a plain
+      // localCheckpoint's sizeInBytes estimate compounds through the
+      // per-round self-join and stalls the driver in stats estimation
+      // after ~18 rounds (measured on the BPE loop — Iterate.scaladoc)
+      val (next, changed) = Iterate.cutChanged(
         labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(labels("id"),
             least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
-            labels("comp").as("prev")),
-        coalesceTo = None)
-      val changed = next.where(col("comp") =!= col("prev")).limit(1).count()
-      labels = next.select(col("id"), col("comp"))
+            labels("comp").as("prev")))
+      labels = next
       converged = changed == 0
       it += 1
     }
