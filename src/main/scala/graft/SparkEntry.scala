@@ -3844,6 +3844,37 @@ object SparkEntry {
       FROM d CROSS JOIN range(0, 5) t(i)
       WHERE i < 1 + len % 5"""))),
 
+    // Decoded-PCM stats through the REAL audio kernel
+    // (Multimodal.audioStats scaladoc): real RIFF/WAVE containers
+    // written by the JDK's WAVE encoder, parsed back by its actual
+    // RIFF reader, every 16-bit sample decoded; the oracle reproduces
+    // frame count, duration, Σsample, Σsample², min/max in closed form
+    // from the generation contract (md5 bytes × residue-class counts)
+    // — the audio tier's n48: decoded samples verified against pure
+    // SQL arithmetic, encoder and parser included. n ≥ 16 guarantees
+    // every digest byte occurs, so min/max are digest-wide extrema.
+    "n71_audio_pcm_stats" -> (((s: SparkSession, d: String) => {
+      Multimodal.audioPcmStats(Tables.documents(s, d))
+    }, Some("""
+      WITH d AS (SELECT doc_id, md5(text) AS hx,
+                        octet_length(encode(text)) AS len FROM documents),
+      n AS (SELECT doc_id, hx, 16 + len % 241 AS n FROM d),
+      dig AS (SELECT doc_id, n,
+                (('0x' || substr(hx, CAST(2*k+1 AS INT), 2))::INT - 128) * 256 AS val,
+                n // 16 + CASE WHEN k < n % 16 THEN 1 ELSE 0 END AS cnt
+              FROM n CROSS JOIN range(0, 16) t(k))
+      SELECT doc_id,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(1 AS INT) AS channels,
+        CAST(16 AS INT) AS bits,
+        CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        CAST(sum(val * cnt) AS BIGINT) AS sum_pcm,
+        CAST(sum(val * val * cnt) AS BIGINT) AS sum_sq,
+        CAST(min(val) AS INT) AS min_pcm,
+        CAST(max(val) AS INT) AS max_pcm
+      FROM dig GROUP BY doc_id"""))),
+
     // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-
     // hash scheme): positional 3-gram md5s, lexicographic min per
     // sliding window of 4, distinct+sorted selection — guarantees any

@@ -8,23 +8,24 @@ import org.apache.spark.sql.functions._
   *
   * TWO TIERS, deliberately kept side by side:
   *
-  *  - REAL kernels (n21/n48/n50): the formats the JDK ships codecs for
-  *    (PNG/GIF via `javax.imageio` — no new dependency) are decoded,
+  *  - REAL kernels (n21/n48/n50/n71): the formats the JDK ships codecs
+  *    for (PNG/GIF via `javax.imageio`, WAV PCM via
+  *    `javax.sound.sampled` — no new dependency) are decoded,
   *    resampled, and frame-walked for REAL ([[resizePng]],
-  *    [[channelStats]], [[frameSampleGif]]), each verified against an
-  *    oracle that recomputes the decoded structure in closed form from
-  *    the generation contract.
+  *    [[channelStats]], [[frameSampleGif]], [[audioStats]]), each
+  *    verified against an oracle that recomputes the decoded structure
+  *    in closed form from the generation contract.
   *  - STUB kernels (n11/n14/n17): the formats the container has NO
-  *    codec for (audio, video containers, JPEG-XL, ...) keep a
-  *    clearly-marked deterministic stand-in for the codec call, inside
-  *    the SAME partition-batched plumbing. Each stub's scaladoc states
-  *    why it stays a stub rather than being pointed at the real
-  *    kernels: the stub tier is what makes the absent-codec path
-  *    testable at all (a deterministic fake is oracle-expressible in
-  *    DuckDB; a real audio decode would be neither runnable here nor
-  *    reproducible in SQL), and its queries pin the PLUMBING — schema,
-  *    batch shape, fan-out — that a production codec would drop into
-  *    unchanged.
+  *    codec for (compressed audio MP3/AAC, video containers H.264/MP4,
+  *    JPEG-XL, ...) keep a clearly-marked deterministic stand-in for
+  *    the codec call, inside the SAME partition-batched plumbing. Each
+  *    stub's scaladoc states why it stays a stub rather than being
+  *    pointed at the real kernels: the stub tier is what makes the
+  *    absent-codec path testable at all (a deterministic fake is
+  *    oracle-expressible in DuckDB; a real MP3/H.264 decode would be
+  *    neither runnable here nor reproducible in SQL), and its queries
+  *    pin the PLUMBING — schema, batch shape, fan-out — that a
+  *    production codec would drop into unchanged.
   *
   * At scale the payload column stays columnar parquet binary; decode
   * runs executor-side per partition with zero driver involvement.
@@ -90,10 +91,12 @@ object Multimodal {
     * mapPartitions batch shape (iterator-in/iterator-out per partition,
     * one digest instance per batch) is exactly how a real decoder runs.
     *
-    * WHY THIS STAYS A STUB (r8 consolidation): the REAL decode tier
-    * exists — [[channelStats]] (n48) decodes actual PNG pixels and is
+    * WHY THIS STAYS A STUB (r8 consolidation; r11 scope narrowed): the
+    * REAL decode tier exists — [[channelStats]] (n48) decodes actual
+    * PNG pixels and [[audioStats]] (n71) actual WAV PCM, each
     * hash-verified against a closed-form oracle. This kernel covers the
-    * complementary case: a mime type with NO JDK codec (audio/video).
+    * complementary case: a mime type with NO JDK codec (compressed
+    * audio/video — MP3, AAC, H.264).
     * Pointing it at the PNG kernel would just duplicate n48; deleting
     * it would leave the absent-codec path — the path a production
     * pipeline hits for most media — without a pinned schema/batch-shape
@@ -466,4 +469,144 @@ object Multimodal {
   def gifFrames(docs: DataFrame): DataFrame =
     frameSampleGif(gifMedia(docs)).toDF()
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+
+  // ------------------------------------------------------------------ audio
+
+  /** One real WAV payload (doc_id + RIFF/WAVE container bytes). */
+  final case class WavMedia(doc_id: Long, payload: Array[Byte])
+
+  /** `javax.sound.sampled`'s static `AudioSystem.read/write` helpers
+    * re-scan the provider registry per call (same trap as `ImageIO`'s
+    * statics, see [[newReader]]); each kernel instead resolves the SPI
+    * providers ONCE per partition batch via `ServiceLoader` (the JDK's
+    * `java.desktop` module `provides` them) and falls back to the
+    * static helpers only if the loader surfaces none. */
+  private def audioReaders(): Vector[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toVector
+  }
+
+  private def wavFileWriter(): Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  /** Parse one WAV container with a reused reader set; falls back to
+    * `AudioSystem` if no SPI provider accepted the payload. */
+  private def openAudio(readers: Vector[javax.sound.sampled.spi.AudioFileReader],
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = () => new java.io.ByteArrayInputStream(payload)
+    readers.iterator.flatMap { r =>
+      try Iterator.single(r.getAudioInputStream(in()))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => Iterator.empty }
+    }.nextOption().getOrElse(
+      javax.sound.sampled.AudioSystem.getAudioInputStream(in()))
+  }
+
+  /** documents → REAL WAV media table: each doc becomes an actual
+    * RIFF/WAVE container written by the JDK's WAVE `AudioFileWriter`
+    * (in `java.desktop` — no new dependency). Generation contract the
+    * n71 oracle mirrors: 8000 Hz, 16-bit signed little-endian PCM,
+    * mono; `n = 16 + utf8len % 241` frames; frame `i`'s sample is
+    * `(md5(text)[i mod 16] − 128) · 256` — n ≥ 16 so every digest byte
+    * is used at least once (min/max are digest-wide extrema). Same
+    * executor-side `mapPartitions` batch shape as every media kernel. */
+  def wavMedia(docs: DataFrame): Dataset[WavMedia] = {
+    implicit val enc: Encoder[WavMedia] = Encoders.product[WavMedia]
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = wavFileWriter()
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        rows.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          val n = 16 + bytes.length % 241
+          md.reset()
+          val dig = md.digest(bytes)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((dig(i % 16) & 0xff) - 128) * 256
+            pcm(2 * i) = (v & 0xff).toByte          // little-endian
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          writer match {
+            case Some(w) =>
+              w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            case None =>
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          }
+          ais.close()
+          WavMedia(id, out.toByteArray)
+        }
+      }
+  }
+
+  /** Exact integer stats over DECODED PCM samples — the audio analog of
+    * [[ChannelStats]]. */
+  final case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Long, duration_ms: Long,
+      sum_pcm: Long, sum_sq: Long, min_pcm: Int, max_pcm: Int)
+
+  /** REAL AUDIO KERNEL (no stub — the audio tier's upgrade matching
+    * what n48 did for images): the WAV container is parsed by the
+    * JDK's actual RIFF reader (header walk: format chunk → encoding,
+    * rate, width, channel count; data chunk → frame stream), every
+    * 16-bit little-endian sample is decoded, and the kernel emits
+    * exact integer statistics — frame count, integer-floor duration,
+    * Σ sample, Σ sample² (loudness/energy up to scale), min/max. The
+    * n71 oracle reproduces ALL of it in closed form from the
+    * [[wavMedia]] generation contract (md5 bytes × residue-class
+    * counts), so actual decoded samples are verified against pure SQL
+    * arithmetic — any drift in the RIFF writer, the parser, or the
+    * sample decode breaks the hash. Same `mapPartitions` batch shape
+    * as every media kernel; non-PCM or big-endian payloads fail
+    * loudly rather than mis-decode. */
+  def audioStats(media: Dataset[WavMedia]): Dataset[AudioStats] = {
+    implicit val enc: Encoder[AudioStats] = Encoders.product[AudioStats]
+    media.mapPartitions { rows =>
+      val readers = audioReaders()
+      rows.map { m =>
+        val ais = openAudio(readers, m.payload)
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc ${m.doc_id}: unsupported WAV encoding $fmt — refusing to mis-decode")
+        val data = ais.readAllBytes()
+        ais.close()
+        val nSamples = data.length / 2
+        var sum = 0L; var sumSq = 0L
+        var min = Int.MaxValue; var max = Int.MinValue
+        var i = 0
+        while (i < nSamples) {
+          val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          sum += v
+          sumSq += v.toLong * v
+          if (v < min) min = v
+          if (v > max) max = v
+          i += 1
+        }
+        val sr = math.round(fmt.getSampleRate)
+        val frames = nSamples / fmt.getChannels
+        AudioStats(m.doc_id, sr, fmt.getChannels, fmt.getSampleSizeInBits,
+          nSamples.toLong, frames.toLong * 1000L / sr, sum, sumSq, min, max)
+      }
+    }
+  }
+
+  /** documents → decoded-PCM stats through the real audio kernel. */
+  def audioPcmStats(docs: DataFrame): DataFrame =
+    audioStats(wavMedia(docs)).toDF()
 }

@@ -121,4 +121,72 @@ class MultimodalSpec extends AnyFunSuite {
       assert(mine.map(_.sig).distinct.length == mine.length, s"doc $i")
     }
   }
+
+  test("wavMedia: real RIFF/WAVE containers an independent AudioSystem parse " +
+      "agrees with; format + frame count follow the generation contract") {
+    Multimodal.wavMedia(docsDF(texts)).collect().foreach { m =>
+      val len = texts(m.doc_id.toInt).getBytes("UTF-8").length
+      // container magic: RIFF....WAVE
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF", s"doc ${m.doc_id}")
+      assert(new String(m.payload.slice(8, 12), "US-ASCII") == "WAVE", s"doc ${m.doc_id}")
+      // a FRESH, independent parse (AudioSystem statics, not the
+      // kernel's SPI providers) must agree on every format field
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      assert(fmt.getSampleRate == 8000f && fmt.getSampleSizeInBits == 16 &&
+        fmt.getChannels == 1 && !fmt.isBigEndian, s"doc ${m.doc_id}: $fmt")
+      assert(ais.getFrameLength == 16 + len % 241, s"doc ${m.doc_id} frames")
+      ais.close()
+    }
+  }
+
+  test("audioStats: decoded samples match the md5 generation contract exactly " +
+      "(sum, sum of squares, min/max, duration)") {
+    val stats = Multimodal.audioStats(Multimodal.wavMedia(docsDF(texts)))
+      .collect().map(s => s.doc_id -> s).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = 16 + bytes.length % 241
+      val dig = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      // independent re-derivation: walk every sample the generator wrote
+      val samples = (0 until n).map(j => ((dig(j % 16) & 0xff) - 128) * 256)
+      val s = stats(i.toLong)
+      assert(s.sample_rate == 8000 && s.channels == 1 && s.bits == 16, s"doc $i")
+      assert(s.n_samples == n, s"doc $i n_samples")
+      assert(s.duration_ms == n * 1000L / 8000, s"doc $i duration")
+      assert(s.sum_pcm == samples.map(_.toLong).sum, s"doc $i sum")
+      assert(s.sum_sq == samples.map(v => v.toLong * v).sum, s"doc $i sumsq")
+      assert(s.min_pcm == samples.min && s.max_pcm == samples.max, s"doc $i extrema")
+    }
+  }
+
+  test("audioStats: non-conforming payload fails loudly instead of mis-decoding") {
+    val s = spark
+    import s.implicits._
+    // a big-endian 16-bit WAV-like stream: the JDK writer always emits
+    // little-endian WAVE, so hand-build an AIFF container (big-endian
+    // PCM) — the kernel must refuse, not silently byte-swap
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = Array.tabulate[Byte](32)(i => i.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, 16L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val media = Seq(Multimodal.WavMedia(0L, out.toByteArray))
+      .toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioStats(media).collect()
+    }
+    assert(err.getMessage.contains("refusing to mis-decode") ||
+      Option(err.getCause).exists(_.getMessage.contains("refusing to mis-decode")))
+  }
+
+  test("audio pipeline deterministic across runs") {
+    def sums = Multimodal.audioPcmStats(docsDF(texts))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(sums == sums)
+  }
 }
