@@ -70,6 +70,31 @@ object SparkEntry {
     "CASE WHEN r.impScore IN (1,2,3) THEN '相对不重要' WHEN r.impScore=4 THEN '重要' " +
       "WHEN r.impScore=5 THEN '非常重要' END"
 
+  /** Closed-form oracle for the real WAV kernel (n71 batch + s28
+    * streaming twin — the decode is stateless, so both drain to the
+    * identical table): every decoded-PCM stat re-derived from the
+    * wavMedia generation contract — md5 digest bytes × residue-class
+    * counts; n ≥ 16 makes min/max digest-wide extrema. */
+  private val audioStatsSql = """
+      WITH d AS (SELECT doc_id, md5(text) AS hx,
+                        octet_length(encode(text)) AS len FROM documents),
+      n AS (SELECT doc_id, hx, 16 + len % 241 AS n FROM d),
+      dig AS (SELECT doc_id, n,
+                (('0x' || substr(hx, CAST(2*k+1 AS INT), 2))::INT - 128) * 256 AS val,
+                n // 16 + CASE WHEN k < n % 16 THEN 1 ELSE 0 END AS cnt
+              FROM n CROSS JOIN range(0, 16) t(k))
+      SELECT doc_id,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(1 AS INT) AS channels,
+        CAST(16 AS INT) AS bits,
+        CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        CAST(sum(val * cnt) AS BIGINT) AS sum_pcm,
+        CAST(sum(val * val * cnt) AS BIGINT) AS sum_sq,
+        CAST(min(val) AS INT) AS min_pcm,
+        CAST(max(val) AS INT) AS max_pcm
+      FROM dig GROUP BY doc_id"""
+
   /** Left-fold sum as nested SQL — mirrors Spark's `aggregate(..., acc+x)`
     * evaluation order exactly, so double results are bit-identical. */
   private def foldSql(terms: Seq[String]): String =
@@ -3855,25 +3880,7 @@ object SparkEntry {
     // every digest byte occurs, so min/max are digest-wide extrema.
     "n71_audio_pcm_stats" -> (((s: SparkSession, d: String) => {
       Multimodal.audioPcmStats(Tables.documents(s, d))
-    }, Some("""
-      WITH d AS (SELECT doc_id, md5(text) AS hx,
-                        octet_length(encode(text)) AS len FROM documents),
-      n AS (SELECT doc_id, hx, 16 + len % 241 AS n FROM d),
-      dig AS (SELECT doc_id, n,
-                (('0x' || substr(hx, CAST(2*k+1 AS INT), 2))::INT - 128) * 256 AS val,
-                n // 16 + CASE WHEN k < n % 16 THEN 1 ELSE 0 END AS cnt
-              FROM n CROSS JOIN range(0, 16) t(k))
-      SELECT doc_id,
-        CAST(8000 AS INT) AS sample_rate,
-        CAST(1 AS INT) AS channels,
-        CAST(16 AS INT) AS bits,
-        CAST(max(n) AS BIGINT) AS n_samples,
-        CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
-        CAST(sum(val * cnt) AS BIGINT) AS sum_pcm,
-        CAST(sum(val * val * cnt) AS BIGINT) AS sum_sq,
-        CAST(min(val) AS INT) AS min_pcm,
-        CAST(max(val) AS INT) AS max_pcm
-      FROM dig GROUP BY doc_id"""))),
+    }, Some(audioStatsSql))),
 
     // Winnowing fingerprint (Schleimer et al. '03, the MOSS rolling-
     // hash scheme): positional 3-gram md5s, lexicographic min per
@@ -4136,6 +4143,14 @@ object SparkEntry {
              CAST(min(doc_id) AS BIGINT) AS min_doc,
              CAST(max(doc_id) AS BIGINT) AS max_doc
       FROM f GROUP BY 1"""))),
+
+    // The real AUDIO kernel under the streaming engine
+    // (StreamQueries.streamAudioStats scaladoc): stateless ingest-time
+    // WAV decode — append mode, zero state store; the drained table
+    // shares n71's closed-form oracle verbatim.
+    "s28_stream_audio_stats" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamAudioStats(s, d)
+    }, Some(audioStatsSql))),
 
     // Streaming global top-k (StreamQueries.streamTopUsers scaladoc):
     // complete-mode agg + sort + limit — p11's streaming twin.

@@ -938,6 +938,22 @@ object StreamQueries {
       "complete")
   }
 
+  /** Streaming audio decode at ingest (s28) — the audio member of the
+    * media-under-streaming family: the real WAV kernels
+    * (Multimodal.wavMedia → audioStats) are stateless mapPartitions
+    * maps, so unlike s20's census this runs APPEND mode with ZERO
+    * state store — the ingest-time shape (decode-and-annotate media as
+    * it arrives, the s24/s26/s27 pattern for audio). The streaming
+    * plan is the batch plan verbatim, so the drained table shares
+    * n71's closed-form oracle unchanged. */
+  def streamAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    runToTable(spark,
+      Multimodal.audioStats(
+        Multimodal.wavMedia(documentsStream(spark, dir))).toDF(),
+      "append")
+  }
+
   /** Streaming global top-k (s18): running top-5 users by event count.
     * Complete-mode aggregation + sort + limit — the one output shape
     * where Structured Streaming allows a global sort, because the
