@@ -1615,6 +1615,36 @@ object SparkEntry {
         min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM documents GROUP BY source"""))),
 
+    // O26 variant on XML (the B2B/feed-interchange format — Spark 4
+    // bundles the former spark-xml connector as a NATIVE source, so no
+    // new dependency): write a projection as XML rows, read it back
+    // with an explicit schema (same never-inferSchema stance as p22),
+    // and verify CONTENT through the roundtrip with an md5-derived
+    // integer checksum over the text column — entity escaping, CJK,
+    // and whitespace preservation (ignoreSurroundingSpaces=false; the
+    // reader default TRIMS values) all sit on the hash-verified path.
+    "p31_xml_roundtrip" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_xml_roundtrip")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.mode("overwrite")
+        .option("rowTag", "doc").option("rootTag", "docs")
+        .format("xml").save(dir)
+      s.read
+        .schema("doc_id LONG, lang STRING, text STRING, n_chars LONG")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_checksum
+      FROM documents GROUP BY lang"""))),
+
     // Hive-style partitioned parquet sink + partition-pruned read-back:
     // write documents partitioned by lang (dynamic partitioning — the
     // layout every 100 TB corpus lands in), then read ONE partition
