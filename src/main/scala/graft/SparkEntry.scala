@@ -152,6 +152,52 @@ object SparkEntry {
     s"($dot / (sqrt($ee) * sqrt($qq)))"
   }
 
+  /** Unrolled cosine(embedding, probeVec(p)) for the recall oracle —
+    * same fold shape as [[annCosSql]], parameterized by probe. */
+  private def probeCosSql(p: Int): String = {
+    val pv = Similarity.probeVec(p)
+    val dot = foldSql((1 to 64).map(i =>
+      s"(CAST(embedding[$i] AS DOUBLE) * ${pv(i - 1)})"))
+    val pp = BigDecimal(pv.map(x => x * x).sum).underlying.toPlainString
+    s"($dot / (sqrt($embEeSql) * sqrt($pp)))"
+  }
+
+  /** n72 oracle: per-probe recall@k of the IVF cell-pruned path vs the
+    * exact top-k — every ingredient (cell argmin, cosine folds, LIMIT
+    * tiebreaks) re-derived mechanically from the same constants the
+    * Spark side uses, so recall is verified to the ppm. */
+  private def annRecallSql(k: Int): String = {
+    val sScores = (0 until Similarity.Cells).map { m =>
+      val fold = foldSql(Similarity.centroid(m).zipWithIndex.map {
+        case (c, j) => s"(CAST(embedding[${j + 1}] AS DOUBLE) * $c)"
+      })
+      s"(${Similarity.centroidNorm2(m)} - 2.0 * ($fold)) AS s$m"
+    }.mkString(",\n")
+    val argmin = "CASE WHEN s0<=s1 AND s0<=s2 AND s0<=s3 THEN 0 " +
+      "WHEN s1<=s2 AND s1<=s3 THEN 1 WHEN s2<=s3 THEN 2 ELSE 3 END"
+    val perProbe = (0 until Similarity.Probes).map { p =>
+      s"""e$p AS (SELECT vec_id FROM
+           (SELECT vec_id, ${probeCosSql(p)} AS cos FROM embeddings)
+         ORDER BY cos DESC, vec_id LIMIT $k),
+      i$p AS (SELECT s.vec_id FROM
+           (SELECT vec_id, ${probeCosSql(p)} AS cos FROM embeddings) s
+         JOIN cellc c ON s.vec_id = c.vec_id
+         WHERE c.cell = ${Similarity.probeCell(p)}
+         ORDER BY s.cos DESC, s.vec_id LIMIT $k)"""
+    }.mkString(",\n")
+    val rows = (0 until Similarity.Probes).map { p =>
+      val m = s"(SELECT count(*) FROM e$p WHERE vec_id IN (SELECT vec_id FROM i$p))"
+      s"""SELECT CAST($p AS INT) AS probe_id,
+        CAST(${Similarity.probeCell(p)} AS INT) AS cell,
+        CAST($m AS BIGINT) AS n_matched,
+        CAST($m * 1000000 // $k AS BIGINT) AS recall_ppm"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cellc AS (SELECT vec_id, $argmin AS cell
+        FROM (SELECT vec_id, $sScores FROM embeddings)),
+      $perProbe
+      $rows"""
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** Unrolled a·b over two embedding table aliases (left fold). */
@@ -3546,6 +3592,17 @@ object SparkEntry {
       WHERE cell = ${Similarity.queryCell}
       ORDER BY cos DESC, vec_id LIMIT 10"""
     })),
+
+    // ANN recall harness (Similarity.recallAtK scaladoc): recall@10 of
+    // the IVF cell-pruned path against the exact top-10 ground truth,
+    // one row per probe — the measurement a pruned-index deployment is
+    // judged by, and EXACT here (fixed centroids, exact fold
+    // arithmetic, vec_id tiebreaks) so the oracle verifies it to the
+    // ppm instead of sampling it. WindowGroupLimit keeps each top-k's
+    // shuffle at O(tasks·probes·k) rows at any corpus size.
+    "n72_ann_recall" -> (((s: SparkSession, d: String) => {
+      Similarity.recallAtK(Tables.embeddings(s, d), 10)
+    }, Some(annRecallSql(10)))),
 
     // Embedding-cosine near-dup pairs (the fourth dedup modality next
     // to exact/jaccard/minhash): all pairs with cos >= 0.45, native dot

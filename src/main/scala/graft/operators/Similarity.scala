@@ -166,6 +166,76 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // ANN recall harness: the measurement a pruned-index deployment is
+  // actually judged by — recall@k of the approximate path against the
+  // exact top-k ground truth, per probe. Both paths are deterministic
+  // here (fixed centroids, exact fold arithmetic, vec_id tiebreaks),
+  // so recall is an EXACT integer per probe, not a sampled estimate —
+  // the oracle recomputes it to the ppm.
+
+  /** Number of probe vectors in the recall harness. */
+  val Probes = 6
+
+  /** Probe p — dyadic entries (multiples of 0.125, binary-exact in SQL
+    * literals and doubles), pattern varied per probe so the probe set
+    * spreads across IVF cells. */
+  def probeVec(p: Int): Seq[Double] =
+    (0 until 64).map(j => (((j * (p + 3) + p * 11) % 9) - 4) * 0.125)
+
+  /** Probe p's IVF cell, same driver-side fold as [[queryCell]]. */
+  def probeCell(p: Int): Int = {
+    val pv = probeVec(p)
+    val scores = (0 until Cells).map { m =>
+      val c = centroid(m)
+      var acc = 0.0
+      var j = 0
+      while (j < 64) { acc += pv(j) * c(j); j += 1 }
+      centroidNorm2(m) - 2.0 * acc
+    }
+    (0 until Cells).minBy(m => (scores(m), m))
+  }
+
+  /** recall@k of the IVF cell-pruned path vs exact top-k, per probe.
+    *
+    * Plan shape, built for the 100 TB case: the corpus is scanned ONCE
+    * (cell assignment + probe fan-out are one narrow projection — the
+    * Probes× row fan-out is the price of evaluating all probes in one
+    * pass); each top-k is a rank-filtered window, which Catalyst
+    * rewrites to WindowGroupLimit — every map task keeps only its
+    * per-probe top k BEFORE the exchange, so the shuffle carries
+    * O(tasks·Probes·k) rows, never the corpus, and the per-probe
+    * partition skew of a naive full-sort window never materializes.
+    * Output: one row per probe with the exact match count and
+    * recall in integer ppm. */
+  def recallAtK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val probes = (0 until Probes).map(p => (p, probeVec(p), probeCell(p)))
+      .toDF("probe_id", "pvec", "pcell")
+    val scored = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", ivfCell(col("v")))
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("pcell"), col("vec_id"), col("cell"),
+        cosine(col("v"), col("pvec")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = scored
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val ivf = scored.where(col("cell") === col("pcell"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"))
+    val matched = exact.join(ivf, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_matched"))
+    probes.select(col("probe_id"), col("pcell").as("cell"))
+      .join(matched, Seq("probe_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"n_matched * 1000000 div $k"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a,b), a<b, with
     * cos(a,b) ≥ t. Norms are computed once per side BEFORE the pair
     * join, so the O(n²) inner loop is a single native dot product per

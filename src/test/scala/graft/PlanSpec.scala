@@ -332,4 +332,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p10_refresh_probe")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
   }
+
+  test("ANN recall harness: rank filters become WindowGroupLimit (per-task " +
+      "partial top-k before the exchange), probes broadcast, no cartesian") {
+    // recall@k's two top-k windows must NOT sort the full probe-fanned
+    // corpus per probe partition: Catalyst's rank-limit rewrite keeps
+    // only k rows per (task, probe) BEFORE the shuffle, so the
+    // exchange carries O(tasks·probes·k) rows at any corpus size. The
+    // probe fan-out itself must ride a broadcast, never a cartesian.
+    val p = plan("n72_ann_recall")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

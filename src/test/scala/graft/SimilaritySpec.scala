@@ -91,4 +91,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drops.nonEmpty, "fixture must actually drop something")
     assert(drops.size < ids.size, "fixture must keep something")
   }
+
+  test("recallAtK == plain-Scala re-derivation (exact top-k vs cell-pruned top-k)") {
+    import spark.implicits._
+    val k = 10
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.recallAtK(emb, k)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // independent reference: same fold order, plain Scala
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .map { case (id, e) => id -> e.toArray }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cellOf(v: Array[Double]): Int = {
+      val scores = (0 until Similarity.Cells).map { m =>
+        Similarity.centroidNorm2(m) - 2.0 * fold(v, Similarity.centroid(m).toArray)
+      }
+      (0 until Similarity.Cells).minBy(m => (scores(m), m))
+    }
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    (0 until Similarity.Probes).foreach { p =>
+      val pv = Similarity.probeVec(p).toArray
+      val pn = math.sqrt(fold(pv, pv))
+      def cos(id: Long): Double = {
+        val v = vecs(id)
+        fold(v, pv) / (math.sqrt(fold(v, v)) * pn)
+      }
+      val ordered = vecs.keys.toSeq.sortBy(id => (-cos(id), id))
+      val exact = ordered.take(k).toSet
+      val pc = Similarity.probeCell(p)
+      val ivf = ordered.filter(cells(_) == pc).take(k).toSet
+      val m = (exact & ivf).size.toLong
+      assert(got(p) == ((pc, m, m * 1000000L / k)), s"probe $p")
+    }
+    // the harness must measure something non-degenerate: at least one
+    // probe below perfect recall and at least one match somewhere
+    assert(got.values.exists(_._3 < 1000000L))
+    assert(got.values.exists(_._2 > 0L))
+  }
 }
