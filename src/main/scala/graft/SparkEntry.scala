@@ -176,21 +176,30 @@ object SparkEntry {
     val argmin = "CASE WHEN s0<=s1 AND s0<=s2 AND s0<=s3 THEN 0 " +
       "WHEN s1<=s2 AND s1<=s3 THEN 1 WHEN s2<=s3 THEN 2 ELSE 3 END"
     val perProbe = (0 until Similarity.Probes).map { p =>
+      val cells = Similarity.probeCells(p)
       s"""e$p AS (SELECT vec_id FROM
            (SELECT vec_id, ${probeCosSql(p)} AS cos FROM embeddings)
          ORDER BY cos DESC, vec_id LIMIT $k),
       i$p AS (SELECT s.vec_id FROM
            (SELECT vec_id, ${probeCosSql(p)} AS cos FROM embeddings) s
          JOIN cellc c ON s.vec_id = c.vec_id
-         WHERE c.cell = ${Similarity.probeCell(p)}
+         WHERE c.cell = ${cells(0)}
+         ORDER BY s.cos DESC, s.vec_id LIMIT $k),
+      j$p AS (SELECT s.vec_id FROM
+           (SELECT vec_id, ${probeCosSql(p)} AS cos FROM embeddings) s
+         JOIN cellc c ON s.vec_id = c.vec_id
+         WHERE c.cell IN (${cells(0)}, ${cells(1)})
          ORDER BY s.cos DESC, s.vec_id LIMIT $k)"""
     }.mkString(",\n")
     val rows = (0 until Similarity.Probes).map { p =>
       val m = s"(SELECT count(*) FROM e$p WHERE vec_id IN (SELECT vec_id FROM i$p))"
+      val m2 = s"(SELECT count(*) FROM e$p WHERE vec_id IN (SELECT vec_id FROM j$p))"
       s"""SELECT CAST($p AS INT) AS probe_id,
         CAST(${Similarity.probeCell(p)} AS INT) AS cell,
         CAST($m AS BIGINT) AS n_matched,
-        CAST($m * 1000000 // $k AS BIGINT) AS recall_ppm"""
+        CAST($m2 AS BIGINT) AS n_matched_mp2,
+        CAST($m * 1000000 // $k AS BIGINT) AS recall_ppm,
+        CAST($m2 * 1000000 // $k AS BIGINT) AS recall_ppm_mp2"""
     }.mkString("\nUNION ALL\n")
     s"""WITH cellc AS (SELECT vec_id, $argmin AS cell
         FROM (SELECT vec_id, $sScores FROM embeddings)),

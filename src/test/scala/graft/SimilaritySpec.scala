@@ -97,8 +97,8 @@ class SimilaritySpec extends AnyFunSuite {
     val k = 10
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.recallAtK(emb, k)
-      .as[(Int, Int, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
 
     // independent reference: same fold order, plain Scala
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -125,14 +125,22 @@ class SimilaritySpec extends AnyFunSuite {
       }
       val ordered = vecs.keys.toSeq.sortBy(id => (-cos(id), id))
       val exact = ordered.take(k).toSet
-      val pc = Similarity.probeCell(p)
-      val ivf = ordered.filter(cells(_) == pc).take(k).toSet
+      val pcs = Similarity.probeCells(p)
+      val ivf = ordered.filter(cells(_) == pcs(0)).take(k).toSet
+      val ivf2 = ordered.filter(id => pcs.take(2).contains(cells(id))).take(k).toSet
       val m = (exact & ivf).size.toLong
-      assert(got(p) == ((pc, m, m * 1000000L / k)), s"probe $p")
+      val m2 = (exact & ivf2).size.toLong
+      assert(got(p) == ((pcs(0), m, m2, m * 1000000L / k, m2 * 1000000L / k)),
+        s"probe $p")
+      // multi-probe recall is monotone: a superset candidate set can
+      // only keep or gain true top-k members under the tie-broken rank
+      assert(m2 >= m, s"probe $p monotonicity")
     }
     // the harness must measure something non-degenerate: at least one
-    // probe below perfect recall and at least one match somewhere
-    assert(got.values.exists(_._3 < 1000000L))
+    // probe below perfect recall, at least one match somewhere, and
+    // the nprobe=2 column must actually BUY recall on this fixture
+    assert(got.values.exists(_._4 < 1000000L))
     assert(got.values.exists(_._2 > 0L))
+    assert(got.values.exists(v => v._3 > v._2))
   }
 }
