@@ -310,6 +310,31 @@ object SparkEntry {
           // (count(*) * bucket) AS BIGINT) AS waste_ppm
       FROM b GROUP BY bucket"""
 
+  /** Shared oracle for corpus-wide first-occurrence segment dedup: n73
+    * (batch) and s29 (streaming complete-mode index build + batch
+    * apply) produce the identical per-doc retention table — the
+    * first-occurrence index is a `min(struct)` aggregate, monotone
+    * under any arrival order, so micro-batching cannot change it. */
+  private lazy val segmentDedupOracleSql = s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      occ AS (SELECT doc_id, toks,
+                unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i
+              FROM d WHERE len(toks) >= 1),
+      seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg FROM occ),
+      f AS (SELECT doc_id, seg_idx, seg,
+              row_number() OVER (PARTITION BY seg
+                ORDER BY doc_id, seg_idx) AS rn
+            FROM seg)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        md5(coalesce(
+          string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+          '')) AS kept_sig
+      FROM f GROUP BY doc_id"""
+
   /** Shared oracle for the Gopher composite quality gate: n66 (batch
     * explode+agg form) and s24 (stateless streaming HOF form) emit the
     * identical survivor table. */
@@ -2858,6 +2883,19 @@ object SparkEntry {
       FROM isl GROUP BY doc_id, grp
       HAVING max(pos) - min(pos) + 8 >= 12"""))),
 
+    // Corpus-wide first-occurrence segment dedup (RefinedWeb/FineWeb
+    // "line-level dedup" — keep a repeated line where it FIRST appears,
+    // strip it everywhere later). Segment = disjoint 8-token chunk
+    // (fixture text has no newlines); first = global min (doc_id,
+    // seg_idx) per exact segment. The "first" is a map-side-combined
+    // min(struct) aggregate, never a window sort over the hot
+    // boilerplate key — see Dedup.segmentDedup scaladoc for the 100 TB
+    // shuffle story. Output: per-doc retention stats + md5 of the
+    // surviving text.
+    "n73_segment_dedup" -> (((s: SparkSession, d: String) => {
+      Dedup.segmentDedup(Tables.documents(s, d), k = 8)
+    }, Some(segmentDedupOracleSql))),
+
     // Per-source document cap — the source-dominance control that stops
     // one domain from flooding a training mix (the "max N pages per
     // domain" step every web-corpus pipeline runs). Kept subset is
@@ -4293,6 +4331,14 @@ object SparkEntry {
     "s27_stream_dsir_score" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamDsirScore(s, d)
     }, Some(dsirOracleSql))),
+
+    // n73's streaming twin: incremental first-occurrence segment index
+    // (complete-mode min(struct) aggregation — order-independent under
+    // micro-batching) + batch keep-first apply, the s19 index/verify
+    // split (StreamQueries.streamSegmentDedup; same oracle as n73).
+    "s29_stream_segment_dedup" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamSegmentDedup(s, d)
+    }, Some(segmentDedupOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

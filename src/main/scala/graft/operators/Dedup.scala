@@ -485,6 +485,82 @@ object Dedup {
         coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 
+  /** Corpus-wide FIRST-OCCURRENCE segment dedup — the "line-level
+    * dedup" pass of web-corpus pipelines (RefinedWeb §3.3 / FineWeb's
+    * line dedup: a boilerplate line is kept where it first appears and
+    * stripped from every later page). The fixture corpus has no
+    * newlines, so the "line" unit is a non-overlapping K-token segment
+    * (the last segment of a doc may be shorter); "first" is the
+    * corpus-global (doc_id, seg_idx) minimum for that exact segment
+    * text — deterministic, re-run-stable, never rand().
+    *
+    * Differs from [[duplicatedSpans]] (Lee '21): that DETECTS maximal
+    * duplicated runs at every offset (overlapping grams, count ≥ 2
+    * anywhere); this one partitions each doc into disjoint segments and
+    * APPLIES a keep-first policy, returning per-doc retention stats and
+    * an md5 signature of the surviving text.
+    *
+    * Plan (nothing pairwise, nothing windowed over a hot key):
+    *  1. segment generation is a pure per-row explode (no shuffle);
+    *  2. the global first occurrence per segment is ONE hash-aggregate
+    *     `min(struct(doc_id, seg_idx))` — map-side combined, so a
+    *     boilerplate segment duplicated a billion times contributes one
+    *     partial row per input partition, never a billion-row sort
+    *     (the window-function phrasing of "first" would);
+    *  3. kept = equi-join occurrences back to firsts on the segment
+    *     (AQE splits the residual hot-probe skew);
+    *  4. per-doc reassembly is one groupBy(doc_id) with an
+    *     array_sort(collect_list(struct(seg_idx, seg))) — bounded by
+    *     the doc's own segment count, ordered by construction.
+    *
+    * At 100 TB the shuffles are: segments by segment text (agg + join)
+    * and kept rows by doc_id — both key-partitioned equi-shuffles; the
+    * output is one row per non-empty doc. */
+  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val segs = segmentsOf(docs, k)
+    applySegmentDedup(segs, firstOccurrences(segs))
+  }
+
+  /** Disjoint K-token segments of every non-empty doc:
+    * `(doc_id, seg_idx, seg)` — a pure per-row generator, no shuffle. */
+  def segmentsOf(docs: DataFrame, k: Int): DataFrame = docs
+    .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    .where(size(col("toks")) >= 1) // empty docs have no segments
+    .select(col("doc_id"),
+      explode(sequence(lit(0), expr(s"(size(toks) - 1) div $k"))).as("seg_idx"),
+      col("toks"))
+    .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+      concat_ws(" ", slice(col("toks"), col("seg_idx") * k + 1, lit(k)))
+        .as("seg"))
+
+  /** Global first occurrence per exact segment — ONE map-side-combined
+    * `min(struct)` aggregate (order-independent, so the SAME plan runs
+    * as a streaming complete-mode aggregation: min is monotone under
+    * any micro-batch arrival order). */
+  def firstOccurrences(segs: DataFrame): DataFrame = segs
+    .groupBy(col("seg"))
+    .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    .select(col("seg"), col("first.doc_id").as("f_doc"),
+      col("first.seg_idx").as("f_idx"))
+
+  /** Apply keep-first against a first-occurrence index: per-doc
+    * retention stats + md5 signature of the surviving text. */
+  def applySegmentDedup(segs: DataFrame, firsts: DataFrame): DataFrame =
+    segs.join(firsts, Seq("seg"))
+      .withColumn("kept",
+        (col("doc_id") === col("f_doc") && col("seg_idx") === col("f_idx"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept")).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("kept") === 1, struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")))).as("kept_sig"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_removed"), col("kept_sig"))
+
   def duplicatedSpans(docs: DataFrame, g: Int = 8, minSpan: Int = 12): DataFrame = {
     val grams = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))

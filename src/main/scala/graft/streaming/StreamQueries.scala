@@ -797,6 +797,29 @@ object StreamQueries {
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
 
+  /** Streaming segment-dedup index build (s29) — n73's streaming twin:
+    * as documents arrive, their disjoint K-token segments fold into a
+    * complete-mode `min(struct(doc_id, seg_idx))` aggregation keyed by
+    * the exact segment text. Min is monotone and order-independent, so
+    * the drained index equals the batch [[graft.operators.Dedup.firstOccurrences]]
+    * under ANY micro-batch arrival order — no reliance on file listing
+    * order, unlike a streaming `dropDuplicates` whose survivor is
+    * whichever row a partition happened to deliver first. The keep-first
+    * APPLY pass then runs batch-side against the drained index (the
+    * s19 index-build/verify split): at 100 TB the stream maintains the
+    * segment index incrementally — O(new docs) per batch with state =
+    * one row per distinct segment, the same memory exact segment dedup
+    * needs in any engine — instead of rescanning the corpus per
+    * refresh. Output and oracle are identical to n73. */
+  def streamSegmentDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val firsts = runToTable(spark,
+      Dedup.firstOccurrences(Dedup.segmentsOf(documentsStream(spark, dir), k)),
+      "complete")
+    Dedup.applySegmentDedup(
+      Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), firsts)
+  }
+
   /** Streaming Bloom decontamination (s26) — n44's streaming twin and
     * the ingest-time contamination gate: the benchmark's packed-bitset
     * Bloom filter (built ONCE from the static eval set, a ≤m-position

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup.segmentDedup semantics on hand-computable fixtures: disjoint
+  * K-token segments, corpus-global keep-first by (doc_id, seg_idx),
+  * per-doc reassembly signature over the surviving segments in order. */
+class SegmentDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsOf(rows: (Long, Seq[String])*) = {
+    import spark.implicits._
+    rows.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  private def run(docs: org.apache.spark.sql.DataFrame, k: Int = 4) = {
+    import spark.implicits._
+    Dedup.segmentDedup(docs, k)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+  }
+
+  test("repeated segment is kept at its first occurrence only") {
+    val boiler = Seq("b0", "b1", "b2", "b3") // one exact 4-token segment
+    val docs = docsOf(
+      0L -> (boiler ++ Seq("a0", "a1", "a2", "a3")),
+      1L -> (boiler ++ Seq("c0", "c1", "c2", "c3")),
+      2L -> boiler) // consists ENTIRELY of an already-seen segment
+    val got = run(docs)
+    assert(got(0L)._1 == ((2L, 2L, 0L)))
+    assert(got(1L)._1 == ((2L, 1L, 1L)))
+    assert(got(2L)._1 == ((1L, 0L, 1L))) // zero kept -> md5("")
+    assert(got(2L)._2 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("first occurrence is the corpus-global (doc_id, seg_idx) minimum") {
+    // the repeat appears EARLIER in position inside doc 7 (idx 0) than
+    // in doc 3 (idx 1) — doc order wins over position order
+    val rep = Seq("r0", "r1", "r2", "r3")
+    val docs = docsOf(
+      3L -> (Seq("x0", "x1", "x2", "x3") ++ rep),
+      7L -> rep)
+    val got = run(docs)
+    assert(got(3L)._1 == ((2L, 2L, 0L))) // doc 3 keeps both segments
+    assert(got(7L)._1 == ((1L, 0L, 1L))) // doc 7's copy is stripped
+  }
+
+  test("a self-repeat within one doc keeps only the earlier copy") {
+    val rep = Seq("r0", "r1", "r2", "r3")
+    val docs = docsOf(9L -> (rep ++ rep ++ Seq("t0", "t1")))
+    val got = run(docs)
+    // 3 segments: rep(kept), rep(dropped), short tail t0 t1 (kept)
+    assert(got(9L)._1 == ((3L, 2L, 1L)))
+  }
+
+  test("short tail segments dedup like full ones; kept_sig is orderly") {
+    import spark.implicits._
+    // tail "z0 z1" (2 tokens < k) occurs in both docs
+    val docs = docsOf(
+      0L -> Seq("a0", "a1", "a2", "a3", "z0", "z1"),
+      1L -> Seq("b0", "b1", "b2", "b3", "z0", "z1"))
+    val got = run(docs)
+    assert(got(0L)._1 == ((2L, 2L, 0L)))
+    assert(got(1L)._1 == ((2L, 1L, 1L)))
+    // signatures rebuild the surviving text in segment order
+    val md5of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(got(0L)._2 == md5of("a0 a1 a2 a3 z0 z1"))
+    assert(got(1L)._2 == md5of("b0 b1 b2 b3"))
+  }
+
+  test("empty docs produce no row; whitespace-only text is empty") {
+    import spark.implicits._
+    val docs = Seq((0L, "a0 a1"), (1L, ""), (2L, "  "))
+      .toDF("doc_id", "text")
+    val got = run(docs)
+    assert(got.keySet == Set(0L))
+  }
+}
