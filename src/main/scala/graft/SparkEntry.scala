@@ -1725,6 +1725,36 @@ object SparkEntry {
         CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_checksum
       FROM documents GROUP BY lang"""))),
 
+    // O26 variant on the plain-TEXT line source (the rawest ingest
+    // format — one record per line, no schema at all): a text file
+    // carries ONE string column and no row identity, so the writer
+    // embeds the key in the line (doc_id TAB text — the fixture corpus
+    // is space-tokenized, tab-free) and the reader re-parses it. The
+    // md5-derived checksum rides the roundtrip, so newline handling,
+    // UTF-8 and the parse itself are all hash-verified; mod-8 buckets
+    // keep the result keyed without relying on row order (a text read
+    // has none).
+    "p32_text_roundtrip" -> (((s: SparkSession, d: String) => {
+      val dir = TempDirs.create("graft_text_roundtrip")
+      Tables.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }, Some("""
+      SELECT doc_id % 8 AS bucket, count(*) AS n_docs,
+        min(doc_id) AS min_id, max(doc_id) AS max_id,
+        CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+          AS text_checksum
+      FROM documents GROUP BY doc_id % 8"""))),
+
     // Hive-style partitioned parquet sink + partition-pruned read-back:
     // write documents partitioned by lang (dynamic partitioning — the
     // layout every 100 TB corpus lands in), then read ONE partition
@@ -3206,6 +3236,62 @@ object SparkEntry {
         CAST(max(n) AS BIGINT) AS n_docs
       FROM cum GROUP BY lang"""
     })),
+
+    // Cross-source score CALIBRATION: raw quality scores from different
+    // sources are not comparable (each domain has its own score
+    // distribution), so pipelines normalize to a within-source
+    // percent-rank BEFORE applying one global threshold. Score = the
+    // n69 repetition statistic (integer-exact ppb); calibrated rank =
+    // count-below * 1e6 div (n-1) — computed via the cumulative-
+    // histogram idiom (hist per (source, v), one window over DISTINCT
+    // values, join back), NEVER a per-row sort window: at 100 TB a hot
+    // domain would otherwise sort billions of rows in one partition,
+    // while distinct score values stay bounded. Gate keeps the
+    // less-repetitive half of every source (pr_ppm ≤ 500000).
+    "n74_score_calibration" -> (((s: SparkSession, d: String) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"), sum(expr("c * (c - 1)")).as("rep"))
+        .where(col("n") >= 2)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(rep AS DECIMAL(30,0)) * 1000000000 div (n * (n - 1))")
+            .cast("long").as("v"))
+      val hist = scored.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("below",
+          sum(col("c")).over(
+            Window.partitionBy(col("source")).orderBy(col("v"))) - col("c"))
+        .withColumn("n_src",
+          sum(col("c")).over(Window.partitionBy(col("source"))))
+        .where(col("n_src") > 1)
+        .select(col("source"), col("v"),
+          expr("below * 1000000 div (n_src - 1)").as("pr_ppm"))
+      scored.join(cum, Seq("source", "v"))
+        .where(col("pr_ppm") <= 500000)
+        .select(col("doc_id"), col("source"), col("v"), col("pr_ppm"))
+    }, Some(s"""
+      WITH c0 AS (SELECT doc_id, source, tok, count(*) AS c
+                  FROM (SELECT doc_id, source, unnest($toksSql) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2, 3),
+      sc AS (SELECT doc_id, source,
+               sum(c * (c - 1)) * 1000000000
+                 // (sum(c) * (sum(c) - 1)) AS v
+             FROM c0 GROUP BY doc_id, source HAVING sum(c) >= 2),
+      hist AS (SELECT source, v, count(*) AS c FROM sc GROUP BY 1, 2),
+      cum AS (SELECT source, v,
+                sum(c) OVER (PARTITION BY source ORDER BY v) - c AS below,
+                sum(c) OVER (PARTITION BY source) AS n_src
+              FROM hist)
+      SELECT doc_id, source, CAST(v AS BIGINT) AS v,
+        CAST(below * 1000000 // (n_src - 1) AS BIGINT) AS pr_ppm
+      FROM sc JOIN cum USING (source, v)
+      WHERE n_src > 1 AND below * 1000000 // (n_src - 1) <= 500000"""))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then
