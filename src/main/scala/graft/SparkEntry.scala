@@ -4418,6 +4418,19 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamDsirScore(s, d)
     }, Some(dsirOracleSql))),
 
+    // n58's model-serving twin: the batch-trained BPE vocabulary served
+    // as a broadcast model per micro-batch, encoding each arriving doc
+    // at ingest (StreamQueries.streamBpeEncode; same oracle as n58).
+    "s30_stream_bpe_encode" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamBpeEncode(s, d)
+    }, Some(s"""${bpeEncodeCtesSql(3)}
+      SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(n_sym) * 1000000 // sum(length(word)) AS BIGINT) AS ratio_ppm
+      FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) o
+      JOIN ns USING (word)
+      GROUP BY doc_id"""))),
+
     // n73's streaming twin: incremental first-occurrence segment index
     // (complete-mode min(struct) aggregation — order-independent under
     // micro-batching) + batch keep-first apply, the s19 index/verify

@@ -127,7 +127,17 @@ object Bpe {
     * fits): per doc, the BPE token count, the character count, and the
     * exact compression in ppm. The corpus is never re-tokenized
     * per-merge — the vocab table absorbs all `iters` rewrites. */
-  def encodeStats(docs: DataFrame, iters: Int): DataFrame = {
+  def encodeStats(docs: DataFrame, iters: Int): DataFrame =
+    encodeAgainst(
+      docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word")),
+      encodedVocab(docs, iters))
+
+  /** The trained MODEL of [[encodeStats]] as a standalone table:
+    * (word, n_sym) after `iters` merge steps — each word's BPE token
+    * count under the learned merges. Vocabulary-sized (broadcastable),
+    * so a stream can serve it per micro-batch the way s14 serves
+    * centroids and s27 the DSIR buckets. */
+  def encodedVocab(docs: DataFrame, iters: Int): DataFrame = {
     val v = vocab(docs).coalesce(1).localCheckpoint()
     var syms = Iterate.cut(initSymbols(v))
     var i = 1
@@ -139,13 +149,17 @@ object Bpe {
       }
       i += 1
     }
-    val nSym = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
-    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-      .join(nSym, "word")
+    syms.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+  }
+
+  /** Per-doc encode stats from a (doc_id, word) token stream and a
+    * trained (word, n_sym) vocabulary — one equi-join + one groupBy,
+    * shared verbatim by the batch (n58) and streaming (s30) paths. */
+  def encodeAgainst(tokens: DataFrame, nSym: DataFrame): DataFrame =
+    tokens.join(nSym, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_sym")).as("n_bpe"),
         sum(length(col("word")).cast("long")).as("n_chars"))
       .select(col("doc_id"), col("n_bpe"), col("n_chars"),
         expr("n_bpe * 1000000 div n_chars").as("ratio_ppm"))
-  }
 }

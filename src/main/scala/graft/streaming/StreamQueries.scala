@@ -820,6 +820,31 @@ object StreamQueries {
       Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), firsts)
   }
 
+  /** Streaming BPE encode (s30) — n58's model-serving twin and the
+    * tokenize-at-ingest shape: the merge table is trained ONCE
+    * batch-side (graft.operators.Bpe.encodedVocab — deterministic, the
+    * n57-learned merges), collapses to a vocabulary-sized (word,
+    * n_sym) model, and every arriving document is encoded by one
+    * broadcast equi-join against it per micro-batch — the same
+    * broadcast-model idiom as s14's centroids and s27's DSIR buckets.
+    * Per-doc aggregation state is one row per doc in the drained
+    * window; the model itself carries no state and re-broadcasts per
+    * batch (a production run would pin it). Drained result equals the
+    * batch n58 table row for row (same oracle). */
+  def streamBpeEncode(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import graft.operators.Bpe
+    val model = Bpe.encodedVocab(
+      graft.sources.Tables.documents(spark, dir), iters)
+      .localCheckpoint() // sever the training lineage from every batch
+    runToTable(spark,
+      Bpe.encodeAgainst(
+        documentsStream(spark, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.Text.tokens(col("text"))).as("word")),
+        broadcast(model)),
+      "complete")
+  }
+
   /** Streaming Bloom decontamination (s26) — n44's streaming twin and
     * the ingest-time contamination gate: the benchmark's packed-bitset
     * Bloom filter (built ONCE from the static eval set, a ≤m-position
