@@ -345,4 +345,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("segment dedup computes 'first' as an aggregate — no window sort " +
+      "over the hot segment key, no cartesian") {
+    // a window-function phrasing of first-occurrence would sort every
+    // occurrence of a boilerplate segment in one partition; the
+    // min(struct) aggregate is map-side combined instead
+    val p = plan("n73_segment_dedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("score calibration windows the (source, value) HISTOGRAM, not raw rows") {
+    // the percent-rank must come from the cumulative histogram (window
+    // input = post-aggregate), mirroring the a29/n69 idiom: the Window
+    // operator sits above a HashAggregate in its subtree, and the
+    // join back to scored rows is an equi-join
+    val p = plan("n74_score_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", winIdx) >= 0, p)
+  }
 }
