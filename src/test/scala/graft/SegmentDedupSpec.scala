@@ -74,6 +74,44 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == md5of("b0 b1 b2 b3"))
   }
 
+  test("forced 3-micro-batch streaming index == batch (first arrives LAST)") {
+    // the keep-first winner of a shared segment is the corpus-global
+    // min (doc_id, seg_idx) — here that doc sits in the LAST-listed
+    // stream file, so it ARRIVES after a higher-id copy was already
+    // folded into state; min(struct)'s monotonicity must converge to
+    // the batch answer anyway (the property a streaming dropDuplicates,
+    // which keeps the first arrival, would get wrong by construction)
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = TempDirs.create("segdedup-stream")
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit = {
+      val tmp = TempDirs.create("segdedup-tmp")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "d"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(dir, name))
+    }
+    val shared = "s0 s1 s2 s3"
+    writeFile("f0.parquet", Seq(7L -> s"$shared a0 a1 a2 a3"))
+    writeFile("f1.parquet", Seq(9L -> s"b0 b1 b2 b3 $shared"))
+    writeFile("f2.parquet", Seq(2L -> shared)) // the true first (min id)
+    import graft.streaming.StreamQueries
+    val streamedFirsts = StreamQueries.runToTable(spark,
+      Dedup.firstOccurrences(Dedup.segmentsOf(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(dir), 4)),
+      "complete")
+    val batchSegs = Dedup.segmentsOf(
+      spark.read.parquet(dir).select(col("doc_id"), col("text")), 4)
+    val got = Dedup.applySegmentDedup(batchSegs, streamedFirsts)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      7L -> ((2L, 1L, 1L)), // shared copy stripped (arrived first, loses)
+      9L -> ((2L, 1L, 1L)),
+      2L -> ((1L, 1L, 0L)))) // min id keeps it despite arriving last
+  }
+
   test("empty docs produce no row; whitespace-only text is empty") {
     import spark.implicits._
     val docs = Seq((0L, "a0 a1"), (1L, ""), (2L, "  "))
