@@ -514,6 +514,97 @@ object SparkEntry {
   private def kmeansOracleSql: String = s"""$kmeansCtesSql
       SELECT vec_id, cluster FROM a2"""
 
+  /** DuckDB twin of the n75/s31 product-quantization plans — the kmeans
+    * oracle idiom applied per 16-dim subspace (same quantized grid,
+    * integer-exact centroid sums, coalesce(-∞) max-CASE pivot,
+    * lowest-index argmax chain), then the ADC score as the SAME pinned
+    * left-fold of lookup CASEs the Spark plan evaluates — never an
+    * unordered SUM, so the doubles are bit-identical. */
+  private def pqAssignSql(m: Int, cents: String): String = {
+    val dotQC = foldSql((1 to 16).map(i => s"(q.qe[${m * 16 + i}] * c.c[$i])"))
+    val dotCC = foldSql((1 to 16).map(i => s"(c.c[$i] * c.c[$i])"))
+    val argmax = "CASE " + (0 until 3).map { j =>
+      val ge = (j + 1 until 4).map(l => s"cos$j >= cos$l").mkString(" AND ")
+      s"WHEN $ge THEN $j"
+    }.mkString(" ") + " ELSE 3 END"
+    s"""SELECT vec_id, $argmax AS cluster
+        FROM (SELECT p.vec_id,
+                ${(0 until 4).map(j =>
+                  s"coalesce(max(CASE WHEN p.cluster = $j THEN p.cos END), " +
+                    s"CAST('-infinity' AS DOUBLE)) AS cos$j").mkString(", ")}
+              FROM (SELECT q.vec_id, c.cluster,
+                      ($dotQC) / (q.qn$m * sqrt($dotCC)) AS cos
+                    FROM q CROSS JOIN $cents c) p
+              GROUP BY p.vec_id)"""
+  }
+
+  /** Shared WITH chain through the per-subspace refined codebooks
+    * (c1_m) and final codes — the whole train+encode twin, reused by
+    * both the n75 batch oracle and the s31 streaming-encode oracle. */
+  private def pqCodesCtesSql: String = {
+    val qeList = "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DOUBLE) " +
+      "for i in range(1, 65)]"
+    val qns = (0 until 4).map { m =>
+      "sqrt(" + foldSql((1 to 16).map(i =>
+        s"(qe[${m * 16 + i}] * qe[${m * 16 + i}])")) + s") AS qn$m"
+    }.mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH q0 AS (SELECT vec_id, $qeList AS qe FROM embeddings),
+      q AS (SELECT vec_id, qe, $qns FROM q0)""")
+    for (m <- 0 until 4) {
+      sb.append(s""",
+      c0_$m AS (SELECT CAST(vec_id AS INT) AS cluster,
+                  [qe[j] for j in range(${m * 16 + 1}, ${m * 16 + 17})] AS c
+                FROM q WHERE vec_id < 4),
+      a1_$m AS (${pqAssignSql(m, s"c0_$m")}),
+      s_$m AS (SELECT a1_$m.cluster, gi.i,
+                 CAST(sum(CAST(q.qe[${m * 16} + gi.i] AS BIGINT)) AS DOUBLE) AS s
+               FROM a1_$m JOIN q USING (vec_id) CROSS JOIN range(1, 17) gi(i)
+               GROUP BY a1_$m.cluster, gi.i),
+      c1_$m AS (SELECT cluster, list(s ORDER BY i) AS c FROM s_$m GROUP BY cluster),
+      a2_$m AS (${pqAssignSql(m, s"c1_$m")})""")
+    }
+    sb.append(s""",
+      codes AS (SELECT a2_0.vec_id, a2_0.cluster AS code0, a2_1.cluster AS code1,
+                       a2_2.cluster AS code2, a2_3.cluster AS code3
+                FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
+                     JOIN a2_3 USING (vec_id))""")
+    sb.toString
+  }
+
+  private def pqOracleSql: String = {
+    val lutCols = (for (m <- 0 until 4; j <- 0 until 4) yield
+      s"coalesce(max(CASE WHEN m = $m AND cluster = $j THEN cosv END), " +
+        s"CAST('-infinity' AS DOUBLE)) AS p${m}_$j").mkString(",\n            ")
+    val pcArms = (0 until 4).map { m =>
+      val dotQC = foldSql((1 to 16).map(i => s"(pr.qe[${m * 16 + i}] * c.c[$i])"))
+      val dotCC = foldSql((1 to 16).map(i => s"(c.c[$i] * c.c[$i])"))
+      s"""SELECT pr.probe_id, $m AS m, c.cluster,
+            ($dotQC) / (pr.qn$m * sqrt($dotCC)) AS cosv
+          FROM pr CROSS JOIN c1_$m c"""
+    }.mkString("\n          UNION ALL ")
+    val caseTerms = (0 until 4).map(m =>
+      s"CASE cd.code$m WHEN 0 THEN l.p${m}_0 WHEN 1 THEN l.p${m}_1 " +
+        s"WHEN 2 THEN l.p${m}_2 ELSE l.p${m}_3 END")
+    val adcExpr = caseTerms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    s"""$pqCodesCtesSql,
+      pr AS (SELECT vec_id AS probe_id, qe, qn0, qn1, qn2, qn3 FROM q
+             WHERE vec_id < 8),
+      pc AS ($pcArms),
+      lut AS (SELECT probe_id, $lutCols FROM pc GROUP BY probe_id),
+      adc AS (SELECT l.probe_id, cd.vec_id,
+                cd.code0, cd.code1, cd.code2, cd.code3,
+                ($adcExpr) AS adc
+              FROM codes cd CROSS JOIN lut l)
+      SELECT probe_id, rk, vec_id, code0, code1, code2, code3,
+        CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_ppm
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS rk
+            FROM adc)
+      WHERE rk <= 10"""
+  }
+
   /** n52 similarity threshold — 7/16, binary-exact in both engines'
     * literal parse (a 0.45-style literal is a DECIMAL in DuckDB whose
     * →DOUBLE conversion is not correctly rounded). */
@@ -3292,6 +3383,28 @@ object SparkEntry {
         CAST(below * 1000000 // (n_src - 1) AS BIGINT) AS pr_ppm
       FROM sc JOIN cum USING (source, v)
       WHERE n_src > 1 AND below * 1000000 // (n_src - 1) <= 500000"""))),
+
+    // Product-quantization ANN (Jégou '11): per-subspace codebooks
+    // trained with the house k-means contract, every vector compressed
+    // to 4 codes, then asymmetric-distance top-k for the probe set via
+    // per-probe lookup tables. TRAIN is one zero-shuffle scan + one
+    // M·K-row aggregate per Lloyd pass; ENCODE is one scan against the
+    // broadcast codebook row; SEARCH scores probes × N through a
+    // broadcast LUT and the rank filter collapses to per-task partial
+    // top-k (WindowGroupLimit) — nothing here is O(N²) and nothing
+    // sorts the corpus globally (operators/Pq.scala).
+    "n75_pq_ann" -> (((s: SparkSession, d: String) => {
+      graft.operators.Pq.pqAnn(Tables.embeddings(s, d))
+    }, Some(pqOracleSql))),
+
+    // n75's model-serving twin: codebooks train once batch-side, every
+    // arriving vector compresses to its 4 codes at ingest via the same
+    // broadcast-codebook zero-shuffle scan — append mode, no state
+    // (StreamQueries.streamPqEncode; oracle = the n75 codes chain).
+    "s31_stream_pq_encode" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamPqEncode(s, d)
+    }, Some(s"""$pqCodesCtesSql
+      SELECT vec_id, code0, code1, code2, code3 FROM codes"""))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

@@ -845,6 +845,27 @@ object StreamQueries {
       "complete")
   }
 
+  /** Streaming PQ encode (s31) — n75's model-serving twin and the
+    * compress-at-ingest shape of a continuously-built ANN index: the
+    * per-subspace codebooks train ONCE batch-side (graft.operators.Pq
+    * .train — deterministic, the n75-refined centroids, ≤ M·K rows
+    * total), and every arriving vector is compressed to its M codes by
+    * the same zero-shuffle broadcast-codebook scan the batch encode
+    * runs — the broadcast-model idiom of s14/s27/s30. Pure per-row
+    * map: append mode, zero state store. Drained codes equal the batch
+    * encode row for row (oracle = the n75 codes CTE chain). */
+  def streamPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val (c1, _) = Pq.train(graft.sources.Tables.embeddings(spark, dir))
+    // sever the training lineage from every micro-batch plan (the
+    // codebooks are ≤ K rows per subspace)
+    val model = c1.map(_.localCheckpoint())
+    val enc = Pq.assignAll(Pq.prepare(embeddingsStream(spark, dir)), model)
+      .select(col("vec_id"), col("code0"), col("code1"),
+        col("code2"), col("code3"))
+    runToTable(spark, enc, "append")
+  }
+
   /** Streaming Bloom decontamination (s26) — n44's streaming twin and
     * the ingest-time contamination gate: the benchmark's packed-bitset
     * Bloom filter (built ONCE from the static eval set, a ≤m-position
