@@ -514,22 +514,26 @@ object SparkEntry {
   private def kmeansOracleSql: String = s"""$kmeansCtesSql
       SELECT vec_id, cluster FROM a2"""
 
-  /** DuckDB twin of the n75/s31 product-quantization plans — the kmeans
-    * oracle idiom applied per 16-dim subspace (same quantized grid,
-    * integer-exact centroid sums, coalesce(-∞) max-CASE pivot,
-    * lowest-index argmax chain), then the ADC score as the SAME pinned
-    * left-fold of lookup CASEs the Spark plan evaluates — never an
-    * unordered SUM, so the doubles are bit-identical. */
+  /** DuckDB twin of the n75/s31/n76 product-quantization plans — the
+    * kmeans oracle idiom applied per [[Pq.SubDims]]-dim subspace (same
+    * quantized grid, integer-exact centroid sums, coalesce(-∞)
+    * max-CASE pivot, lowest-index argmax chain), then the ADC score as
+    * the SAME pinned left-fold of lookup CASEs the Spark plan
+    * evaluates — never an unordered SUM, so the doubles are
+    * bit-identical. Every K/M/SubDims/Iters loop unrolls from the SAME
+    * graft.operators.Pq constants the Spark plans read, so a
+    * codebook-scale change is a one-constant edit on both engines. */
   private def pqAssignSql(m: Int, cents: String): String = {
-    val dotQC = foldSql((1 to 16).map(i => s"(q.qe[${m * 16 + i}] * c.c[$i])"))
-    val dotCC = foldSql((1 to 16).map(i => s"(c.c[$i] * c.c[$i])"))
-    val argmax = "CASE " + (0 until 3).map { j =>
-      val ge = (j + 1 until 4).map(l => s"cos$j >= cos$l").mkString(" AND ")
+    import graft.operators.Pq.{K, SubDims}
+    val dotQC = foldSql((1 to SubDims).map(i => s"(q.qe[${m * SubDims + i}] * c.c[$i])"))
+    val dotCC = foldSql((1 to SubDims).map(i => s"(c.c[$i] * c.c[$i])"))
+    val argmax = "CASE " + (0 until K - 1).map { j =>
+      val ge = (j + 1 until K).map(l => s"cos$j >= cos$l").mkString(" AND ")
       s"WHEN $ge THEN $j"
-    }.mkString(" ") + " ELSE 3 END"
+    }.mkString(" ") + s" ELSE ${K - 1} END"
     s"""SELECT vec_id, $argmax AS cluster
         FROM (SELECT p.vec_id,
-                ${(0 until 4).map(j =>
+                ${(0 until K).map(j =>
                   s"coalesce(max(CASE WHEN p.cluster = $j THEN p.cos END), " +
                     s"CAST('-infinity' AS DOUBLE)) AS cos$j").mkString(", ")}
               FROM (SELECT q.vec_id, c.cluster,
@@ -539,70 +543,96 @@ object SparkEntry {
   }
 
   /** Shared WITH chain through the per-subspace refined codebooks
-    * (c1_m) and final codes — the whole train+encode twin, reused by
-    * both the n75 batch oracle and the s31 streaming-encode oracle. */
+    * (c{Iters}_m, aliased cf_m) and final codes — the whole
+    * train+encode twin, reused by the n75 batch oracle, the s31
+    * streaming-encode oracle and the n76 IVFADC oracle. One
+    * (assign, sums, centroids) CTE triple per subspace per Lloyd
+    * pass, exactly the [[graft.operators.Pq.trainPrepared]] loop. */
   private def pqCodesCtesSql: String = {
+    import graft.operators.Pq.{Dims, Iters, K, M, SubDims}
     val qeList = "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DOUBLE) " +
-      "for i in range(1, 65)]"
-    val qns = (0 until 4).map { m =>
-      "sqrt(" + foldSql((1 to 16).map(i =>
-        s"(qe[${m * 16 + i}] * qe[${m * 16 + i}])")) + s") AS qn$m"
+      s"for i in range(1, ${Dims + 1})]"
+    val qns = (0 until M).map { m =>
+      "sqrt(" + foldSql((1 to SubDims).map(i =>
+        s"(qe[${m * SubDims + i}] * qe[${m * SubDims + i}])")) + s") AS qn$m"
     }.mkString(", ")
     val sb = new StringBuilder
     sb.append(s"""
       WITH q0 AS (SELECT vec_id, $qeList AS qe FROM embeddings),
       q AS (SELECT vec_id, qe, $qns FROM q0)""")
-    for (m <- 0 until 4) {
+    for (m <- 0 until M) {
       sb.append(s""",
       c0_$m AS (SELECT CAST(vec_id AS INT) AS cluster,
-                  [qe[j] for j in range(${m * 16 + 1}, ${m * 16 + 17})] AS c
-                FROM q WHERE vec_id < 4),
-      a1_$m AS (${pqAssignSql(m, s"c0_$m")}),
-      s_$m AS (SELECT a1_$m.cluster, gi.i,
-                 CAST(sum(CAST(q.qe[${m * 16} + gi.i] AS BIGINT)) AS DOUBLE) AS s
-               FROM a1_$m JOIN q USING (vec_id) CROSS JOIN range(1, 17) gi(i)
-               GROUP BY a1_$m.cluster, gi.i),
-      c1_$m AS (SELECT cluster, list(s ORDER BY i) AS c FROM s_$m GROUP BY cluster),
-      a2_$m AS (${pqAssignSql(m, s"c1_$m")})""")
+                  [qe[j] for j in range(${m * SubDims + 1}, ${m * SubDims + SubDims + 1})] AS c
+                FROM q WHERE vec_id < $K)""")
+      for (it <- 1 to Iters) {
+        sb.append(s""",
+      a${it}_$m AS (${pqAssignSql(m, s"c${it - 1}_$m")}),
+      s${it}_$m AS (SELECT a${it}_$m.cluster, gi.i,
+                 CAST(sum(CAST(q.qe[${m * SubDims} + gi.i] AS BIGINT)) AS DOUBLE) AS s
+               FROM a${it}_$m JOIN q USING (vec_id) CROSS JOIN range(1, ${SubDims + 1}) gi(i)
+               GROUP BY a${it}_$m.cluster, gi.i),
+      c${it}_$m AS (SELECT cluster, list(s ORDER BY i) AS c FROM s${it}_$m GROUP BY cluster)""")
+      }
+      sb.append(s""",
+      cf_$m AS (SELECT * FROM c${Iters}_$m),
+      af_$m AS (${pqAssignSql(m, s"cf_$m")})""")
     }
     sb.append(s""",
-      codes AS (SELECT a2_0.vec_id, a2_0.cluster AS code0, a2_1.cluster AS code1,
-                       a2_2.cluster AS code2, a2_3.cluster AS code3
-                FROM a2_0 JOIN a2_1 USING (vec_id) JOIN a2_2 USING (vec_id)
-                     JOIN a2_3 USING (vec_id))""")
+      codes AS (SELECT af_0.vec_id, ${(0 until M).map(m =>
+        s"af_$m.cluster AS code$m").mkString(", ")}
+                FROM af_0 ${(1 until M).map(m =>
+                  s"JOIN af_$m USING (vec_id)").mkString(" ")})""")
     sb.toString
   }
 
-  private def pqOracleSql: String = {
-    val lutCols = (for (m <- 0 until 4; j <- 0 until 4) yield
+  /** DuckDB twin of the pinned ADC left-fold (graft.operators.Pq
+    * .adcScore): the per-subspace lookup CASE with the ELSE arm on
+    * code K-1, folded left in ascending subspace order. */
+  private def pqAdcExprSql(lutAlias: String, codesAlias: String): String = {
+    import graft.operators.Pq.{K, M}
+    val caseTerms = (0 until M).map(m =>
+      s"CASE $codesAlias.code$m " + (0 until K - 1).map(j =>
+        s"WHEN $j THEN $lutAlias.p${m}_$j").mkString(" ") +
+        s" ELSE $lutAlias.p${m}_${K - 1} END")
+    caseTerms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+  }
+
+  /** LUT pivot column list (p{m}_{j}) over a (probe_id, m, cluster,
+    * cosv) long frame — shared by the n75 and n76 oracles. */
+  private def pqLutColsSql: String = {
+    import graft.operators.Pq.{K, M}
+    (for (m <- 0 until M; j <- 0 until K) yield
       s"coalesce(max(CASE WHEN m = $m AND cluster = $j THEN cosv END), " +
         s"CAST('-infinity' AS DOUBLE)) AS p${m}_$j").mkString(",\n            ")
-    val pcArms = (0 until 4).map { m =>
-      val dotQC = foldSql((1 to 16).map(i => s"(pr.qe[${m * 16 + i}] * c.c[$i])"))
-      val dotCC = foldSql((1 to 16).map(i => s"(c.c[$i] * c.c[$i])"))
+  }
+
+  private def pqOracleSql: String = {
+    import graft.operators.Pq.{M, Probes, SubDims, TopK}
+    val pcArms = (0 until M).map { m =>
+      val dotQC = foldSql((1 to SubDims).map(i => s"(pr.qe[${m * SubDims + i}] * c.c[$i])"))
+      val dotCC = foldSql((1 to SubDims).map(i => s"(c.c[$i] * c.c[$i])"))
       s"""SELECT pr.probe_id, $m AS m, c.cluster,
             ($dotQC) / (pr.qn$m * sqrt($dotCC)) AS cosv
-          FROM pr CROSS JOIN c1_$m c"""
+          FROM pr CROSS JOIN cf_$m c"""
     }.mkString("\n          UNION ALL ")
-    val caseTerms = (0 until 4).map(m =>
-      s"CASE cd.code$m WHEN 0 THEN l.p${m}_0 WHEN 1 THEN l.p${m}_1 " +
-        s"WHEN 2 THEN l.p${m}_2 ELSE l.p${m}_3 END")
-    val adcExpr = caseTerms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    val codeCols = (0 until M).map(m => s"code$m").mkString(", ")
     s"""$pqCodesCtesSql,
-      pr AS (SELECT vec_id AS probe_id, qe, qn0, qn1, qn2, qn3 FROM q
-             WHERE vec_id < 8),
+      pr AS (SELECT vec_id AS probe_id, qe, ${(0 until M).map(m =>
+        s"qn$m").mkString(", ")} FROM q
+             WHERE vec_id < $Probes),
       pc AS ($pcArms),
-      lut AS (SELECT probe_id, $lutCols FROM pc GROUP BY probe_id),
+      lut AS (SELECT probe_id, $pqLutColsSql FROM pc GROUP BY probe_id),
       adc AS (SELECT l.probe_id, cd.vec_id,
-                cd.code0, cd.code1, cd.code2, cd.code3,
-                ($adcExpr) AS adc
+                ${(0 until M).map(m => s"cd.code$m").mkString(", ")},
+                (${pqAdcExprSql("l", "cd")}) AS adc
               FROM codes cd CROSS JOIN lut l)
-      SELECT probe_id, rk, vec_id, code0, code1, code2, code3,
+      SELECT probe_id, rk, vec_id, $codeCols,
         CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_ppm
       FROM (SELECT *, row_number() OVER
               (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS rk
             FROM adc)
-      WHERE rk <= 10"""
+      WHERE rk <= $TopK"""
   }
 
   /** n52 similarity threshold — 7/16, binary-exact in both engines'

@@ -856,10 +856,11 @@ object StreamQueries {
     * encode row for row (oracle = the n75 codes CTE chain). */
   def streamPqEncode(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
-    val (c1, _) = Pq.train(graft.sources.Tables.embeddings(spark, dir))
-    // sever the training lineage from every micro-batch plan (the
-    // codebooks are ≤ K rows per subspace)
-    val model = c1.map(_.localCheckpoint())
+    // training lineage is already severed: Pq.recomputeAll
+    // localCheckpoints the combined ≤ M·K-row model once, so each
+    // per-subspace frame is a trivial filter over the materialized
+    // model and every micro-batch plan starts from it
+    val (model, _) = Pq.train(graft.sources.Tables.embeddings(spark, dir))
     val enc = Pq.assignAll(Pq.prepare(embeddingsStream(spark, dir)), model)
       .select(col("vec_id"), col("code0"), col("code1"),
         col("code2"), col("code3"))

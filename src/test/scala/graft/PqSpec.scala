@@ -59,7 +59,7 @@ class PqSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val prepared = Pq.prepare(emb)
     val (c1, codesDf) = Pq.train(emb)
-    val lut = Pq.probeLut(prepared, c1)
+    val lut = Pq.probeLut(Pq.corpusProbes(prepared), c1)
       .collect().map { r =>
         r.getLong(0) -> (for (m <- 0 until Pq.M; j <- 0 until Pq.K)
           yield (m, j) -> r.getDouble(1 + m * Pq.K + j)).toMap
@@ -71,7 +71,7 @@ class PqSpec extends AnyFunSuite {
       (0 until Pq.M).foreach(m => acc += lut(p)((m, cs(m))))
       math.floor(acc * 1000000.0).toLong
     }
-    val full = Pq.adcTopK(codesDf, Pq.probeLut(prepared, c1))
+    val full = Pq.adcTopK(codesDf, Pq.probeLut(Pq.corpusProbes(prepared), c1))
       .select(col("probe_id"), col("rk"), col("vec_id"),
         col("code0"), col("code1"), col("code2"), col("code3"),
         col("adc_ppm"))
@@ -101,8 +101,8 @@ class PqSpec extends AnyFunSuite {
     // two files -> two micro-batches under maxFilesPerTrigger=1
     emb.where(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
     emb.where(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
-    val (c1, batchCodes) = Pq.train(emb)
-    val model = c1.map(_.localCheckpoint())
+    // model lineage already checkpointed by Pq.recomputeAll
+    val (model, batchCodes) = Pq.train(emb)
     val streamed = graft.streaming.StreamQueries.runToTable(spark,
       Pq.assignAll(Pq.prepare(
         spark.readStream.schema(spark.read.parquet(dir).schema)
