@@ -166,7 +166,10 @@ object SparkEntry {
     * exact top-k — every ingredient (cell argmin, cosine folds, LIMIT
     * tiebreaks) re-derived mechanically from the same constants the
     * Spark side uses, so recall is verified to the ppm. */
-  private def annRecallSql(k: Int): String = {
+  /** `cellc` CTE body — vec_id → IVF cell (argmin over the fixed
+    * coarse centroids, ties to the lowest cell), shared by the n72
+    * and n76 oracles. */
+  private def ivfCellcSql: String = {
     val sScores = (0 until Similarity.Cells).map { m =>
       val fold = foldSql(Similarity.centroid(m).zipWithIndex.map {
         case (c, j) => s"(CAST(embedding[${j + 1}] AS DOUBLE) * $c)"
@@ -175,6 +178,11 @@ object SparkEntry {
     }.mkString(",\n")
     val argmin = "CASE WHEN s0<=s1 AND s0<=s2 AND s0<=s3 THEN 0 " +
       "WHEN s1<=s2 AND s1<=s3 THEN 1 WHEN s2<=s3 THEN 2 ELSE 3 END"
+    s"""cellc AS (SELECT vec_id, $argmin AS cell
+        FROM (SELECT vec_id, $sScores FROM embeddings))"""
+  }
+
+  private def annRecallSql(k: Int): String = {
     val perProbe = (0 until Similarity.Probes).map { p =>
       val cells = Similarity.probeCells(p)
       s"""e$p AS (SELECT vec_id FROM
@@ -201,10 +209,82 @@ object SparkEntry {
         CAST($m * 1000000 // $k AS BIGINT) AS recall_ppm,
         CAST($m2 * 1000000 // $k AS BIGINT) AS recall_ppm_mp2"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH cellc AS (SELECT vec_id, $argmin AS cell
-        FROM (SELECT vec_id, $sScores FROM embeddings)),
+    s"""WITH $ivfCellcSql,
       $perProbe
       $rows"""
+  }
+
+  /** n76 oracle — the IVFADC composition re-derived mechanically: PQ
+    * codes from [[pqCodesCtesSql]], IVF cells from [[ivfCellcSql]],
+    * the probe ADC lookup tables from the probes' floor-quantized
+    * subvector LITERALS (dyadic × 10⁶ — integral doubles, so the
+    * literals are exact) against the trained cf_m codebooks, exact
+    * cosines from [[probeCosSql]], and every top-k as the same
+    * (score DESC, vec_id) row_number window the Spark plan runs. */
+  private def ivfPqRecallSql(k: Int): String = {
+    import graft.operators.Pq.{M, SubDims}
+    def dlit(v: Double): String = BigDecimal(v).underlying.toPlainString
+    val lutArms = (for (p <- 0 until Similarity.Probes; m <- 0 until M) yield {
+      val qe = (0 until SubDims).map(i =>
+        math.floor(Similarity.probeVec(p)(m * SubDims + i) * 1000000.0))
+      val dotQC = foldSql((0 until SubDims).map(i => s"(${dlit(qe(i))} * c.c[${i + 1}])"))
+      val qn = "sqrt(" + foldSql((0 until SubDims).map(i =>
+        s"(${dlit(qe(i))} * ${dlit(qe(i))})")) + ")"
+      val dotCC = foldSql((1 to SubDims).map(i => s"(c.c[$i] * c.c[$i])"))
+      s"""SELECT $p AS probe_id, $m AS m, c.cluster,
+            ($dotQC) / ($qn * sqrt($dotCC)) AS cosv FROM cf_$m c"""
+    }).mkString("\n          UNION ALL ")
+    val cosArms = (0 until Similarity.Probes).map(p =>
+      s"SELECT $p AS probe_id, vec_id, ${probeCosSql(p)} AS cos FROM embeddings")
+      .mkString("\n          UNION ALL ")
+    val prRows = (0 until Similarity.Probes).map { p =>
+      val cells = Similarity.probeCells(p)
+      s"SELECT CAST($p AS INT) AS probe_id, CAST(${cells(0)} AS INT) AS pcell, " +
+        s"CAST(${cells(1)} AS INT) AS pcell2"
+    }.mkString("\nUNION ALL\n")
+    def topCte(name: String, pred: String, ord: String) =
+      s"""$name AS (SELECT probe_id, vec_id FROM
+           (SELECT probe_id, vec_id, row_number() OVER
+              (PARTITION BY probe_id ORDER BY $ord DESC, vec_id) AS rk
+            FROM sc WHERE $pred)
+         WHERE rk <= $k)"""
+    def cntCte(name: String, set: String) =
+      s"""$name AS (SELECT probe_id, count(*) AS n
+           FROM ex JOIN $set USING (probe_id, vec_id) GROUP BY probe_id)"""
+    val outs = Seq("ivf" -> "c_iv1", "ivfadc" -> "c_ia1",
+      "ivf_mp2" -> "c_iv2", "ivfadc_mp2" -> "c_ia2")
+    s"""$pqCodesCtesSql,
+      $ivfCellcSql,
+      plut AS (SELECT probe_id, $pqLutColsSql
+               FROM ($lutArms) GROUP BY probe_id),
+      adc76 AS (SELECT l.probe_id, cd.vec_id, (${pqAdcExprSql("l", "cd")}) AS adc
+                FROM codes cd CROSS JOIN plut l),
+      cosf AS ($cosArms),
+      pr76 AS ($prRows),
+      sc AS (SELECT c.probe_id, c.vec_id, c.cos, a.adc, ce.cell,
+                    pr.pcell, pr.pcell2
+             FROM cosf c
+             JOIN adc76 a ON c.probe_id = a.probe_id AND c.vec_id = a.vec_id
+             JOIN cellc ce ON c.vec_id = ce.vec_id
+             JOIN pr76 pr ON c.probe_id = pr.probe_id),
+      ${topCte("ex", "TRUE", "cos")},
+      ${topCte("iv1", "cell = pcell", "cos")},
+      ${topCte("ia1", "cell = pcell", "adc")},
+      ${topCte("iv2", "cell IN (pcell, pcell2)", "cos")},
+      ${topCte("ia2", "cell IN (pcell, pcell2)", "adc")},
+      ${cntCte("c_iv1", "iv1")}, ${cntCte("c_ia1", "ia1")},
+      ${cntCte("c_iv2", "iv2")}, ${cntCte("c_ia2", "ia2")}
+      SELECT pr.probe_id, pr.pcell AS cell,
+        ${outs.map { case (s, c) =>
+          s"CAST(coalesce($c.n, 0) AS BIGINT) AS n_$s"
+        }.mkString(",\n        ")},
+        ${outs.map { case (s, c) =>
+          s"CAST(coalesce($c.n, 0) * 1000000 // $k AS BIGINT) AS recall_${s}_ppm"
+        }.mkString(",\n        ")}
+      FROM pr76 pr
+      ${outs.map { case (_, c) =>
+        s"LEFT JOIN $c ON pr.probe_id = $c.probe_id"
+      }.mkString("\n      ")}"""
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -3435,6 +3515,19 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamPqEncode(s, d)
     }, Some(s"""$pqCodesCtesSql
       SELECT vec_id, code0, code1, code2, code3 FROM codes"""))),
+
+    // IVFADC (Jégou '11 §V) — the composed billion-scale serving path
+    // n15/n75/n72 each exercise one stage of: IVF cell-prune at
+    // nprobe=1/2, THEN rank the surviving candidates by PQ asymmetric
+    // distance, with recall@10 of both IVFADC and plain IVF (exact
+    // scoring, same candidate set) against the exact full-corpus
+    // top-10 — so the ADC column's delta vs the IVF column is pure
+    // quantization loss at equal probe budget. One corpus scan builds
+    // (cell, codes) against broadcast models; every top-k collapses
+    // to WindowGroupLimit (operators/IvfPq.scala).
+    "n76_ivfpq_ann" -> (((s: SparkSession, d: String) => {
+      graft.operators.IvfPq.ivfPqRecall(Tables.embeddings(s, d), 10)
+    }, Some(ivfPqRecallSql(10)))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

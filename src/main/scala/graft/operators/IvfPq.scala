@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC (Jégou et al., TPAMI 2011, §V): the composed ANN serving
+  * path a billion-scale index actually runs per query batch — coarse
+  * IVF cell pruning first (search only the probe's nprobe nearest
+  * cells), then ranking the surviving candidates by PQ asymmetric
+  * distance (M table lookups per candidate) instead of full-precision
+  * cosine. n15 exercises the pruner alone, n75 the ADC re-ranker
+  * alone, n72 the recall harness alone; this operator runs the real
+  * pipeline and measures what the composition COSTS in recall:
+  * IVFADC's top-k vs plain IVF (exact scoring, same candidate set) at
+  * EQUAL probe budget (nprobe = 1 and 2), both against the exact
+  * full-corpus top-k ground truth.
+  *
+  * Plan, built for the 100 TB case:
+  *   - ONE corpus scan produces (vec_id, v, cell, code0..M): the IVF
+  *     cell and the PQ codes are both per-row expressions against
+  *     broadcast models (fixed coarse centroids as literals, trained
+  *     codebooks as the checkpointed ≤ M·K-row frame) — at scale this
+  *     scan is the index build, written once and bucketed by cell.
+  *   - The probe set (driver-sized) quantizes through the SAME
+  *     [[Pq.prepareKeeping]] path as the corpus, gets its ADC lookup
+  *     table from [[Pq.probeLut]], and broadcasts into the scoring
+  *     fan-out (probes × N — the price of evaluating all probes and
+  *     the ground truth in one pass; a pure serving run would filter
+  *     `cell ∈ probe cells` FIRST and scan 1/Cells of the data).
+  *   - Every top-k is a rank-filtered window that Catalyst rewrites
+  *     to WindowGroupLimit: each map task keeps its per-probe top k
+  *     BEFORE the exchange, so no shuffle ever carries the corpus.
+  *
+  * Determinism: the IVF side is [[Similarity]]'s contract (fixed
+  * dyadic centroids/probes, left-fold dot products, argmin ties to
+  * the lowest cell, vec_id tiebreaks); the PQ side is [[Pq]]'s
+  * (integer-grid quantization, pinned ADC left-fold, finite by the
+  * qn > 0 guard). Recall counts are exact integers, ppm by integer
+  * division — the oracle re-derives every row mechanically.
+  */
+object IvfPq {
+
+  /** Probe set: [[Similarity.Probes]] dyadic vectors spread across
+    * cells (the n72 harness set), as (vec_id, embedding, pcell,
+    * pcell2) — vec_id because [[Pq.prepareKeeping]] keys on it. */
+  private def probeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until Similarity.Probes)
+      .map(p => (p, Similarity.probeVec(p), Similarity.probeCell(p),
+        Similarity.probeCells(p)(1)))
+      .toDF("vec_id", "embedding", "pcell", "pcell2")
+  }
+
+  /** recall@k of IVFADC vs plain IVF at equal probe budget, one row
+    * per probe: (probe_id, cell, n_ivf, n_ivfadc, n_ivf_mp2,
+    * n_ivfadc_mp2, recall_*_ppm×4). `n_ivf` ranks the nprobe=1
+    * candidate cell by exact cosine (what n72 measures), `n_ivfadc`
+    * ranks the SAME candidates by ADC — the delta is pure
+    * quantization loss; `*_mp2` repeats both at nprobe=2. */
+  def ivfPqRecall(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    // one prepared frame feeds training, encode and the IVF cell
+    val prepared = Pq.prepareKeeping(embeddings,
+      col("embedding").cast("array<double>").as("v"))
+    val (codebooks, _) = Pq.trainPrepared(prepared)
+    val encoded = Pq.assignAll(prepared, codebooks)
+      .withColumn("cell", Similarity.ivfCell(col("v")))
+    // probes ride the same quantization path, then pick up their ADC
+    // lookup table against the trained codebooks
+    val pPrepared = Pq.prepareKeeping(probeFrame(spark),
+      col("embedding").as("pvec"), col("pcell"), col("pcell2"))
+      .withColumnRenamed("vec_id", "probe_id")
+    val lut = Pq.probeLut(pPrepared, codebooks)
+    val scored = encoded.crossJoin(broadcast(lut))
+      .select(col("probe_id"), col("pcell"), col("pcell2"),
+        col("vec_id"), col("cell"),
+        Similarity.cosine(col("v"), col("pvec")).as("cos"),
+        Pq.adcScore.as("adc"))
+    val byCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val byAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    def topIds(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+        .select(col("probe_id"), col("vec_id"))
+    val exact = topIds(scored, byCos)
+    def matched(cand: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+                out: String): DataFrame =
+      exact.join(topIds(cand, w), Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as(out))
+    val one = scored.where(col("cell") === col("pcell"))
+    val two = scored.where(col("cell") === col("pcell") ||
+      col("cell") === col("pcell2"))
+    val counts = Seq(
+      matched(one, byCos, "n_ivf"), matched(one, byAdc, "n_ivfadc"),
+      matched(two, byCos, "n_ivf_mp2"), matched(two, byAdc, "n_ivfadc_mp2"))
+    val base = probeFrame(spark)
+      .select(col("vec_id").as("probe_id"), col("pcell").as("cell"))
+    val joined = counts.foldLeft(base)((acc, m) =>
+      acc.join(m, Seq("probe_id"), "left"))
+    val filled = Seq("n_ivf", "n_ivfadc", "n_ivf_mp2", "n_ivfadc_mp2")
+      .foldLeft(joined)((df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(0L))))
+    Seq("ivf", "ivfadc", "ivf_mp2", "ivfadc_mp2").foldLeft(filled)((df, s) =>
+      df.withColumn(s"recall_${s}_ppm", expr(s"n_$s * 1000000 div $k")))
+  }
+}

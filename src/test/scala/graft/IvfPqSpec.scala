@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPq, Pq, Similarity}
+import graft.sources.Tables
+
+/** IVFADC composition invariants independent of the DuckDB oracle.
+  * The primitives are pinned elsewhere (PqSpec: codes = per-subspace
+  * argmax, LUT re-derivation; SimilaritySpec: IVF cells, exact-path
+  * recall) — what this spec re-derives in plain Scala is the
+  * COMPOSITION: candidate pruning by probe cell, the dual (exact-cos
+  * vs ADC) rankings over the same candidate set, and all four match
+  * counts; plus the information-theoretic ceiling n_ivfadc <= n_ivf
+  * (the exact-cos ranking of a candidate set recovers every ground-
+  * truth member the set contains, so no other ranking can match
+  * more). */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 10
+
+  private def fold(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  test("ivfPqRecall == plain-Scala composition over collected codes/LUT/cells, " +
+      "ADC never beats exact ranking at equal budget, nprobe=2 is a superset") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val got = IvfPq.ivfPqRecall(emb, k)
+      .select(col("probe_id"), col("cell"), col("n_ivf"), col("n_ivfadc"),
+        col("n_ivf_mp2"), col("n_ivfadc_mp2"), col("recall_ivf_ppm"),
+        col("recall_ivfadc_ppm"), col("recall_ivf_mp2_ppm"),
+        col("recall_ivfadc_mp2_ppm"))
+      .as[(Int, Int, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+
+    // ingredients: codes from the pinned trainer, LUT from the pinned
+    // probe path, vectors + cells re-derived in plain Scala
+    val prepared = Pq.prepare(emb)
+    val (cb, codesDf) = Pq.trainPrepared(prepared)
+    val codes = codesDf.as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    val probes = (0 until Similarity.Probes)
+      .map(p => (p.toLong, Similarity.probeVec(p)))
+      .toDF("vec_id", "embedding")
+    val lut = Pq.probeLut(
+      Pq.prepareKeeping(probes).withColumnRenamed("vec_id", "probe_id"), cb)
+      .collect().map { r =>
+        r.getLong(0).toInt -> (for (m <- 0 until Pq.M; j <- 0 until Pq.K)
+          yield (m, j) -> r.getDouble(1 + m * Pq.K + j)).toMap
+      }.toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .map { case (id, e) => id -> e.toArray }
+    def cellOf(v: Array[Double]): Int = {
+      val scores = (0 until Similarity.Cells).map { m =>
+        Similarity.centroidNorm2(m) - 2.0 * fold(v, Similarity.centroid(m).toArray)
+      }
+      (0 until Similarity.Cells).minBy(m => (scores(m), m))
+    }
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+
+    var adcLosesSomewhere = false
+    (0 until Similarity.Probes).foreach { p =>
+      val pv = Similarity.probeVec(p).toArray
+      val pn = math.sqrt(fold(pv, pv))
+      def cos(id: Long): Double = {
+        val v = vecs(id)
+        fold(v, pv) / (math.sqrt(fold(v, v)) * pn)
+      }
+      def adc(id: Long): Double = {
+        var acc = 0.0
+        (0 until Pq.M).foreach(m => acc += lut(p)((m, codes(id)(m))))
+        acc
+      }
+      val pcs = Similarity.probeCells(p)
+      val byCos = vecs.keys.toSeq.sortBy(id => (-cos(id), id))
+      val exact = byCos.take(k).toSet
+      def counts(nprobe: Int): (Long, Long) = {
+        val cand = vecs.keys.toSeq.filter(id => pcs.take(nprobe).contains(cells(id)))
+        val iv = cand.sortBy(id => (-cos(id), id)).take(k).toSet
+        val ia = cand.sortBy(id => (-adc(id), id)).take(k).toSet
+        ((exact & iv).size.toLong, (exact & ia).size.toLong)
+      }
+      val (iv1, ia1) = counts(1)
+      val (iv2, ia2) = counts(2)
+      assert(got(p) == ((p, pcs(0), iv1, ia1, iv2, ia2,
+        iv1 * 1000000L / k, ia1 * 1000000L / k,
+        iv2 * 1000000L / k, ia2 * 1000000L / k)), s"probe $p")
+      // exact ranking of a candidate set is the ceiling: it recovers
+      // every ground-truth member the set contains
+      assert(ia1 <= iv1 && ia2 <= iv2, s"probe $p ADC ceiling")
+      // superset candidates can only keep or gain under exact ranking
+      assert(iv2 >= iv1, s"probe $p nprobe monotonicity (exact)")
+      if (ia1 < iv1 || ia2 < iv2) adcLosesSomewhere = true
+    }
+    // non-degenerate measurement: the 2-bit fixture codebook must
+    // actually COST recall somewhere, or the harness measures nothing
+    assert(adcLosesSomewhere, "ADC should lose recall on the 2-bit fixture codebook")
+    assert(got.values.exists(_._3 > 0L), "plain IVF should match something")
+  }
+}

@@ -346,6 +346,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("IVFADC serving path: one broadcast scoring fan-out, all five top-k " +
+      "windows collapse to WindowGroupLimit, no cartesian") {
+    // the composed IVF-prune + ADC-re-rank query must keep the n72
+    // contract under the extra ADC ranking: per-task partial top-k
+    // before every exchange, probe LUT broadcast, never a cartesian
+    val p = plan("n76_ivfpq_ann")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("segment dedup computes 'first' as an aggregate — no window sort " +
       "over the hot segment key, no cartesian") {
     // a window-function phrasing of first-occurrence would sort every
