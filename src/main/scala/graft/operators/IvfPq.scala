@@ -84,7 +84,11 @@ object IvfPq {
     def topIds(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
       df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
         .select(col("probe_id"), col("vec_id"))
-    val exact = topIds(scored, byCos)
+    // the exact ground truth feeds all four match branches — checkpoint
+    // it so the scored subtree runs once for it, not four times; it is
+    // Probes·k rows (driver-sized at any corpus size), the same
+    // model-sized-cache rule as Pq.recomputeAll
+    val exact = topIds(scored, byCos).localCheckpoint()
     def matched(cand: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
                 out: String): DataFrame =
       exact.join(topIds(cand, w), Seq("probe_id", "vec_id"), "left_semi")

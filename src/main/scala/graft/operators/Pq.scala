@@ -47,12 +47,16 @@ import graft.functions.Vec
   * so K=256 sub-codebooks (8-bit codes) would average < 2 training
   * vectors per centroid and most clusters would be empty or
   * single-vector (a degenerate codebook that memorizes, not
-  * quantizes; k-means folklore wants ≥ ~10·K training points per
-  * codebook). Everything that CHANGES at production scale is already
-  * parameter-driven: [[K]]/[[M]]/[[Iters]] feed every loop here AND
-  * the generated DuckDB oracle SQL (SparkEntry's pq* builders unroll
-  * from the same constants), and the plan shapes above are invariant
-  * in K/M/Iters — bigger codebooks only widen the broadcast row
+  * quantizes). The ceiling is MEASURED, not folklore: everything is
+  * parameter-driven — [[K]]/[[M]]/[[SubDims]]/[[Iters]] feed every
+  * loop here AND the generated DuckDB oracle SQL (SparkEntry's pq*
+  * builders unroll from the same constants) — and the round-12
+  * K=8 × Iters=2 experiment stayed oracle-green while costing ~+50%
+  * per PQ query with a statistically unchanged n76 recall table (500
+  * training vectors cannot exploit the doubled codebook; BASELINE.md
+  * round-12 section). Production 8-bit × 8-subspace codebooks are the
+  * same two-constant edit: the plan shapes above are invariant in
+  * K/M/Iters — bigger codebooks only widen the broadcast row
   * (M·K·SubDims doubles: 8 MB at K=256, M=8 — still broadcastable)
   * and add Lloyd passes (one scan each).
   *
