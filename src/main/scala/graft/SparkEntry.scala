@@ -314,6 +314,49 @@ object SparkEntry {
       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
       ELSE CAST([] AS VARCHAR[]) END)"""
 
+  /** Shared oracle for n77 (batch) and s32 (streaming drain) — the HLL
+    * register table re-derived in plain SQL from the same 60-bit
+    * md5-prefix hash (functions/Hll.scala register contract). Every
+    * constant is interpolated from Hll's P-derived values, so a
+    * register-count change cannot drift the twin. ρ via `bin()` (the
+    * minimal binary string — exact integer bitlen, no log2 round-off);
+    * the estimate's factors are CAST to DOUBLE first so both engines
+    * run the identical two IEEE multiplies and one divide (DuckDB
+    * would otherwise fold 0.709·4096.0 in exact DECIMAL, up to 1 ulp
+    * off Spark's double product). The ALL merge branch carries the
+    * same null-safe sentinel guard and per-(lang, b) re-merge as
+    * Hll.assemble. */
+  private lazy val hllOracleSql: String = {
+    import graft.functions.Hll
+    val mask = (1L << Hll.SuffixBits) - 1
+    s"""
+      WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      sh AS (SELECT lang, unnest($ssetSql) AS s FROM d),
+      hv AS (SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+             FROM sh),
+      rg AS (SELECT lang, h >> ${Hll.SuffixBits} AS b,
+               max(CASE WHEN (h & $mask) = 0 THEN ${Hll.MaxRho}
+                        ELSE ${Hll.MaxRho} - length(bin(h & $mask)) END) AS r
+             FROM hv GROUP BY 1, 2),
+      mg AS (SELECT lang, b, r FROM rg
+             UNION ALL
+             SELECT 'ALL' AS lang, b, max(r) AS r FROM rg
+             WHERE lang IS DISTINCT FROM 'ALL' GROUP BY 2),
+      mg2 AS (SELECT lang, b, max(r) AS r FROM mg GROUP BY 1, 2),
+      ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs_set,
+               CAST(sum(r) AS BIGINT) AS reg_sum,
+               CAST(sum(1::BIGINT << (${Hll.MaxRho} - r)) AS BIGINT)
+                 + (${Hll.M} - count(*)) * (1::BIGINT << ${Hll.MaxRho})
+                 AS harmonic_int
+             FROM mg2 GROUP BY 1)
+      SELECT lang, n_regs_set, reg_sum,
+        CAST(harmonic_int AS BIGINT) AS harmonic_int,
+        CAST(${Hll.Alpha} AS DOUBLE) * CAST(${Hll.M2} AS DOUBLE)
+          * CAST(1::BIGINT << ${Hll.MaxRho} AS DOUBLE)
+          / CAST(harmonic_int AS DOUBLE) AS est_hll
+      FROM ag"""
+  }
+
   /** Shared oracle for the two containment pair-finders (n46 exact /
     * n63 prefix-filtered): the prefix variant is EXACT by the
     * containment prefix theorem, so both queries verify against the
@@ -3516,6 +3559,16 @@ object SparkEntry {
     }, Some(s"""$pqCodesCtesSql
       SELECT vec_id, code0, code1, code2, code3 FROM codes"""))),
 
+    // n77's streaming twin: the per-(lang, bucket) register table IS
+    // the streaming state (≤ groups·64 rows, bounded with no
+    // watermark); max merges across micro-batches pointwise, so any
+    // micro-batching drains to the batch register table (HllSpec's
+    // merge property) and the post-drain assemble reuses n77's oracle
+    // verbatim (StreamQueries.streamHllSketch).
+    "s32_stream_hll" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamHllSketch(s, d)
+    }, Some(hllOracleSql))),
+
     // IVFADC (Jégou '11 §V) — the composed billion-scale serving path
     // n15/n75/n72 each exercise one stage of: IVF cell-prune at
     // nprobe=1/2, THEN rank the surviving candidates by PQ asymmetric
@@ -3528,6 +3581,21 @@ object SparkEntry {
     "n76_ivfpq_ann" -> (((s: SparkSession, d: String) => {
       graft.operators.IvfPq.ivfPqRecall(Tables.embeddings(s, d), 10)
     }, Some(ivfPqRecallSql(10)))),
+
+    // HLL register sketch of the 3-shingle space (Flajolet '07) — the
+    // register-based sibling of n40's KMV: per-(lang, bucket) state is
+    // max(ρ) over the engine-identical 60-bit md5-prefix hash, so the
+    // DuckDB twin rebuilds the register table — and the raw harmonic
+    // estimate — bit for bit (functions/Hll.scala scaladoc: the
+    // harmonic sum is integer-ized by 2^MaxRho so the only float steps
+    // are two multiplies and a divide in the same order). The ALL row
+    // merges the per-lang registers by pointwise max (sketch-union
+    // property). Shuffle bound: ≤ groups·64 tiny (b, ρ) rows per input
+    // partition after map-side partial max, at any corpus size.
+    "n77_hll_distinct" -> (((s: SparkSession, d: String) => {
+      import graft.functions.Hll
+      Hll.assemble(Hll.registersPlan(Tables.documents(s, d)))
+    }, Some(hllOracleSql))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

@@ -52,19 +52,26 @@ import org.apache.spark.sql.functions._
 object Hll {
   /** 2^P registers. */
   val P = 6
-  val M = 64
-  /** ρ of a zero 54-bit suffix (and the max attainable ρ). */
-  val MaxRho = 55
+  val M = 1 << P
+  /** Hash bits left after the P-bit bucket index. */
+  val SuffixBits = 60 - P
+  /** ρ of a zero suffix (and the max attainable ρ). */
+  val MaxRho = SuffixBits + 1
   /** α₆₄ — Flajolet '07 Fig. 3 bias constant for m = 64. */
   val Alpha = 0.709
-  private val SuffixMask = (1L << 54) - 1
+  /** m² as a double — the only other estimate factor besides α. */
+  val M2 = (M.toLong * M).toDouble
+  /** 2^MaxRho — the integer-izing scale of the harmonic sum: an empty
+    * register's 2^(−0) term contributes exactly this. */
+  val HarmonicScale = 1L << MaxRho
+  private val SuffixMask = (1L << SuffixBits) - 1
 
   /** The shared 60-bit md5-prefix element hash (KmvAgg's idiom). */
   def hash60(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Top-6-bit register index of a 60-bit hash. */
-  def bucket(h: Column): Column = shiftright(h, 54).cast("int")
+  /** Top-P-bit register index of a 60-bit hash. */
+  def bucket(h: Column): Column = shiftright(h, SuffixBits).cast("int")
 
   /** ρ = leading-zero count of the 54-bit suffix, plus one. */
   def rho(h: Column): Column = {
@@ -92,18 +99,29 @@ object Hll {
     * exact integer witnesses of the register table (set count, ρ sum,
     * scaled harmonic sum) and the raw HLL estimate. */
   def assemble(regs: DataFrame): DataFrame = {
-    val all = regs.groupBy(col("b")).agg(max(col("r")).as("r"))
+    // null-safe sentinel guard + per-bucket re-merge: the rollup input
+    // excludes a (hypothetical) real lang literally named 'ALL' (a
+    // genuine NULL-lang group still contributes — <=> not =!=), and the
+    // groupBy(lang, b) max after the union re-merges any colliding real
+    // 'ALL' registers INTO the rollup pointwise — so the 'ALL' row is
+    // the exact sketch-union over every lang even under the collision,
+    // never a bucket double-count. For normal langs the extra agg is a
+    // no-op on already-unique (lang, b) keys, ≤ (groups+1)·M rows. The
+    // DuckDB twin carries the same IS DISTINCT FROM filter + re-merge.
+    val all = regs.where(!(col("lang") <=> lit("ALL")))
+      .groupBy(col("b")).agg(max(col("r")).as("r"))
       .select(lit("ALL").as("lang"), col("b"), col("r"))
-    val est = ((lit(Alpha) * lit(4096.0)) * lit((1L << 55).toDouble)) /
+    val est = ((lit(Alpha) * lit(M2)) * lit(HarmonicScale.toDouble)) /
       col("harmonic_int").cast("double")
     regs.select(col("lang"), col("b"), col("r")).unionByName(all)
+      .groupBy(col("lang"), col("b")).agg(max(col("r")).as("r"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_regs_set"),
         sum(col("r").cast("long")).as("reg_sum"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - r)")).as("hs"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRho - r)")).as("hs"))
       .select(col("lang"), col("n_regs_set"), col("reg_sum"),
-        (col("hs") + (lit(M.toLong) - col("n_regs_set")) * lit(1L << 55))
+        (col("hs") + (lit(M.toLong) - col("n_regs_set")) * lit(HarmonicScale))
           .as("harmonic_int"))
       .withColumn("est_hll", est)
   }
@@ -111,14 +129,16 @@ object Hll {
   /** Driver-side estimate twin (used by HllSpec): same two multiplies
     * and one divide, same order. */
   def estimate(harmonicInt: Long): Double =
-    ((Alpha * 4096.0) * (1L << 55).toDouble) / harmonicInt.toDouble
+    ((Alpha * M2) * HarmonicScale.toDouble) / harmonicInt.toDouble
 
   /** Driver-side register twin for a set of shingle hashes. */
   def registersOf(hashes: Iterable[Long]): Map[Int, Int] =
     hashes.foldLeft(Map.empty[Int, Int]) { (m, h) =>
       val b = (h >>> 54).toInt
       val w = h & SuffixMask
-      val r = if (w == 0L) MaxRho else MaxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      val r =
+        if (w == 0L) MaxRho
+        else MaxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
       if (r > m.getOrElse(b, 0)) m.updated(b, r) else m
     }
 }

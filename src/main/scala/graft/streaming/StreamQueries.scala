@@ -281,6 +281,23 @@ object StreamQueries {
   def streamKmvSketch(spark: SparkSession, dir: String): DataFrame =
     kmvFinish(runToTable(spark, kmvAggPlan(documentsStream(spark, dir)), "complete"))
 
+  /** HLL register maintenance as a STREAM (n77's streaming twin — the
+    * s15 KMV idiom with registers instead of bottom-K hashes): the
+    * streaming state IS the per-(lang, bucket) register table —
+    * `groupBy(lang, b).max(r)`, at most groups·64 tiny rows, bounded by
+    * construction with no watermark. max is monotone, associative and
+    * commutative, so ANY micro-batching drains to the identical
+    * register table as the batch build (HllSpec proves the pointwise-
+    * max merge property on the driver twin), and the post-drain
+    * [[graft.functions.Hll.assemble]] — per-lang rows plus the merged
+    * ALL row with exact integer witnesses — reuses n77's oracle
+    * verbatim. */
+  def streamHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    Hll.assemble(
+      runToTable(spark, Hll.registersPlan(documentsStream(spark, dir)), "complete"))
+  }
+
   /** a29's streaming twin (s23): the per-(lang, value) COUNT HISTOGRAM
     * is the streaming state — counts merge across micro-batches by
     * plain addition, so the drained histogram equals the batch one and
