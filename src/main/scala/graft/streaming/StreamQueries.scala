@@ -795,14 +795,9 @@ object StreamQueries {
       .flatMapGroupsWithState[BucketSeen, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[BucketSeen]) =>
-          var seen = state.getOption.getOrElse(BucketSeen(Nil)).dids
-          val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
-          rows.foreach { case (_, did) =>
-            if (!seen.contains(did)) { // re-delivery guard
-              seen.foreach(o => out += ((math.min(o, did), math.max(o, did))))
-              seen = did +: seen
-            }
-          }
+          val (seen, out) = foldBucket(
+            state.getOption.getOrElse(BucketSeen(Nil)).dids,
+            rows.map(_._2))
           state.update(BucketSeen(seen))
           out.iterator
       }.toDF("a_id", "b_id")
@@ -813,6 +808,29 @@ object StreamQueries {
 
   /** s19 per-bucket state: doc ids already seen in this (band, key). */
   final case class BucketSeen(dids: Seq[Long])
+
+  /** s19's per-bucket fold (unit-tested in SegmentDedupSpec style by
+    * LshStateSpec): each genuinely-new arrival pairs with every doc
+    * already in the bucket; re-deliveries are dropped. Membership runs
+    * through a transient HashSet so a pathological hot bucket stays
+    * O(1) per guard check — a Seq `contains` was quadratic within the
+    * bucket (r12 verdict nit) — while the STATE stays a Seq for
+    * encoder simplicity. Pair emission itself is O(|bucket|) per new
+    * doc, which is the candidate set's actual size, not overhead. */
+  private[graft] def foldBucket(prior: Seq[Long],
+      arrivals: Iterator[Long]): (Seq[Long], Seq[(Long, Long)]) = {
+    var seen = prior
+    val member = scala.collection.mutable.HashSet.empty[Long]
+    member ++= prior
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    arrivals.foreach { did =>
+      if (member.add(did)) { // O(1) re-delivery guard
+        seen.foreach(o => out += ((math.min(o, did), math.max(o, did))))
+        seen = did +: seen
+      }
+    }
+    (seen, out.toSeq)
+  }
 
   /** Streaming segment-dedup index build (s29) — n73's streaming twin:
     * as documents arrive, their disjoint K-token segments fold into a
