@@ -75,6 +75,12 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val blkByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // streaming drain accounting of the MIN-time iteration (the one the
+    // reported number comes from): per-query micro-batch counts and
+    // engine durations, so a spike splits into in-batch execution vs
+    // drain/scheduling wait from the artifact alone (StreamMetrics).
+    val streamByQuery = scala.collection.mutable.LinkedHashMap[
+      String, Seq[graft.streaming.StreamMetrics.StreamRun]]()
     val results = selected.map { case (name, fn) =>
       // a failed attempt must never become the reported min — record
       // successes only; a query with zero successes reports -1 and is
@@ -83,6 +89,7 @@ object Bench {
       var gcTotal = 0L
       var blkPeak = 0L
       val times = (1 to iters).flatMap { _ =>
+        graft.streaming.StreamMetrics.reset()
         val g0 = gcMs()
         val t0 = System.nanoTime()
         // noop sink, not count(): count lets Catalyst prune every
@@ -93,7 +100,7 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           gcTotal += gcMs() - g0
           blkPeak = math.max(blkPeak, storageBytes())
-          Some(dt)
+          Some(dt -> graft.streaming.StreamMetrics.snapshot())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -104,7 +111,11 @@ object Bench {
       gcByQuery(name) = gcTotal
       blkByQuery(name) = blkPeak
       if (times.isEmpty) { failed += name; name -> -1.0 }
-      else name -> times.min
+      else {
+        val best = times.minBy(_._1)
+        if (best._2.nonEmpty) streamByQuery(name) = best._2
+        name -> best._1
+      }
     }
     // Per-query seconds rounded to ms: full detail goes to a file and to an
     // EARLY stdout line. The FINAL stdout line stays short (<200 bytes) —
@@ -123,8 +134,19 @@ object Bench {
     val blkJson = blkByQuery.map { case (k, v) =>
       "\"" + k + "\":" + (math.rint(v / 1048576.0 * 10) / 10) }
       .mkString("{", ",", "}")
+    // only queries that drained ≥1 stream appear; `streams` counts the
+    // drains in the min-time iteration (s10's replay = 2), trigger_ms
+    // sums the engine's own triggerExecution — wall − trigger_ms/1000
+    // is time spent OUTSIDE micro-batches (scheduling/drain wait)
+    val streamJson = streamByQuery.map { case (k, runs) =>
+      "\"" + k + "\":{\"streams\":" + runs.size +
+        ",\"batches\":" + runs.map(_.batches).sum +
+        ",\"addbatch_ms\":" + runs.map(_.addBatchMs).sum +
+        ",\"trigger_ms\":" + runs.map(_.triggerMs).sum +
+        ",\"max_trigger_ms\":" + runs.map(_.maxTriggerMs).max + "}"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"stream":$streamJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()

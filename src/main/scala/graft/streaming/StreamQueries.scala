@@ -126,6 +126,16 @@ object StreamQueries {
     finally graft.TempDirs.deleteRecursively(dir)
   }
 
+  /** Await a bounded drain, then record its micro-batch durations into
+    * [[StreamMetrics]] — every stream the library starts reports the
+    * engine's own progress accounting, so a bench artifact can split
+    * streaming wall time into in-batch execution vs drain/scheduling
+    * wait (the judged-run spike attribution, StreamMetrics scaladoc). */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    StreamMetrics.record(q)
+  }
+
   /** Run a streaming frame to completion into a memory sink, return the
     * result table. AvailableNow processes all available input then stops. */
   def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame =
@@ -137,7 +147,7 @@ object StreamQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        drain(q)
         spark.table(name)
       }
     }
@@ -470,7 +480,7 @@ object StreamQueries {
         batch.write.mode("append").parquet(s"$out/data")
       }
       .start()
-    q.awaitTermination()
+    drain(q)
     spark.read.parquet(s"$out/data")
   } }
 
@@ -503,7 +513,7 @@ object StreamQueries {
         ()
       }
       .start()
-    q.awaitTermination()
+    drain(q)
     def sinkCount(name: String): DataFrame =
       spark.read.parquet(s"$out/$name")
         .agg(count(lit(1)).as("n_rows")).withColumn("sink", lit(name))
@@ -579,7 +589,7 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch(mergeBatch _)
         .start()
-      q.awaitTermination()
+      drain(q)
     } }
     runOnce()
     runOnce() // forced replay: a fresh checkpoint reprocesses ALL input
@@ -692,7 +702,7 @@ object StreamQueries {
           afterBatch(batchId)
         }
         .start()
-      q.awaitTermination()
+      drain(q)
       spark.read.parquet(s"$out/data")
     } }
 
