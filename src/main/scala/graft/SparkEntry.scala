@@ -221,10 +221,15 @@ object SparkEntry {
     * literals are exact) against the trained cf_m codebooks, exact
     * cosines from [[probeCosSql]], and every top-k as the same
     * (score DESC, vec_id) row_number window the Spark plan runs. */
-  private def ivfPqRecallSql(k: Int): String = {
+  /** UNION-ALL arms of the dyadic-probe ADC lookup table — one
+    * (probe_id, m, cluster, cosv) arm per probe × subspace, each
+    * probe's floor-quantized subvector inlined as exact literals
+    * against the trained cf_m codebooks. Shared by the n76 and n78
+    * oracles. */
+  private def ivfProbeLutArmsSql: String = {
     import graft.operators.Pq.{M, SubDims}
     def dlit(v: Double): String = BigDecimal(v).underlying.toPlainString
-    val lutArms = (for (p <- 0 until Similarity.Probes; m <- 0 until M) yield {
+    (for (p <- 0 until Similarity.Probes; m <- 0 until M) yield {
       val qe = (0 until SubDims).map(i =>
         math.floor(Similarity.probeVec(p)(m * SubDims + i) * 1000000.0))
       val dotQC = foldSql((0 until SubDims).map(i => s"(${dlit(qe(i))} * c.c[${i + 1}])"))
@@ -234,14 +239,23 @@ object SparkEntry {
       s"""SELECT $p AS probe_id, $m AS m, c.cluster,
             ($dotQC) / ($qn * sqrt($dotCC)) AS cosv FROM cf_$m c"""
     }).mkString("\n          UNION ALL ")
-    val cosArms = (0 until Similarity.Probes).map(p =>
-      s"SELECT $p AS probe_id, vec_id, ${probeCosSql(p)} AS cos FROM embeddings")
-      .mkString("\n          UNION ALL ")
-    val prRows = (0 until Similarity.Probes).map { p =>
+  }
+
+  /** (probe_id, pcell, pcell2) literal rows — the dyadic probes' two
+    * nearest coarse cells, driver-computed. Shared by n76/n78. */
+  private def ivfProbeRowsSql: String =
+    (0 until Similarity.Probes).map { p =>
       val cells = Similarity.probeCells(p)
       s"SELECT CAST($p AS INT) AS probe_id, CAST(${cells(0)} AS INT) AS pcell, " +
         s"CAST(${cells(1)} AS INT) AS pcell2"
     }.mkString("\nUNION ALL\n")
+
+  private def ivfPqRecallSql(k: Int): String = {
+    val lutArms = ivfProbeLutArmsSql
+    val cosArms = (0 until Similarity.Probes).map(p =>
+      s"SELECT $p AS probe_id, vec_id, ${probeCosSql(p)} AS cos FROM embeddings")
+      .mkString("\n          UNION ALL ")
+    val prRows = ivfProbeRowsSql
     def topCte(name: String, pred: String, ord: String) =
       s"""$name AS (SELECT probe_id, vec_id FROM
            (SELECT probe_id, vec_id, row_number() OVER
@@ -285,6 +299,35 @@ object SparkEntry {
       ${outs.map { case (_, c) =>
         s"LEFT JOIN $c ON pr.probe_id = $c.probe_id"
       }.mkString("\n      ")}"""
+  }
+
+  /** n78 oracle — the serving-shaped IVFADC result re-derived from the
+    * same CTE chain as n76 (codes, cells, probe LUT), but emitting the
+    * actual nprobe=2 ADC top-k ROWS: candidates restricted to each
+    * probe's two cells, ranked by the pinned ADC fold with the
+    * (adc DESC, vec_id) tiebreak. The oracle deliberately scores the
+    * cross product then filters — answer-equality with the Spark
+    * side's cell-equi-join plan IS the plan-changes-answer-doesn't
+    * statement. */
+  private def ivfPqServeSql(k: Int): String = {
+    s"""$pqCodesCtesSql,
+      $ivfCellcSql,
+      plut AS (SELECT probe_id, $pqLutColsSql
+               FROM ($ivfProbeLutArmsSql) GROUP BY probe_id),
+      pr78 AS ($ivfProbeRowsSql),
+      adc78 AS (SELECT l.probe_id, cd.vec_id, (${pqAdcExprSql("l", "cd")}) AS adc
+                FROM codes cd CROSS JOIN plut l),
+      sc AS (SELECT a.probe_id, a.vec_id, a.adc, ce.cell
+             FROM adc78 a
+             JOIN cellc ce ON a.vec_id = ce.vec_id
+             JOIN pr78 pr ON a.probe_id = pr.probe_id
+             WHERE ce.cell IN (pr.pcell, pr.pcell2))
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_ppm
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS rk
+            FROM sc)
+      WHERE rk <= $k"""
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -3596,6 +3639,21 @@ object SparkEntry {
       import graft.functions.Hll
       Hll.assemble(Hll.registersPlan(Tables.documents(s, d)))
     }, Some(hllOracleSql))),
+
+    // IVFADC in its SERVING shape (IvfPq.ivfPqServe): candidates
+    // cell-pruned FIRST by a literal IN over the driver-known probed
+    // cells (partition pruning on a cell-bucketed index layout — the
+    // 1/Cells scan reduction that is the reason IVF exists), then an
+    // equi-join on cell against the per-(probe, cell) LUT rows emits
+    // only ≈ nprobe/Cells of n76's probes×N fan-out, ranked by the
+    // identical ADC fold. Same model, same candidates per probe, same
+    // tiebreak as n76's nprobe=2 branch — IvfPqSpec pins row-level
+    // equality between the two plans; the oracle scores the cross
+    // product then filters, so answer-equality across the three
+    // shapes is the plan-changes-answer-doesn't statement.
+    "n78_ivfadc_serve" -> (((s: SparkSession, d: String) => {
+      graft.operators.IvfPq.ivfPqServe(Tables.embeddings(s, d), 10)
+    }, Some(ivfPqServeSql(10)))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

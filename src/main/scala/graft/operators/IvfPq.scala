@@ -44,7 +44,7 @@ object IvfPq {
   /** Probe set: [[Similarity.Probes]] dyadic vectors spread across
     * cells (the n72 harness set), as (vec_id, embedding, pcell,
     * pcell2) — vec_id because [[Pq.prepareKeeping]] keys on it. */
-  private def probeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  private[graft] def probeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     (0 until Similarity.Probes)
       .map(p => (p, Similarity.probeVec(p), Similarity.probeCell(p),
@@ -108,5 +108,70 @@ object IvfPq {
         df.withColumn(c, coalesce(col(c), lit(0L))))
     Seq("ivf", "ivfadc", "ivf_mp2", "ivfadc_mp2").foldLeft(filled)((df, s) =>
       df.withColumn(s"recall_${s}_ppm", expr(s"n_$s * 1000000 div $k")))
+  }
+
+  /** SERVING-shaped IVFADC at nprobe=2 (n78) — the production plan the
+    * [[ivfPqRecall]] harness deliberately doesn't run: candidates are
+    * cell-pruned FIRST, before any per-probe work, and the result is
+    * the actual ADC top-k rows (probe_id, rk, vec_id, cell, adc_ppm),
+    * provably identical to n76's IVFADC\@nprobe=2 ranking (IvfPqSpec
+    * pins plan-changes-answer-doesn't, the SKEW.md idiom).
+    *
+    * Two structural differences from the harness query, both the
+    * reason IVF exists:
+    *   - The candidate filter is a LITERAL `cell IN (probed cells)`
+    *     predicate — the probe cells are deterministic driver-side
+    *     values, so on a corpus stored partitioned/bucketed by cell
+    *     (the index layout an IVFADC deployment writes — the scaladoc
+    *     header's "written once and bucketed by cell") this is
+    *     partition pruning: the scan READS nprobe/Cells of the data,
+    *     the 1/Cells scan reduction of IvfPq.scala:28-30's caveat.
+    *     Here the cells are computed in-query, so the filter prunes
+    *     the fan-out, not the file scan.
+    *   - Probe × candidate scoring is an EQUI-JOIN on cell against the
+    *     per-(probe, cell) LUT rows — each candidate meets only the
+    *     probes actually probing its cell, emitting Σ_p |cells_p∩data|
+    *     scored rows (≈ nprobe/Cells · probes·N) instead of the
+    *     harness's probes × N cross-join fan-out. BenchUtil's
+    *     numOutputRows on the join node measures the reduction.
+    *
+    * Everything else — quantization grid, trained codebooks, ADC
+    * left-fold, (adc DESC, vec_id) tiebreak, WindowGroupLimit top-k —
+    * is byte-identical to the n76 path, which is what makes the
+    * equality assertion meaningful. */
+  def ivfPqServe(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prepared = Pq.prepareKeeping(embeddings,
+      col("embedding").cast("array<double>").as("v"))
+    val (codebooks, _) = Pq.trainPrepared(prepared)
+    val encoded = Pq.assignAll(prepared, codebooks)
+      .withColumn("cell", Similarity.ivfCell(col("v")))
+    // literal probed-cell set, known before the query runs — the
+    // partition-prune predicate at production layout
+    val probedCells = (0 until Similarity.Probes)
+      .flatMap(p => Similarity.probeCells(p).take(2)).distinct.sorted
+    val candidates = encoded
+      .where(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until Pq.M).map(m => col(s"code$m")): _*)
+    val pPrepared = Pq.prepareKeeping(probeFrame(spark),
+      col("pcell"), col("pcell2"))
+      .withColumnRenamed("vec_id", "probe_id")
+    // LUT exploded to one row per (probe, probed cell): the equi-join
+    // key that replaces the harness's cross-join-then-filter
+    val lutByCell = Pq.probeLut(pPrepared, codebooks)
+      .select(col("*"),
+        explode(array(col("pcell"), col("pcell2"))).as("cell"))
+      .drop("pcell", "pcell2")
+    val scored = candidates.join(broadcast(lutByCell), Seq("cell"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        Pq.adcScore.as("adc"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"),
+        floor(col("adc") * lit(1000000.0)).cast("long").as("adc_ppm"))
   }
 }

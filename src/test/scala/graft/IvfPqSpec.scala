@@ -104,4 +104,67 @@ class IvfPqSpec extends AnyFunSuite {
     assert(adcLosesSomewhere, "ADC should lose recall on the 2-bit fixture codebook")
     assert(got.values.exists(_._3 > 0L), "plain IVF should match something")
   }
+
+  test("ivfPqServe == the harness-shaped nprobe=2 ADC ranking, row for row") {
+    // plan-changes-answer-doesn't: the serving plan (literal cell
+    // filter first, equi-join on cell) must emit exactly the rows the
+    // n76-shaped fan-out (cross-join then cell filter) ranks — same
+    // model, same candidates, same (adc DESC, vec_id) tiebreak
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val serve = IvfPq.ivfPqServe(emb, k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"),
+        col("adc_ppm"))
+      .as[(Int, Int, Long, Int, Long)].collect().toSet
+
+    // reference: the harness fan-out shape, built from the same pinned
+    // primitives (cross-join LUT, then filter to the probe's 2 cells)
+    val prepared = Pq.prepareKeeping(emb,
+      col("embedding").cast("array<double>").as("v"))
+    val (cb, _) = Pq.trainPrepared(prepared)
+    val encoded = Pq.assignAll(prepared, cb)
+      .withColumn("cell", Similarity.ivfCell(col("v")))
+    val pPrepared = Pq.prepareKeeping(IvfPq.probeFrame(spark),
+      col("pcell"), col("pcell2"))
+      .withColumnRenamed("vec_id", "probe_id")
+    val lut = Pq.probeLut(pPrepared, cb)
+    val fanout = encoded.crossJoin(broadcast(lut))
+      .where(col("cell") === col("pcell") || col("cell") === col("pcell2"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        Pq.adcScore.as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"),
+        floor(col("adc") * lit(1000000.0)).cast("long").as("adc_ppm"))
+      .as[(Int, Int, Long, Int, Long)].collect().toSet
+    assert(serve.nonEmpty)
+    assert(serve == fanout)
+  }
+
+  test("serving plan scores only the cell-matched fan-out, not probes x N") {
+    // the equi-join's output row count is the candidate set size
+    // Σ_p |{v : cell(v) ∈ cells_p}| — strictly under Probes·N, the
+    // harness fan-out's row count before filtering
+    val emb = Tables.embeddings(spark, sf)
+    val df = IvfPq.ivfPqServe(emb, k)
+    // collect(), not a sink write: a write builds its OWN
+    // QueryExecution, leaving df.queryExecution's metrics untouched
+    // (the SkewBench note) — the inspected plan must be the executed one
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan
+    val n = emb.count()
+    val joinRows = BenchUtil.metricMaxWhere(plan, "numOutputRows")(p =>
+      p.nodeName.contains("BroadcastHashJoin"))
+    assert(joinRows > 0, "cell equi-join not found in the executed plan")
+    assert(joinRows < Similarity.Probes * n,
+      s"join emitted $joinRows rows, not under ${Similarity.Probes} x $n")
+    // and the probe-candidate join really is the equi-join shape on
+    // cell (the remaining BroadcastNestedLoopJoins are the 1-row
+    // model-broadcast idioms PlanSpec already contracts, never the
+    // probe fan-out)
+    assert(plan.toString.contains("BroadcastHashJoin [cell"), plan.toString)
+  }
 }
