@@ -38,6 +38,34 @@ import org.apache.spark.sql.functions._
   * (integer-grid quantization, pinned ADC left-fold, finite by the
   * qn > 0 guard). Recall counts are exact integers, ppm by integer
   * division — the oracle re-derives every row mechanically.
+  *
+  * Why RAW-vector PQ, not Jégou §V's residual encoding (x − c(cell)):
+  * a deliberate, pinned choice, for two reasons.
+  *   - GEOMETRY: residual ADC is inseparable from L2 — the
+  *     approximation d(y,x)² ≈ Σ_m ‖(y−c)_m − r̂_m‖² only means
+  *     anything as a squared distance; there is no cosine reading of
+  *     "probe residual vs candidate residual" that ranks candidates
+  *     for the probe (residual directions near an accurate centroid
+  *     are noise-dominated, and cosine discards exactly the magnitude
+  *     L2 keeps). This engine's whole cross-engine-exactness contract
+  *     is built on cosine's SCALE-INVARIANCE: training can keep
+  *     unnormalized integer centroid sums (exact BIGINT arithmetic on
+  *     both engines — [[Clustering]]/[[Pq.recomputeAll]]); an L2
+  *     codebook needs the mean, whose division rounds differently
+  *     across engines, or exact cross-multiplied comparisons whose
+  *     terms at the 10⁶ integer grid exceed 64-bit (int128/DECIMAL(38)
+  *     paths whose overflow/rounding semantics the two engines don't
+  *     share). Residual-PQ-done-faithfully would trade the repo's
+  *     bit-exact oracle for a tolerance band on its flagship ANN path.
+  *   - EVIDENCE: the r12 codebook-scale experiment (BASELINE.md
+  *     round-12 section) doubled K at Iters=2 and left the n76 recall
+  *     table statistically unchanged — ~500 training vectors cannot
+  *     exploit a finer codebook, and residual encoding is precisely a
+  *     finer-codebook play (it spends the codes on residual energy).
+  *     The recall table, not folklore, says the fixture regime has no
+  *     headroom for it; at production scale the switch is the L2
+  *     kernel above plus one subtraction in [[Pq.prepareKeeping]]'s
+  *     input expression, with the plan shapes unchanged.
   */
 object IvfPq {
 
