@@ -3655,6 +3655,19 @@ object SparkEntry {
       graft.operators.IvfPq.ivfPqServe(Tables.embeddings(s, d), 10)
     }, Some(ivfPqServeSql(10)))),
 
+    // n78 on the MATERIALIZED index layout: the encoded corpus is
+    // actually written partitionBy(cell) (the one-time index build a
+    // deployment amortizes over every query batch), read back, and
+    // served from the pruned read — cell is now a PARTITION column, so
+    // the literal IN is partition pruning proper: unprobed cells'
+    // directories never enter the scan (IvfPqSpec reads
+    // PartitionFilters + file counts off the executed plan). Oracle =
+    // n78's VERBATIM: three plans (harness fan-out / in-query prune /
+    // partitioned-store prune), one answer, one byte-identical twin.
+    "n79_ivfadc_index" -> (((s: SparkSession, d: String) => {
+      graft.operators.IvfPq.ivfPqServeIndexed(Tables.embeddings(s, d), 10)
+    }, Some(ivfPqServeSql(10)))),
+
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then
     // fill a 60%-of-corpus token budget in rank order — the "keep the

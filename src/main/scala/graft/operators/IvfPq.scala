@@ -167,21 +167,32 @@ object IvfPq {
     * left-fold, (adc DESC, vec_id) tiebreak, WindowGroupLimit top-k —
     * is byte-identical to the n76 path, which is what makes the
     * equality assertion meaningful. */
-  def ivfPqServe(embeddings: DataFrame, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  /** Literal probed-cell set at nprobe=2, known before the query runs
+    * — the partition-prune predicate at production layout. */
+  private[graft] def probedCells: Seq[Int] =
+    (0 until Similarity.Probes)
+      .flatMap(p => Similarity.probeCells(p).take(2)).distinct.sorted
+
+  /** Train on the corpus and return (codebooks, encoded corpus with
+    * its IVF cell) — the index-build stage shared by both serving
+    * shapes (private[graft]: IvfPqSpec re-uses it to write its own
+    * partitioned index for the file-level pruning proof). */
+  private[graft] def buildIndex(embeddings: DataFrame): (Seq[DataFrame], DataFrame) = {
     val prepared = Pq.prepareKeeping(embeddings,
       col("embedding").cast("array<double>").as("v"))
     val (codebooks, _) = Pq.trainPrepared(prepared)
     val encoded = Pq.assignAll(prepared, codebooks)
       .withColumn("cell", Similarity.ivfCell(col("v")))
-    // literal probed-cell set, known before the query runs — the
-    // partition-prune predicate at production layout
-    val probedCells = (0 until Similarity.Probes)
-      .flatMap(p => Similarity.probeCells(p).take(2)).distinct.sorted
-    val candidates = encoded
-      .where(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id") +: col("cell") +:
         (0 until Pq.M).map(m => col(s"code$m")): _*)
+    (codebooks, encoded)
+  }
+
+  /** The serving tail shared by [[ivfPqServe]]/[[ivfPqServeIndexed]]:
+    * per-(probe, cell) LUT rows equi-joined onto the cell-pruned
+    * candidates, ranked by the pinned ADC fold. */
+  private def serveTail(spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame, codebooks: Seq[DataFrame], k: Int): DataFrame = {
     val pPrepared = Pq.prepareKeeping(probeFrame(spark),
       col("pcell"), col("pcell2"))
       .withColumnRenamed("vec_id", "probe_id")
@@ -199,7 +210,42 @@ object IvfPq {
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc").desc, col("vec_id"))))
       .where(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"),
+      .select(col("probe_id"), col("rk"), col("vec_id"),
+        col("cell").cast("int").as("cell"),
         floor(col("adc") * lit(1000000.0)).cast("long").as("adc_ppm"))
+  }
+
+  def ivfPqServe(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (codebooks, encoded) = buildIndex(embeddings)
+    val candidates = encoded
+      .where(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+    serveTail(spark, candidates, codebooks, k)
+  }
+
+  /** The MATERIALIZED index layout (n79): [[ivfPqServe]] claims that
+    * on a cell-partitioned store the literal IN prunes the SCAN, not
+    * just the fan-out — this operator makes that claim checkable by
+    * actually writing the encoded corpus `partitionBy("cell")` (the
+    * index build a deployment runs once, amortized over every query
+    * batch), reading it back, and serving from the pruned read. `cell`
+    * comes back as a PARTITION column, so the IN predicate is
+    * partition pruning proper: directories of unprobed cells are never
+    * listed into the scan (IvfPqSpec reads PartitionFilters + the
+    * scan's file count from the executed plan; with the fixture's
+    * nprobe=2/Cells=4 every cell happens to be probed by SOME probe,
+    * so the spec also serves a nprobe=1 subset where files genuinely
+    * drop out). Same oracle as n78 VERBATIM — three plans (harness
+    * fan-out, in-query prune, partitioned-store prune), one answer,
+    * one byte-identical SQL twin: the n46/n63 idiom at its strongest. */
+  def ivfPqServeIndexed(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (codebooks, encoded) = buildIndex(embeddings)
+    val idxDir = graft.TempDirs.create("graft-ivf-index")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    val candidates = index
+      .where(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+    serveTail(spark, candidates, codebooks, k)
   }
 }

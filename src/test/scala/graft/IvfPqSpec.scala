@@ -167,4 +167,44 @@ class IvfPqSpec extends AnyFunSuite {
     // probe fan-out)
     assert(plan.toString.contains("BroadcastHashJoin [cell"), plan.toString)
   }
+
+  test("indexed serving (n79) == in-query serving (n78), row for row") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Int, Long)].collect().toSet
+    val direct = rows(IvfPq.ivfPqServe(emb, k))
+    val indexed = rows(IvfPq.ivfPqServeIndexed(emb, k))
+    assert(indexed.nonEmpty)
+    assert(indexed == direct)
+  }
+
+  test("cell-partitioned index: the literal IN is partition pruning proper") {
+    val emb = Tables.embeddings(spark, sf)
+    val (_, encoded) = IvfPq.buildIndex(emb)
+    val dir = TempDirs.create("ivfidx-spec")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      assert(df.collect() != null)
+      BenchUtil.metricMaxWhere(df.queryExecution.executedPlan, "numFiles")(
+        _.nodeName.contains("Scan"))
+    }
+    val allFiles = scanFiles(index)
+    val oneCell = Similarity.probeCells(0).head
+    val pruned = index.where(col("cell") === oneCell)
+    val prunedFiles = scanFiles(pruned)
+    // a single-cell (nprobe=1-shaped) predicate must drop the other
+    // cells' directories from the scan entirely — fewer FILES read,
+    // not just fewer rows kept (the fixture's nprobe=2 union happens
+    // to touch all 4 cells, so the file-level proof uses one cell)
+    assert(allFiles > prunedFiles && prunedFiles > 0,
+      s"files: all=$allFiles pruned=$prunedFiles")
+    // and the predicate lands in PartitionFilters, not PushedFilters —
+    // cell is a partition column in this layout
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s)PushedFilters.*", "")
+        .contains(s"cell"), planStr)
+  }
 }
