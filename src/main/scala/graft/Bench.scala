@@ -72,16 +72,29 @@ object Bench {
         System.err.println(s"[bench] cleanup failed: ${e.getMessage}")
       }
     }
+    // batch task accounting of the min-time iteration (BenchTaskMetrics
+    // scaladoc): wall splits into executor compute vs scheduler/IO wait
+    // from the artifact alone — the batch twin of the stream_ms split.
+    BenchTaskMetrics.install(spark.sparkContext)
+    // optional deterministic query-order shuffle (seeded), for the
+    // one-off position-correlation experiment on judged-run spikes
+    // (VERDICT r13 "What's wrong" #3): unset = registry order, the
+    // order every prior history entry ran in.
+    val shuffleSeed = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").map(_.toLong)
+    val ordered = shuffleSeed.fold(selected.toSeq)(seed =>
+      new scala.util.Random(seed).shuffle(selected.toSeq))
     val failed = scala.collection.mutable.ListBuffer[String]()
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val blkByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val taskByQuery = scala.collection.mutable.LinkedHashMap[
+      String, BenchTaskMetrics.TaskTotals]()
     // streaming drain accounting of the MIN-time iteration (the one the
     // reported number comes from): per-query micro-batch counts and
     // engine durations, so a spike splits into in-batch execution vs
     // drain/scheduling wait from the artifact alone (StreamMetrics).
     val streamByQuery = scala.collection.mutable.LinkedHashMap[
       String, Seq[graft.streaming.StreamMetrics.StreamRun]]()
-    val results = selected.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       // a failed attempt must never become the reported min — record
       // successes only; a query with zero successes reports -1 and is
       // listed in "failed" (silent shrinking totals would misread as a
@@ -90,6 +103,7 @@ object Bench {
       var blkPeak = 0L
       val times = (1 to iters).flatMap { _ =>
         graft.streaming.StreamMetrics.reset()
+        BenchTaskMetrics.reset()
         val g0 = gcMs()
         val t0 = System.nanoTime()
         // noop sink, not count(): count lets Catalyst prune every
@@ -100,7 +114,9 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           gcTotal += gcMs() - g0
           blkPeak = math.max(blkPeak, storageBytes())
-          Some(dt -> graft.streaming.StreamMetrics.snapshot())
+          // snapshot BEFORE cleanup so harness-hygiene jobs never count
+          Some((dt, graft.streaming.StreamMetrics.snapshot(),
+            BenchTaskMetrics.snapshot()))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -114,6 +130,7 @@ object Bench {
       else {
         val best = times.minBy(_._1)
         if (best._2.nonEmpty) streamByQuery(name) = best._2
+        taskByQuery(name) = best._3
         name -> best._1
       }
     }
@@ -124,7 +141,7 @@ object Bench {
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = ms(results.values.filter(_ >= 0).sum)
+    val total = ms(results.collect { case (_, v) if v >= 0 => v }.sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // escape ONLY at JSON interpolation — the raw path opens the file;
     // escaping the variable itself would write to a mangled filename
@@ -145,8 +162,19 @@ object Bench {
         ",\"trigger_ms\":" + runs.map(_.triggerMs).sum +
         ",\"max_trigger_ms\":" + runs.map(_.maxTriggerMs).max + "}"
     }.mkString("{", ",", "}")
+    // batch attribution of the min-time iteration: task_ms = executor
+    // compute (≤ cores × wall), sched_ms = task time outside compute —
+    // a wall spike with historical task_ms is a stall, from the
+    // artifact alone (the StreamMetrics idea extended to batch)
+    val taskJson = taskByQuery.map { case (k, t) =>
+      "\"" + k + "\":{\"tasks\":" + t.tasks +
+        ",\"task_ms\":" + t.taskMs +
+        ",\"gc_task_ms\":" + t.gcMs +
+        ",\"sched_ms\":" + t.schedMs + "}"
+    }.mkString("{", ",", "}")
+    val shuffleJson = shuffleSeed.fold("")(s => s""","shuffle_seed":$s""")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"stream":$streamJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"stream":$streamJson,"task":$taskJson$shuffleJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()

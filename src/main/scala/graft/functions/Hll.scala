@@ -73,7 +73,7 @@ object Hll {
   /** Top-P-bit register index of a 60-bit hash. */
   def bucket(h: Column): Column = shiftright(h, SuffixBits).cast("int")
 
-  /** ρ = leading-zero count of the 54-bit suffix, plus one. */
+  /** ρ = leading-zero count of the [[SuffixBits]]-bit suffix, plus one. */
   def rho(h: Column): Column = {
     val w = h.bitwiseAND(lit(SuffixMask))
     when(w === lit(0L), lit(MaxRho))
@@ -134,7 +134,9 @@ object Hll {
   /** Driver-side register twin for a set of shingle hashes. */
   def registersOf(hashes: Iterable[Long]): Map[Int, Int] =
     hashes.foldLeft(Map.empty[Int, Int]) { (m, h) =>
-      val b = (h >>> 54).toInt
+      // parameter-driven like the plan side (ADVICE r13: a hardcoded 54
+      // would silently desynchronize the twin on a future P change)
+      val b = (h >>> SuffixBits).toInt
       val w = h & SuffixMask
       val r =
         if (w == 0L) MaxRho

@@ -38,8 +38,9 @@ object StreamMetrics {
     val trig = ps.map(dur(_, "triggerExecution"))
     val run = StreamRun(
       // only batches that moved rows count as batches; AvailableNow
-      // may emit a final no-data progress entry
-      ps.count(_.numInputRows >= 0),
+      // may emit a final no-data progress entry (ADVICE r13: >= 0 was
+      // vacuously true and counted that entry)
+      ps.count(_.numInputRows > 0),
       ps.map(dur(_, "addBatch")).sum,
       trig.sum,
       if (trig.isEmpty) 0L else trig.max)
