@@ -517,9 +517,85 @@ object SparkEntry {
         AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
         AND max_len <= 20 AND stop_hits >= 2"""
 
+  /** n80's oracle: the five stages' own CTE chain (gopher gate →
+    * fingerprint keep-min → brute-force Jaccard loser drop →
+    * segment-retention gate → per-lang budget thinning), each flag
+    * built with the SAME arithmetic as the standalone oracle it reuses
+    * (n66, n10, n03/n16, n73, n38), then one UNION ALL of per-stage
+    * aggregates. The corpus signature is bit_xor over the 60-bit
+    * md5-prefix doc-id hash — exact-integer and order-independent on
+    * both engines. The LSH stage's pair subquery is O(n²) over
+    * STAGE-2 survivors, so the query rides the pair-sample input like
+    * n03/n16. */
+  private lazy val curationPipelineSql: String = {
+    val stageRows = graft.operators.Curation.Stages.map { case (nm, f) =>
+      s"""SELECT '$nm' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(bit_xor(hv), 0) AS BIGINT) AS corpus_xor
+      FROM h WHERE $f"""
+    }.mkString("\n      UNION ALL\n      ")
+    val fpSql = // n10's fingerprint over an aliased toks column
+      "md5(array_to_string(list_sort(list_distinct(toks)), ' '))"
+    s"""
+      WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM $docsT),
+      st80 AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+            list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+            list_max(list_transform(toks, t -> length(t))) AS max_len,
+            len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits
+          FROM d),
+      f1 AS (SELECT doc_id, lang, text, toks,
+            CAST(n_tokens AS BIGINT) AS tok,
+            coalesce(n_tokens BETWEEN 20 AND 1000
+              AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
+              AND max_len <= 20 AND stop_hits >= 2, FALSE) AS pass1
+          FROM st80),
+      k2 AS (SELECT $fpSql AS fp, min(doc_id) AS keep_id
+             FROM f1 WHERE pass1 GROUP BY 1),
+      f2 AS (SELECT f1.*, coalesce(pass1 AND f1.doc_id = k2.keep_id, FALSE)
+               AS pass2
+             FROM f1 LEFT JOIN k2
+               ON ${fpSql.replace("toks", "f1.toks")} = k2.fp),
+      s3 AS (SELECT doc_id, $ssetSql AS sset FROM f2 WHERE pass2),
+      losers AS (SELECT DISTINCT b.doc_id AS loser
+                 FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+                 WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8),
+      f3 AS (SELECT f2.*,
+               (pass2 AND doc_id NOT IN (SELECT loser FROM losers)) AS pass3
+             FROM f2),
+      seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+              FROM (SELECT doc_id, toks,
+                      unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i
+                    FROM f3 WHERE pass3 AND len(toks) >= 1)),
+      ret AS (SELECT doc_id, count(*) AS n_segs,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+              FROM (SELECT doc_id, row_number() OVER (PARTITION BY seg
+                      ORDER BY doc_id, seg_idx) AS rn FROM seg)
+              GROUP BY 1),
+      f4 AS (SELECT f3.*, coalesce(pass3 AND 10 * ret.n_kept >= 9 * ret.n_segs,
+               FALSE) AS pass4
+             FROM f3 LEFT JOIN ret USING (doc_id)),
+      rates AS (SELECT lang, least(1000000::BIGINT,
+                  (CASE WHEN lang = 'en' THEN ${CurBudgetEn}::BIGINT
+                        ELSE ${CurBudgetOther}::BIGINT END) * 1000000
+                  // CAST(sum(tok) AS BIGINT)) AS rate_ppm
+                FROM f4 WHERE pass4 GROUP BY lang),
+      f5 AS (SELECT f4.*, coalesce(pass4 AND
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000) < r.rate_ppm, FALSE) AS pass5
+             FROM f4 LEFT JOIN rates r USING (lang)),
+      h AS (SELECT doc_id, tok,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS hv,
+              TRUE AS pass0, pass1, pass2, pass3, pass4, pass5
+            FROM f5)
+      $stageRows"""
+  }
+
   // ------------------------------------------------------------------
   // Bounded-oracle input sampling for the O(n²) PAIR queries
-  // (n02/n03/n13/n16/n23/n24/n25/n26, and s19 which shares n03's
+  // (n02/n03/n13/n16/n23/n24/n25/n26/n80, and s19 which shares n03's
   // oracle). Their DuckDB twins are brute-
   // force all-pairs / recursive-CTE closures — quadratic in the input,
   // infeasible at sf0.1 (5k docs → 25M list_intersect pairs), which
@@ -620,6 +696,15 @@ object SparkEntry {
     * exercised. */
   private val MixBudgetEn = 10000L
   private val MixBudgetOther = 100000L
+
+  /** n80 stage-5 budgets — tighter than n38's because the pipeline's
+    * stages 1–4 shrink each language's token mass before the rates are
+    * computed: these values keep BOTH branches of the min(1,
+    * budget/actual) cap live on the gated corpus at sf0.01 and at the
+    * sampled sf0.1 (en ≈ 9k → rate < 1, small langs bracket the 2.5k
+    * budget), so the composed stage is verified non-vacuously. */
+  private val CurBudgetEn = 5000L
+  private val CurBudgetOther = 2500L
 
   /** n39 source-node id offset (doc_ids stay far below this). */
   private val SrcNodeBase = 2000000000L
@@ -3667,6 +3752,30 @@ object SparkEntry {
     "n79_ivfadc_index" -> (((s: SparkSession, d: String) => {
       graft.operators.IvfPq.ivfPqServeIndexed(Tables.embeddings(s, d), 10)
     }, Some(ivfPqServeSql(10)))),
+
+    // The COMPOSED corpus-curation pipeline — the FineWeb/Gopher-style
+    // end-to-end corpus build chaining five individually-verified
+    // stages in one declared query: n66 quality gate → n10 fingerprint
+    // dedup → n03/n16 LSH near-dup survivor pick → n73 segment index
+    // (as a ≥90%-retained doc gate) → n38-style mixture reweighting,
+    // emitting one row per stage with retention counts and an
+    // order-independent bit_xor corpus signature. EVERY stage is live
+    // at the verified fixtures (500→379→326→311→302→246 docs at
+    // sf0.01) — the stage order and policies are chosen so no gate is
+    // vacuously subsumed by a neighbor (rationale per stage in
+    // operators/Curation.scala). Survivorship is a flag column per
+    // stage on ONE flagged frame (the report is a single conditional
+    // aggregate, not five corpus rescans); each stage's index build
+    // runs over the previous stage's survivors only, in the same
+    // bounded shapes as the standalone queries. The oracle is the
+    // stages' own CTE chain — the composition proof the standalone
+    // oracles can't give. Rides the md5-bucket pair sample at sf0.1
+    // like the rest of the pair family (the LSH stage's oracle is
+    // brute-force all-pairs).
+    "n80_curation_pipeline" -> (((s: SparkSession, d: String) => {
+      graft.operators.Curation.pipeline(pairDocs(s, d),
+        CurBudgetEn, CurBudgetOther)
+    }, Some(curationPipelineSql))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Curation.pipeline semantics on a hand-computable corpus: one doc per
+  * stage policy, so each stage drops EXACTLY its own victim and the
+  * per-stage (n_docs, n_tokens, corpus_xor) rows are derivable by hand
+  * — including the stage-isolation property that a doc dropped at
+  * stage k does not participate in stage k+1's index build. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Driver-side twin of the pipeline's 60-bit md5-prefix doc hash. */
+  private def h60(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  private def xorOf(ids: Seq[Long]): Long = ids.map(h60).fold(0L)(_ ^ _)
+
+  // 24 quality-passing tokens: 21 unique 4-char tokens per prefix char
+  // (so docs never collide) plus THREE trailing stopwords — the third
+  // lets the near-dup victim replace the last token and still clear
+  // the ≥2-stopword rule (n=24 in [20,1000]; len_sum=93 in [72,240];
+  // max_len=4 ≤ 20; stop_hits=3)
+  private def uniqToks(c: Char): Seq[String] =
+    (0 until 21).map(i => f"$c${i}%02da") ++ Seq("the", "the", "the")
+
+  private def docsOf(rows: (Long, String, Seq[String])*) = {
+    import spark.implicits._
+    rows.map { case (id, lang, ts) => (id, lang, ts.mkString(" ")) }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  /** (stage → (n_docs, n_tokens, corpus_xor)) */
+  private def run(docs: org.apache.spark.sql.DataFrame,
+                  bEn: Long = 1000000L, bOther: Long = 1000000L) = {
+    import spark.implicits._
+    Curation.pipeline(docs, bEn, bOther)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("each stage drops exactly its policy's victim; dropped docs don't index") {
+    val a = uniqToks('a')
+    val c = uniqToks('c')
+    // shares c's first 8-token segment exactly, then all-new content
+    val e = c.take(8) ++ (0 until 14).map(i => f"e${i}%02da") ++ Seq("the", "the")
+    val corpus = docsOf(
+      (0L, "en", a),                      // survives everything
+      (1L, "en", a.reverse),              // fingerprint dup of 0 → stage 2
+      (2L, "en", c),                      // survives everything
+      (3L, "en", c.init :+ "zzzz"),       // 21/23 shingle-Jaccard with 2 → stage 3
+      (4L, "en", e),                      // shares seg0 with 2: 2/3 < 90% → stage 4
+      (5L, "en", Seq("too", "short")))    // fails the quality gate → stage 1
+    val got = run(corpus)
+    assert(got.size == 6)
+    assert(got("0_input") == ((6L, 24L * 5 + 2, xorOf(Seq(0L, 1L, 2L, 3L, 4L, 5L)))))
+    assert(got("1_quality") == ((5L, 120L, xorOf(Seq(0L, 1L, 2L, 3L, 4L)))))
+    assert(got("2_exact_dedup") == ((4L, 96L, xorOf(Seq(0L, 2L, 3L, 4L)))))
+    assert(got("3_near_dedup") == ((3L, 72L, xorOf(Seq(0L, 2L, 4L)))))
+    // doc 3 (dropped at stage 3) shares c's segments but must NOT
+    // participate in the stage-4 index: only doc 4's seg0 collides
+    assert(got("4_segment_gate") == ((2L, 48L, xorOf(Seq(0L, 2L)))))
+    // budgets >= actual → rate 1e6, bucket < 1e6 always: stage 5 no-op
+    assert(got("5_mixture") == got("4_segment_gate"))
+  }
+
+  test("zero budget empties the mixture stage only (coalesced empty aggregates)") {
+    val corpus = docsOf((0L, "en", uniqToks('a')), (1L, "fr", uniqToks('c')))
+    val got = run(corpus, bEn = 0L, bOther = 0L)
+    assert(got("4_segment_gate") == ((2L, 48L, xorOf(Seq(0L, 1L)))))
+    assert(got("5_mixture") == ((0L, 0L, 0L)))
+  }
+
+  test("reordered duplicate keeps the minimum doc id") {
+    val a = uniqToks('a')
+    // reorder arrives FIRST by id: keep 0, drop 1 regardless of order
+    val corpus = docsOf((0L, "en", a.reverse), (1L, "en", a))
+    val got = run(corpus)
+    assert(got("2_exact_dedup") == ((1L, 24L, xorOf(Seq(0L)))))
+  }
+}

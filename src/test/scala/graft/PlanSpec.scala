@@ -31,6 +31,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("n03_dedup_minhash_lsh").contains("CartesianProduct"))
   }
 
+  test("composed curation pipeline: no stage introduces a corpus×corpus join") {
+    val p = plan("n80_curation_pipeline")
+    // five chained stages (fingerprint index, LSH bands, segment index,
+    // rates) — every join is an equi-join or an explicit dim broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the |langs|-row mixture rates ride a broadcast, never a shuffle
+    // of the corpus side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("column pruning reaches the scan (unused lineitem columns never read)") {
     val p = plan("a01_tpch_q1")
     assert(!p.contains("l_comment") && !p.contains("l_partkey"))
