@@ -3697,6 +3697,23 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamHllSketch(s, d)
     }, Some(hllOracleSql))),
 
+    // n79's streaming maintenance twin: arriving vectors encode to
+    // (cell, codes) against the batch-trained broadcast codebooks (the
+    // identical per-row expression as the batch index build) and
+    // APPEND into the cell-partitioned parquet store via the file
+    // sink's partitionBy — no state store, exactly-once by the sink's
+    // commit log. The drained store is then served exactly like n79
+    // (partition-pruning IN + broadcast LUT equi-join), so
+    // serve-after-append equals a from-scratch batch rebuild row for
+    // row and s33 shares n78/n79's oracle VERBATIM — four plans
+    // (harness fan-out / in-query prune / batch-written store /
+    // stream-appended store), one answer, one byte-identical twin
+    // (StreamQueries.streamIvfIndexAppend; IvfPqSpec pins the
+    // equality and the store layout).
+    "s33_stream_ivf_index" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamIvfIndexAppend(s, d)
+    }, Some(ivfPqServeSql(10)))),
+
     // IVFADC (Jégou '11 §V) — the composed billion-scale serving path
     // n15/n75/n72 each exercise one stage of: IVF cell-prune at
     // nprobe=1/2, THEN rank the surviving candidates by PQ asymmetric

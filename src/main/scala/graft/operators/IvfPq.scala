@@ -173,19 +173,26 @@ object IvfPq {
     (0 until Similarity.Probes)
       .flatMap(p => Similarity.probeCells(p).take(2)).distinct.sorted
 
+  /** (vec_id, embedding) → (vec_id, cell, code0..M) against trained
+    * codebooks — the pure per-row index-ENTRY expression (broadcast
+    * model, zero shuffle) shared by the batch build and the streaming
+    * append path (s33): a vector compresses the same way whether it
+    * arrives in the initial build scan or in a later micro-batch. */
+  private[graft] def encodeAgainst(embeddings: DataFrame,
+      codebooks: Seq[DataFrame]): DataFrame =
+    Pq.assignAll(Pq.prepareKeeping(embeddings,
+        col("embedding").cast("array<double>").as("v")), codebooks)
+      .withColumn("cell", Similarity.ivfCell(col("v")))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until Pq.M).map(m => col(s"code$m")): _*)
+
   /** Train on the corpus and return (codebooks, encoded corpus with
     * its IVF cell) — the index-build stage shared by both serving
     * shapes (private[graft]: IvfPqSpec re-uses it to write its own
     * partitioned index for the file-level pruning proof). */
   private[graft] def buildIndex(embeddings: DataFrame): (Seq[DataFrame], DataFrame) = {
-    val prepared = Pq.prepareKeeping(embeddings,
-      col("embedding").cast("array<double>").as("v"))
-    val (codebooks, _) = Pq.trainPrepared(prepared)
-    val encoded = Pq.assignAll(prepared, codebooks)
-      .withColumn("cell", Similarity.ivfCell(col("v")))
-      .select(col("vec_id") +: col("cell") +:
-        (0 until Pq.M).map(m => col(s"code$m")): _*)
-    (codebooks, encoded)
+    val (codebooks, _) = Pq.train(embeddings)
+    (codebooks, encodeAgainst(embeddings, codebooks))
   }
 
   /** The serving tail shared by [[ivfPqServe]]/[[ivfPqServeIndexed]]:
@@ -243,6 +250,16 @@ object IvfPq {
     val (codebooks, encoded) = buildIndex(embeddings)
     val idxDir = graft.TempDirs.create("graft-ivf-index")
     encoded.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    serveFromStore(spark, idxDir, codebooks, k)
+  }
+
+  /** Serve from a MATERIALIZED cell-partitioned store (written by
+    * [[ivfPqServeIndexed]]'s batch build or s33's streaming append —
+    * the store layout is the contract, not who wrote it): read back,
+    * prune with the literal probed-cell IN (partition pruning proper,
+    * `cell` is a partition column), rank via [[serveTail]]. */
+  private[graft] def serveFromStore(spark: org.apache.spark.sql.SparkSession,
+      idxDir: String, codebooks: Seq[DataFrame], k: Int): DataFrame = {
     val index = spark.read.parquet(idxDir)
     val candidates = index
       .where(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))

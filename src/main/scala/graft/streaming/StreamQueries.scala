@@ -912,6 +912,44 @@ object StreamQueries {
     runToTable(spark, enc, "append")
   }
 
+  /** Streaming ANN index maintenance (s33) — the append path of n79's
+    * materialized IVFADC index: a deployment builds the
+    * cell-partitioned store once and then APPENDS arriving vectors to
+    * it. Codebooks train ONCE batch-side (the s31 broadcast-model
+    * idiom); every arriving vector compresses to (cell, codes) with
+    * the SAME per-row [[graft.operators.IvfPq.encodeAgainst]]
+    * expression as the batch build and lands in its cell's directory
+    * via the file sink's `partitionBy("cell")` — each micro-batch is a
+    * pure append of new files into the partition layout, no state
+    * store, no rewrite of existing index files (exactly-once by the
+    * sink's own commit log). After the drain the store is SERVED
+    * exactly like n79's (literal probed-cell IN = partition pruning,
+    * broadcast LUT equi-join on cell) — and since every vector encodes
+    * identically whichever path wrote it and serving reads only the
+    * store, serve-after-append equals a from-scratch batch rebuild
+    * row for row: s33 shares n78/n79's oracle VERBATIM (four plans,
+    * one answer). At scale the append amortizes index maintenance to
+    * one micro-batch write per arrival window; compaction of
+    * small-file cells is p26's Compaction operator, unchanged. */
+  def streamIvfIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfPq, Pq}
+    val (codebooks, _) = Pq.train(graft.sources.Tables.embeddings(spark, dir))
+    val enc = IvfPq.encodeAgainst(embeddingsStream(spark, dir), codebooks)
+    val idxDir = graft.TempDirs.create("graft-ivf-sindex")
+    withStreamPartitions(spark, 4) {
+      withTempCheckpoint { ckpt =>
+        val q = enc.writeStream.format("parquet")
+          .partitionBy("cell")
+          .option("path", idxDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q)
+      }
+    }
+    IvfPq.serveFromStore(spark, idxDir, codebooks, k = 10)
+  }
+
   /** Streaming Bloom decontamination (s26) — n44's streaming twin and
     * the ingest-time contamination gate: the benchmark's packed-bitset
     * Bloom filter (built ONCE from the static eval set, a ≤m-position

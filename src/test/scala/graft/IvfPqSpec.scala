@@ -179,6 +179,28 @@ class IvfPqSpec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("stream-appended store (s33) == batch rebuild serving, and the " +
+      "appended store is cell-partitioned") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long, Int, Long)].collect().toSet
+    // the streaming append path: encode per micro-batch against the
+    // batch-trained codebooks, file-sink partitionBy(cell), then serve
+    // from the drained store — must equal the batch-built serve row
+    // for row (vectors encode identically whichever path wrote them)
+    val servedDf = graft.streaming.StreamQueries.streamIvfIndexAppend(spark, sf)
+    val streamed = rows(servedDf)
+    val batch = rows(IvfPq.ivfPqServe(emb, k))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // layout proof: the drained store's serve reads cell back as a
+    // PARTITION column — the probed-cell IN is a PartitionFilter
+    // (directory pruning), not a post-scan row filter
+    val p = servedDf.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"), p)
+  }
+
   test("cell-partitioned index: the literal IN is partition pruning proper") {
     val emb = Tables.embeddings(spark, sf)
     val (_, encoded) = IvfPq.buildIndex(emb)
