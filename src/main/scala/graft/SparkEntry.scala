@@ -3714,6 +3714,26 @@ object SparkEntry {
       graft.streaming.StreamQueries.streamIvfIndexAppend(s, d)
     }, Some(ivfPqServeSql(10)))),
 
+    // n80's train/serve split: the four gate tables (fingerprint
+    // firsts, LSH losers, segment retention, lang rates) train once
+    // batch-side, materialize as parquet (the pretrained curation
+    // model — Curation.writeGates), and arriving documents flag-assign
+    // via the SAME per-row expressions + four stream-static equi-joins
+    // as the batch pipeline; append mode, no state store. The drained
+    // flag table aggregates to the identical 6-row report — s34 shares
+    // n80's oracle VERBATIM (train in batch, serve at ingest: the
+    // s14/s27/s30/s31 model-serving idiom applied to the whole
+    // curation pipeline). Rides the pair-sample input like n80.
+    "s34_stream_curation" -> (((s: SparkSession, d: String) => {
+      // gates train on the sampled corpus and the stream replays the
+      // SAME sampled corpus — both sides of the train/serve equality
+      // see the identical input (the s19 idiom)
+      val stream = sampled(
+        graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+      graft.streaming.StreamQueries.streamCurationServe(
+        s, stream, pairDocs(s, d), CurBudgetEn, CurBudgetOther)
+    }, Some(curationPipelineSql))),
+
     // IVFADC (Jégou '11 §V) — the composed billion-scale serving path
     // n15/n75/n72 each exercise one stage of: IVF cell-prune at
     // nprobe=1/2, THEN rank the surviving candidates by PQ asymmetric

@@ -1,15 +1,16 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, TextStats}
 
-/** The composed corpus-curation pipeline (n80) — the FineWeb/Gopher-
-  * style end-to-end corpus build that chains the individually-verified
-  * stages into one declared query, proving the operators compose
-  * without column or semantic collisions (every stage below is the
-  * exact arithmetic of its standalone query):
+/** The composed corpus-curation pipeline (n80) and its serving split
+  * (s34) — the FineWeb/Gopher-style end-to-end corpus build that
+  * chains the individually-verified stages into one declared query,
+  * proving the operators compose without column or semantic collisions
+  * (every stage below is the exact arithmetic of its standalone
+  * query):
   *
   *   stage 1  quality gate      — n66's Gopher rule list (integer-exact
   *                                TextStats kernel, pure per-row);
@@ -48,13 +49,26 @@ import graft.functions.{Text, TextStats}
   *                                sized so the stage is live at the
   *                                declared fixtures).
   *
-  * Output: ONE row per stage (stage, n_docs, n_tokens, corpus_xor),
-  * where corpus_xor is an order-independent corpus signature — the
-  * bit_xor of each surviving doc's 60-bit md5-prefix hash (the n27/n40
-  * hash idiom; XOR instead of sum so the digest can never overflow at
-  * any corpus size, and doc ids are unique so pair-cancellation cannot
-  * occur). The retention counts are the numbers a curation run
-  * reports; the signature pins the exact surviving doc SET per stage.
+  * TRAIN/SERVE SPLIT: the stages decompose into corpus-derived GATE
+  * TABLES ([[trainGates]]: fingerprint firsts, LSH loser set, segment
+  * retention, language rates) and a pure flag-assignment pass over
+  * docs joined against those tables ([[flagAgainst]]). The batch
+  * pipeline (n80) trains and flags in one query; the streaming twin
+  * (s34) trains the gates batch-side, MATERIALIZES them as parquet
+  * ([[writeGates]] — the pretrained-curation-model artifact a
+  * deployment ships, the n79 store idiom), and assigns flags to
+  * arriving documents with stream-static equi-joins — same
+  * expressions, same joins, so the drained flag table equals the
+  * batch one row for row and s34 shares n80's oracle verbatim.
+  *
+  * Output ([[report]]): ONE row per stage (stage, n_docs, n_tokens,
+  * corpus_xor), where corpus_xor is an order-independent corpus
+  * signature — the bit_xor of each surviving doc's 60-bit md5-prefix
+  * hash (the n27/n40 hash idiom; XOR instead of sum so the digest can
+  * never overflow at any corpus size, and doc ids are unique so
+  * pair-cancellation cannot occur). The retention counts are the
+  * numbers a curation run reports; the signature pins the exact
+  * surviving doc SET per stage.
   *
   * Plan, built for the 100 TB case:
   *  - survivorship is a FLAG COLUMN per stage on one flagged frame,
@@ -62,15 +76,14 @@ import graft.functions.{Text, TextStats}
   *    a single map-side-combined aggregate over that frame (6 × 3
   *    conditional aggregates → one exchange row per partition), then a
   *    6-row explode — no per-stage rescan of the corpus at the report;
-  *  - each stage's index is the same bounded shape as its standalone
+  *  - each gate table is the same bounded shape as its standalone
   *    query: the fingerprint firsts are a map-side-combined min
   *    aggregate equi-joined back (never a window over a hot key), the
   *    LSH stage is the banded equi-join (never all pairs), the segment
   *    index is min(struct) + equi-join, and the mixture rates ride a
   *    |langs|-row broadcast;
-  *  - later stages filter on earlier flags INSIDE their index builds,
-  *    so each index processes only its stage's input (e.g. the LSH
-  *    band join runs over stage-2 survivors only) — exactly how a
+  *  - later stages' gates build over earlier stages' survivors only,
+  *    so each index processes only its stage's input — exactly how a
   *    production pipeline narrows corpus volume stage by stage.
   *
   * Determinism: every gate is integer arithmetic on md5-derived values
@@ -85,81 +98,123 @@ object Curation {
     "2_exact_dedup" -> "pass2", "3_near_dedup" -> "pass3",
     "4_segment_gate" -> "pass4", "5_mixture" -> "pass5")
 
+  /** The corpus-derived gate tables (the "curation model"). */
+  final case class Gates(firsts: DataFrame, losers: DataFrame,
+      retention: DataFrame, rates: DataFrame)
+
   /** 60-bit md5-prefix hash of a doc id (the corpus-signature term). */
   private def hash60(id: org.apache.spark.sql.Column) =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** docs(doc_id, lang, text) → (stage, n_docs, n_tokens, corpus_xor),
-    * one row per [[Stages]] entry. `budgetEn`/`budgetOther`: stage-5
-    * per-language token budgets. */
-  def pipeline(docs: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame = {
-    // one TextStats kernel pass feeds the gate AND the token accounting
-    // (n66's single-pass contract); tok is the same whitespace count
-    // the mixture stage budgets against
-    val base = docs
-      .select(col("doc_id"), col("lang"), col("text"),
-        TextStats.textStats(col("text")).as("st"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        col("st.n_tokens").cast("long").as("tok"),
-        (col("st.n_tokens").between(20, 1000) &&
-          col("st.len_sum") >= col("st.n_tokens") * 3 &&
-          col("st.len_sum") <= col("st.n_tokens") * 10 &&
-          col("st.max_len") <= 20 && col("st.stop_hits") >= 2).as("pass1"))
+  /** One TextStats kernel pass feeds the quality gate AND the token
+    * accounting (n66's single-pass contract); tok is the same
+    * whitespace count the mixture stage budgets against. Pure per-row
+    * — identical under batch and micro-batch execution. */
+  private def statsBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), col("text"),
+      TextStats.textStats(col("text")).as("st"))
+    .select(col("doc_id"), col("lang"), col("text"),
+      col("st.n_tokens").cast("long").as("tok"),
+      (col("st.n_tokens").between(20, 1000) &&
+        col("st.len_sum") >= col("st.n_tokens") * 3 &&
+        col("st.len_sum") <= col("st.n_tokens") * 10 &&
+        col("st.max_len") <= 20 && col("st.stop_hits") >= 2).as("pass1"))
 
-    // stage 2: n10's keep-min-id per reorder-robust fingerprint,
-    // indexed over stage-1 survivors only; non-survivors join to a
-    // null keep_id, and pass1 guards the conjunction so the flag stays
-    // two-valued
-    val firsts2 = base.where(col("pass1"))
-      .groupBy(Text.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"))
-    val b2 = base.withColumn("fp", Text.fingerprint(col("text")))
-      .join(firsts2, Seq("fp"), "left")
+  // -- shared flag-extension steps: the SAME join + expression applies
+  //    the gate whether the input is the training corpus or a stream --
+
+  /** stage 2: keep-min-id per reorder-robust fingerprint; docs whose
+    * fingerprint is absent from the gate (non-survivor content) join
+    * to a null keep_id, and pass1 guards the conjunction so the flag
+    * stays two-valued. */
+  private def withPass2(df: DataFrame, firsts: DataFrame): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col("text")))
+      .join(firsts, Seq("fp"), "left")
       .withColumn("pass2", col("pass1") && col("doc_id") === col("keep_id"))
       .drop("fp", "keep_id")
 
-    // stage 3: n03's banded LSH pairs over stage-2 survivors (S-curve
-    // ≈ 1 at t=0.8, so the pair set equals brute force), n16's greedy
-    // drop-b policy
-    val losers = MinHashLsh.nearDupPairs(
-        b2.where(col("pass2")).select(col("doc_id"), col("text")),
-        "doc_id", "text", threshold = 0.8)
-      .select(col("b_id").as("loser_id")).distinct()
-    val b3 = b2.join(losers, b2("doc_id") === col("loser_id"), "left")
+  /** stage 3: greedy drop-b against the loser set. */
+  private def withPass3(df: DataFrame, losers: DataFrame): DataFrame =
+    df.join(losers, df("doc_id") === losers("loser_id"), "left")
       .withColumn("pass3", col("pass2") && col("loser_id").isNull)
       .drop("loser_id")
 
-    // stage 4: n73's first-occurrence segment index over stage-3
-    // survivors; docs retaining < 90 % of their segments drop
-    // (coalesce: non-survivors have no retention row)
-    val segs = Dedup.segmentsOf(b3.where(col("pass3")), k = 8)
-    val ret = Dedup.applySegmentDedup(segs, Dedup.firstOccurrences(segs))
-      .select(col("doc_id"), col("n_segs"), col("n_kept"))
-    val b4 = b3.join(ret, Seq("doc_id"), "left")
+  /** stage 4: ≥90 %-segment-retention gate (coalesce: docs with no
+    * retention row were not stage-3 survivors). */
+  private def withPass4(df: DataFrame, retention: DataFrame): DataFrame =
+    df.join(retention, Seq("doc_id"), "left")
       .withColumn("pass4", coalesce(
         col("pass3") && col("n_kept") * 10 >= col("n_segs") * 9, lit(false)))
       .drop("n_segs", "n_kept")
 
-    // stage 5: n38's per-language rates over stage-4 survivors (a
-    // |langs|-row broadcast), md5-bucket thinning — deterministic,
-    // reproducible, never rand(). A lang with no stage-4 survivor has
-    // no rate row; pass4 is false for all its docs, and the null-
-    // guarding coalesce keeps the flag two-valued.
+  /** stage 5: md5-bucket thinning at the lang's budget rate — a
+    * |langs|-row broadcast; a lang with no stage-4 survivor has no
+    * rate row and the coalesce keeps the flag two-valued. */
+  private def withPass5(df: DataFrame, rates: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 1000000L)
+    df.join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("pass5",
+        coalesce(col("pass4") && bucket < col("rate_ppm"), lit(false)))
+      .drop("rate_ppm")
+  }
+
+  /** Build the four gate tables from the training corpus — each over
+    * the PREVIOUS stages' survivors only, exactly the standalone
+    * queries' bounded shapes. */
+  def trainGates(docs: DataFrame, budgetEn: Long, budgetOther: Long): Gates = {
+    val base = statsBase(docs)
+    val firsts = base.where(col("pass1"))
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val b2 = withPass2(base, firsts)
+    // n03's banded LSH pairs (S-curve ≈ 1 at t=0.8, so the pair set
+    // equals brute force), n16's greedy drop-b policy
+    val losers = MinHashLsh.nearDupPairs(
+        b2.where(col("pass2")).select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.8)
+      .select(col("b_id").as("loser_id")).distinct()
+    val b3 = withPass3(b2, losers)
+    val segs = Dedup.segmentsOf(b3.where(col("pass3")), k = 8)
+    val retention = Dedup.applySegmentDedup(segs, Dedup.firstOccurrences(segs))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"))
+    val b4 = withPass4(b3, retention)
     val rates = b4.where(col("pass4")).groupBy(col("lang"))
       .agg(sum(col("tok")).as("actual"))
       .select(col("lang"), least(lit(1000000L), expr(
         s"(CASE WHEN lang = 'en' THEN ${budgetEn}L ELSE ${budgetOther}L END)" +
           " * 1000000L div actual")).as("rate_ppm"))
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 1000000L)
-    val flagged = b4.join(broadcast(rates), Seq("lang"), "left")
-      .withColumn("pass5",
-        coalesce(col("pass4") && bucket < col("rate_ppm"), lit(false)))
+    Gates(firsts, losers, retention, rates)
+  }
+
+  /** Materialize the gate tables as parquet under `dir` and return
+    * them as plain scans — the pretrained-curation-model artifact a
+    * deployment ships to its ingest tier (and the micro-batch plans
+    * then JOIN against cheap file scans instead of re-deriving the
+    * LSH/segment lineage per trigger — the n79 store idiom applied to
+    * the gates). */
+  def writeGates(spark: SparkSession, g: Gates, dir: String): Gates = {
+    def mat(df: DataFrame, name: String): DataFrame = {
+      val p = s"$dir/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    Gates(mat(g.firsts, "firsts"), mat(g.losers, "losers"),
+      mat(g.retention, "retention"), mat(g.rates, "rates"))
+  }
+
+  /** Assign every stage flag to `docs` by joining the gate tables —
+    * per-row expressions plus four equi-joins (stream-static joins
+    * when `docs` is a stream). Output: (doc_id, tok, hv, pass0..5). */
+  def flagAgainst(docs: DataFrame, g: Gates): DataFrame =
+    withPass5(withPass4(withPass3(withPass2(
+        statsBase(docs), g.firsts), g.losers), g.retention), g.rates)
       .select(col("doc_id") +: col("tok") +: hash60(col("doc_id")).as("hv") +:
         lit(true).as("pass0") +: Stages.tail.map { case (_, f) => col(f) }: _*)
 
-    // the report: ONE aggregate over the flagged frame (3 conditional
-    // aggregates per stage, map-side combined), explode to 6 rows
+  /** The report: ONE aggregate over the flagged frame (3 conditional
+    * aggregates per stage, map-side combined), explode to 6 rows. */
+  def report(flagged: DataFrame): DataFrame = {
     val aggs = Stages.flatMap { case (nm, f) => Seq(
       sum(when(col(f), 1L).otherwise(0L)).as(s"nd_$nm"),
       coalesce(sum(when(col(f), col("tok"))), lit(0L)).as(s"nt_$nm"),
@@ -174,4 +229,11 @@ object Curation {
       .select(col("s.stage"), col("s.n_docs"), col("s.n_tokens"),
         col("s.corpus_xor"))
   }
+
+  /** docs(doc_id, lang, text) → (stage, n_docs, n_tokens, corpus_xor),
+    * one row per [[Stages]] entry: train + flag + report in one
+    * declared query (n80). `budgetEn`/`budgetOther`: stage-5
+    * per-language token budgets. */
+  def pipeline(docs: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame =
+    report(flagAgainst(docs, trainGates(docs, budgetEn, budgetOther)))
 }

@@ -950,6 +950,32 @@ object StreamQueries {
     IvfPq.serveFromStore(spark, idxDir, codebooks, k = 10)
   }
 
+  /** Streaming curation serving (s34) — n80's train/serve split and
+    * the ingest-time shape of a production corpus build: the four
+    * corpus-derived gate tables (fingerprint firsts, LSH loser set,
+    * segment retention, language rates) train ONCE batch-side and are
+    * MATERIALIZED as parquet (`Curation.writeGates` — the pretrained
+    * curation model a deployment ships; micro-batch plans join cheap
+    * file scans instead of re-deriving the LSH/segment lineage per
+    * trigger). Every arriving document is then flag-assigned by the
+    * SAME per-row expressions + four stream-static equi-joins as the
+    * batch pipeline (`Curation.flagAgainst`) — append mode, no state
+    * store — and the drained flag table aggregates to the identical
+    * 6-row report: s34 shares n80's oracle VERBATIM. `docsStream`
+    * must replay the same corpus `docsBatch` trained on for the
+    * equality to be the batch-rebuild statement (the s19/s29
+    * index/verify split — the caller applies any input sampling to
+    * BOTH frames, like s19). */
+  def streamCurationServe(spark: SparkSession, docsStream: DataFrame,
+      docsBatch: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame = {
+    import graft.operators.Curation
+    val gates = Curation.writeGates(spark,
+      Curation.trainGates(docsBatch, budgetEn, budgetOther),
+      graft.TempDirs.create("graft-curation-gates"))
+    val flagged = Curation.flagAgainst(docsStream, gates)
+    Curation.report(runToTable(spark, flagged, "append"))
+  }
+
   /** Streaming Bloom decontamination (s26) — n44's streaming twin and
     * the ingest-time contamination gate: the benchmark's packed-bitset
     * Bloom filter (built ONCE from the static eval set, a ≤m-position

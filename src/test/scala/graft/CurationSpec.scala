@@ -83,4 +83,21 @@ class CurationSpec extends AnyFunSuite {
     val got = run(corpus)
     assert(got("2_exact_dedup") == ((1L, 24L, xorOf(Seq(0L)))))
   }
+
+  test("streamed serving from materialized gates == the batch pipeline (s34)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long)].collect().toSet
+    // gates train batch-side, materialize as parquet, and flag the
+    // SAME corpus arriving as a stream — the drained report must equal
+    // the one-query batch pipeline row for row
+    val streamed = rows(graft.streaming.StreamQueries.streamCurationServe(
+      spark, graft.streaming.StreamQueries.documentsStream(spark, sf),
+      docs, 5000L, 2500L))
+    val batch = rows(Curation.pipeline(docs, 5000L, 2500L))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
