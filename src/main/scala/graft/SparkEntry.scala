@@ -3717,7 +3717,7 @@ object SparkEntry {
     // n80's train/serve split: the four gate tables (fingerprint
     // firsts, LSH losers, segment retention, lang rates) train once
     // batch-side, materialize as parquet (the pretrained curation
-    // model — Curation.writeGates), and arriving documents flag-assign
+    // model — Curation.parquetMat), and arriving documents flag-assign
     // via the SAME per-row expressions + four stream-static equi-joins
     // as the batch pipeline; append mode, no state store. The drained
     // flag table aggregates to the identical 6-row report — s34 shares

@@ -954,7 +954,7 @@ object StreamQueries {
     * the ingest-time shape of a production corpus build: the four
     * corpus-derived gate tables (fingerprint firsts, LSH loser set,
     * segment retention, language rates) train ONCE batch-side and are
-    * MATERIALIZED as parquet (`Curation.writeGates` — the pretrained
+    * MATERIALIZED as parquet (`Curation.parquetMat` — the pretrained
     * curation model a deployment ships; micro-batch plans join cheap
     * file scans instead of re-deriving the LSH/segment lineage per
     * trigger). Every arriving document is then flag-assigned by the
@@ -969,9 +969,13 @@ object StreamQueries {
   def streamCurationServe(spark: SparkSession, docsStream: DataFrame,
       docsBatch: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame = {
     import graft.operators.Curation
-    val gates = Curation.writeGates(spark,
-      Curation.trainGates(docsBatch, budgetEn, budgetOther),
-      graft.TempDirs.create("graft-curation-gates"))
+    // parquetMat INSIDE trainGates: each gate is written as derived,
+    // so stage N+1's training job scans stage N's parquet instead of
+    // re-running its whole derivation (the LSH pass runs once, not
+    // once per downstream gate — see trainGates)
+    val gates = Curation.trainGates(docsBatch, budgetEn, budgetOther,
+      Curation.parquetMat(spark,
+        graft.TempDirs.create("graft-curation-gates")))
     val flagged = Curation.flagAgainst(docsStream, gates)
     Curation.report(runToTable(spark, flagged, "append"))
   }
