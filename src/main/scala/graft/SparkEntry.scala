@@ -527,13 +527,10 @@ object SparkEntry {
     * both engines. The LSH stage's pair subquery is O(n²) over
     * STAGE-2 survivors, so the query rides the pair-sample input like
     * n03/n16. */
-  private lazy val curationPipelineSql: String = {
-    val stageRows = graft.operators.Curation.Stages.map { case (nm, f) =>
-      s"""SELECT '$nm' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
-        CAST(coalesce(bit_xor(hv), 0) AS BIGINT) AS corpus_xor
-      FROM h WHERE $f"""
-    }.mkString("\n      UNION ALL\n      ")
+  /** The curation CTE chain through the flagged frames f1..f5 and the
+    * report input h — shared prefix of the n80 report oracle and n81's
+    * pack oracle (the pack consumes f5's pass5 survivors). */
+  private lazy val curationCtesSql: String = {
     val fpSql = // n10's fingerprint over an aliased toks column
       "md5(array_to_string(list_sort(list_distinct(toks)), ' '))"
     s"""
@@ -589,13 +586,35 @@ object SparkEntry {
               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                 AS hv,
               TRUE AS pass0, pass1, pass2, pass3, pass4, pass5
-            FROM f5)
-      $stageRows"""
+            FROM f5)"""
   }
+
+  private lazy val curationPipelineSql: String = {
+    val stageRows = graft.operators.Curation.Stages.map { case (nm, f) =>
+      s"""SELECT '$nm' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(bit_xor(hv), 0) AS BIGINT) AS corpus_xor
+      FROM h WHERE $f"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"$curationCtesSql\n      $stageRows"
+  }
+
+  /** n81: the n80 chain extended by n28's pack CTEs over the stage-5
+    * survivors (hugeint-to-bigint casts as in n28's oracle). */
+  private lazy val curationPackSql: String = s"""$curationCtesSql,
+      surv AS (SELECT lang, doc_id, tok FROM f5 WHERE pass5),
+      cum AS (SELECT lang, tok, sum(tok) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM surv)
+      SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS pack_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS pack_tokens
+      FROM cum GROUP BY 1, 2"""
 
   // ------------------------------------------------------------------
   // Bounded-oracle input sampling for the O(n²) PAIR queries
-  // (n02/n03/n13/n16/n23/n24/n25/n26/n80, and s19 which shares n03's
+  // (n02/n03/n13/n16/n23/n24/n25/n26/n80/n81, and s19 which shares n03's
   // oracle). Their DuckDB twins are brute-
   // force all-pairs / recursive-CTE closures — quadratic in the input,
   // infeasible at sf0.1 (5k docs → 25M list_intersect pairs), which
@@ -3813,6 +3832,22 @@ object SparkEntry {
       graft.operators.Curation.pipeline(pairDocs(s, d),
         CurBudgetEn, CurBudgetOther)
     }, Some(curationPipelineSql))),
+
+    // Curate THEN pack (n81) — the step a real corpus build runs after
+    // n80: the stage-5 survivors laid end-to-end per language in
+    // deterministic doc_id order and chopped into 512-token training
+    // sequences (n28's concat-then-chop arithmetic verbatim), emitting
+    // the (lang, pack_id, n_docs, pack_tokens) manifest a loader
+    // consumes. This is the composition the standalone queries can't
+    // prove: every pack offset depends on every upstream gate's
+    // survivor set, so a single column/semantic collision anywhere in
+    // the chain shifts the manifest. Oracle = the n80 CTE chain
+    // extended by n28's pack CTEs. Rides the pair sample at sf0.1
+    // (contains the LSH stage).
+    "n81_curation_pack" -> (((s: SparkSession, d: String) => {
+      graft.operators.Curation.packPipeline(pairDocs(s, d),
+        CurBudgetEn, CurBudgetOther)
+    }, Some(curationPackSql))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

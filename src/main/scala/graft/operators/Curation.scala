@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, TextStats}
@@ -217,12 +218,17 @@ object Curation {
       spark.read.parquet(p)
     }
 
+  /** The full flagged frame (doc_id, lang, text, tok, pass1..5) — the
+    * shared core of [[flagAgainst]] and [[packPipeline]]. */
+  private def flagsFull(docs: DataFrame, g: Gates): DataFrame =
+    withPass5(withPass4(withPass3(withPass2(
+        statsBase(docs), g.firsts), g.losers), g.retention), g.rates)
+
   /** Assign every stage flag to `docs` by joining the gate tables —
     * per-row expressions plus four equi-joins (stream-static joins
     * when `docs` is a stream). Output: (doc_id, tok, hv, pass0..5). */
   def flagAgainst(docs: DataFrame, g: Gates): DataFrame =
-    withPass5(withPass4(withPass3(withPass2(
-        statsBase(docs), g.firsts), g.losers), g.retention), g.rates)
+    flagsFull(docs, g)
       .select(col("doc_id") +: col("tok") +: hash60(col("doc_id")).as("hv") +:
         lit(true).as("pass0") +: Stages.tail.map { case (_, f) => col(f) }: _*)
 
@@ -259,4 +265,40 @@ object Curation {
   def pipeline(docs: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame =
     report(flagAgainst(docs, trainGates(docs, budgetEn, budgetOther,
       (df, _) => df.localCheckpoint())))
+
+  /** Curate THEN tokenize-and-pack (n81) — the step after n80 in a real
+    * corpus build: the stage-5 survivors are laid end-to-end per
+    * language in deterministic doc_id order and chopped into
+    * `packTokens`-token training sequences (n28's concat-then-chop
+    * arithmetic verbatim: a doc's pack = its starting offset div the
+    * budget). Output: (lang, pack_id, n_docs, pack_tokens) — the pack
+    * manifest a tokenizer/loader consumes.
+    *
+    * This is the composition the standalone queries can't prove: the
+    * packer consumes the CURATED corpus (so pack offsets depend on
+    * every upstream gate's survivor set), and its oracle is the n80
+    * CTE chain extended by n28's pack CTEs.
+    *
+    * Scale shape: the curation part is [[pipeline]]'s (gates built once
+    * over narrowing survivor sets, lineage-cut); the pack is one
+    * per-language window sum + partial agg — n28's declared
+    * deterministic-global-concat semantics, where per-language
+    * parallelism is the contract (a 100 TB build shards to
+    * (lang, shard) with shard offsets composed from per-shard totals —
+    * one |shards|-row driver pass — when a single language outgrows
+    * one task's sort; the arithmetic is unchanged). */
+  def packPipeline(docs: DataFrame, budgetEn: Long, budgetOther: Long,
+      packTokens: Int = 512): DataFrame = {
+    val flagged = flagsFull(docs, trainGates(docs, budgetEn, budgetOther,
+      (df, _) => df.localCheckpoint()))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged.where(col("pass5"))
+      .select(col("lang"), col("doc_id"), col("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("lang"), col("tok"),
+        expr(s"(cum - tok) div $packTokens").as("pack_id"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+  }
 }

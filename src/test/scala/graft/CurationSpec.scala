@@ -84,6 +84,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got("2_exact_dedup") == ((1L, 24L, xorOf(Seq(0L)))))
   }
 
+  test("packPipeline chops the stage-5 survivors at their curated offsets (n81)") {
+    import spark.implicits._
+    val a = uniqToks('a')
+    val c = uniqToks('c')
+    // all three docs survive every gate (unique content, quality-passing,
+    // budgets >= actual); survivors concat per lang in doc_id order
+    val corpus = docsOf((0L, "en", a), (2L, "en", c), (1L, "fr", uniqToks('d')))
+    def packs(budget: Int) =
+      Curation.packPipeline(corpus, 1000000L, 1000000L, packTokens = budget)
+        .as[(String, Long, Long, Long)].collect().toSet
+    // budget 20 < doc size 24: en doc 0 starts at offset 0 -> pack 0,
+    // en doc 2 starts at offset 24 -> pack 1; fr restarts at 0
+    assert(packs(20) == Set(("en", 0L, 1L, 24L), ("en", 1L, 1L, 24L),
+      ("fr", 0L, 1L, 24L)))
+    // budget 512: one pack per lang; totals must equal the report's
+    // stage-5 row (the packer consumes exactly the curated corpus)
+    assert(packs(512) == Set(("en", 0L, 2L, 48L), ("fr", 0L, 1L, 24L)))
+    val stage5 = run(corpus)("5_mixture")
+    assert(packs(512).toSeq.map(_._4).sum == stage5._2)
+    assert(packs(512).toSeq.map(_._3).sum == stage5._1)
+  }
+
   test("streamed serving from materialized gates == the batch pipeline (s34)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

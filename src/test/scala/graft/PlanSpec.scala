@@ -42,6 +42,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("curate-then-pack keeps n80's join contract and packs via one window") {
+    val p = plan("n81_curation_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the chop is one per-language running-sum window + partial agg,
+    // never a corpus self-join on offsets
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("column pruning reaches the scan (unused lineitem columns never read)") {
     val p = plan("a01_tpch_q1")
     assert(!p.contains("l_comment") && !p.contains("l_partkey"))
