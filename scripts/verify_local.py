@@ -130,9 +130,22 @@ def main():
                    "hash_match": False, "spark_rows": 0, "oracle_rows": None,
                    "err": "no result parquet (query failed in graft.Verify)"}
     if JSON_OUT:
+        # stamp the producing HEAD + query count so the artifact is
+        # self-describing: row count == n_queries proves the refresh
+        # covered the whole declared surface at that commit
+        try:
+            head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                  capture_output=True, text=True,
+                                  cwd=os.path.dirname(os.path.dirname(
+                                      os.path.abspath(__file__)))
+                                  ).stdout.strip() or None
+        except Exception:
+            head = None
         meta = {"sfdir": SFDIR,
                 "pair_sample": os.environ.get("GRAFT_PAIR_SAMPLE"),
-                "skip_oracle": sorted(skip_oracle)}
+                "skip_oracle": sorted(skip_oracle),
+                "git_head": head,
+                "n_queries": len(jrec)}
         with open(JSON_OUT, "w") as f:
             json.dump({"_meta": meta, **{k: jrec[k] for k in sorted(jrec)}},
                       f, indent=2)
