@@ -106,6 +106,21 @@ class CurationSpec extends AnyFunSuite {
     assert(packs(512).toSeq.map(_._3).sum == stage5._1)
   }
 
+  test("pack manifest is arrival-order independent (repartition invariance)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Curation.packPipeline(df, 5000L, 2500L)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val base = manifest(docs)
+    assert(base.nonEmpty)
+    // the per-lang orderBy(doc_id) window must yield the same chop no
+    // matter how the input was partitioned or ordered on arrival
+    assert(manifest(docs.repartition(7)) == base)
+    assert(manifest(docs.orderBy(org.apache.spark.sql.functions.col("text"))) == base)
+  }
+
   test("streamed serving from materialized gates == the batch pipeline (s34)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
