@@ -133,19 +133,35 @@ def main():
         # stamp the producing HEAD + query count so the artifact is
         # self-describing: row count == n_queries proves the refresh
         # covered the whole declared surface at that commit
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         try:
-            head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+            # --dirty: an artifact produced from uncommitted code must
+            # not be stamped with a clean-looking commit
+            head = subprocess.run(["git", "describe", "--always", "--dirty"],
                                   capture_output=True, text=True,
-                                  cwd=os.path.dirname(os.path.dirname(
-                                      os.path.abspath(__file__)))
-                                  ).stdout.strip() or None
+                                  cwd=repo).stdout.strip() or None
         except Exception:
             head = None
+        # surface coverage proof: compare against the DECLARED registry
+        # (written by graft.Verify), not the artifact's own row count
+        registry = None
+        reg_path = os.path.join(OUTDIR, "registry.json")
+        if os.path.exists(reg_path):
+            with open(reg_path) as f:
+                registry = json.load(f)
         meta = {"sfdir": SFDIR,
                 "pair_sample": os.environ.get("GRAFT_PAIR_SAMPLE"),
                 "skip_oracle": sorted(skip_oracle),
                 "git_head": head,
-                "n_queries": len(jrec)}
+                "n_queries": len(jrec),
+                "n_registry": len(registry) if registry is not None else None,
+                "registry_covered": (sorted(registry) == sorted(jrec))
+                                    if registry is not None else None}
+        if registry is not None and sorted(registry) != sorted(jrec):
+            miss = sorted(set(registry) - set(jrec))
+            extra = sorted(set(jrec) - set(registry))
+            print(f"WARNING: artifact does not cover declared registry: "
+                  f"missing={miss} extra={extra}")
         with open(JSON_OUT, "w") as f:
             json.dump({"_meta": meta, **{k: jrec[k] for k in sorted(jrec)}},
                       f, indent=2)

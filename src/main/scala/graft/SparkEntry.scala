@@ -607,7 +607,7 @@ object SparkEntry {
                 PARTITION BY lang ORDER BY doc_id
                 ROWS UNBOUNDED PRECEDING) AS cum
               FROM surv)
-      SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS pack_id,
+      SELECT lang, CAST((cum - tok) // ${graft.operators.Curation.PackTokens} AS BIGINT) AS pack_id,
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(tok) AS BIGINT) AS pack_tokens
       FROM cum GROUP BY 1, 2"""
@@ -3846,7 +3846,8 @@ object SparkEntry {
     // (contains the LSH stage).
     "n81_curation_pack" -> (((s: SparkSession, d: String) => {
       graft.operators.Curation.packPipeline(pairDocs(s, d),
-        CurBudgetEn, CurBudgetOther)
+        CurBudgetEn, CurBudgetOther,
+        packTokens = graft.operators.Curation.PackTokens)
     }, Some(curationPackSql))),
 
     // Greedy token-budget curation: rank domains by stopword density

@@ -93,6 +93,12 @@ import graft.functions.{Text, TextStats}
   */
 object Curation {
 
+  /** The n81 pack budget (tokens per training sequence). Single shared
+    * constant: [[packPipeline]]'s default AND SparkEntry's
+    * curationPackSql oracle interpolate THIS value, so the query/oracle
+    * twins cannot drift by editing one side. */
+  val PackTokens: Int = 512
+
   /** Stage labels in pipeline order (shared with the oracle). */
   val Stages: Seq[(String, String)] = Seq(
     "0_input" -> "pass0", "1_quality" -> "pass1",
@@ -288,7 +294,7 @@ object Curation {
     * one |shards|-row driver pass — when a single language outgrows
     * one task's sort; the arithmetic is unchanged). */
   def packPipeline(docs: DataFrame, budgetEn: Long, budgetOther: Long,
-      packTokens: Int = 512): DataFrame = {
+      packTokens: Int = PackTokens): DataFrame = {
     val flagged = flagsFull(docs, trainGates(docs, budgetEn, budgetOther,
       (df, _) => df.localCheckpoint()))
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

@@ -42,6 +42,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("curation gate subtrees keep their standalone join contracts") {
+    // n80/n81's executed plans lineage-cut the gates (localCheckpoint →
+    // ExistingRDD scans), so the two tests above cannot see inside the
+    // gate derivations. Build the gates with the identity mat here and
+    // assert each gate's OWN plan: no cartesian anywhere, and the LSH
+    // loser derivation is the banded equi-join, never an NLJ fan-out.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val g = graft.operators.Curation.trainGates(docs, 100000L, 100000L)
+    for ((df, nm) <- Seq(g.firsts -> "firsts", g.losers -> "losers",
+        g.retention -> "retention", g.rates -> "rates")) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$nm: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$nm: $p")
+    }
+    // the loser set must come from the banded equi-join (hash-agg'd
+    // band buckets), not any corpus×corpus shape
+    assert(g.losers.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+  }
+
   test("curate-then-pack keeps n80's join contract and packs via one window") {
     val p = plan("n81_curation_pack")
     assert(!p.contains("CartesianProduct"), p)
