@@ -501,6 +501,32 @@ object SparkEntry {
           '')) AS kept_sig
       FROM f GROUP BY doc_id"""
 
+  /** Shared oracle for corpus-frequency boilerplate removal: n82
+    * (batch) and s35 (streaming complete-mode df-index build + batch
+    * apply) produce the identical per-doc retention table — the df
+    * index is a count over per-doc-distinct segments, monotone under
+    * any arrival order. A segment in ≥ BoilerMinDf DISTINCT docs is
+    * stripped from ALL of them (vs n73's keep-first). */
+  private lazy val boilerplateOracleSql = s"""
+      WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      occ AS (SELECT doc_id, toks,
+                unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i
+              FROM d WHERE len(toks) >= 1),
+      seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg FROM occ),
+      df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+      f AS (SELECT s.doc_id, s.seg_idx, s.seg,
+              (df.df < ${graft.operators.Dedup.BoilerMinDf}) AS keep
+            FROM seg s JOIN df USING (seg))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        md5(coalesce(
+          string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+          '')) AS kept_sig
+      FROM f GROUP BY doc_id"""
+
   /** Shared oracle for the Gopher composite quality gate: n66 (batch
     * explode+agg form) and s24 (stateless streaming HOF form) emit the
     * identical survivor table. */
@@ -3317,6 +3343,18 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, d), k = 8)
     }, Some(segmentDedupOracleSql))),
 
+    // Corpus-frequency boilerplate removal — the C4/RefinedWeb "this
+    // line is on ≥N distinct pages, it's site chrome" pass: strip ALL
+    // copies (n73 keeps the first — different policy for different
+    // noise). df = one map-side-combined count over per-doc-DISTINCT
+    // segments (distinctness per-row before the explode, so no extra
+    // shuffle and the count is exactly "distinct docs"); intra-doc
+    // repeats (df=1) are kept — that's n32/n64's self-repetition
+    // signal, not boilerplate.
+    "n82_boilerplate_strip" -> (((s: SparkSession, d: String) => {
+      Dedup.boilerplateStrip(Tables.documents(s, d), k = 8)
+    }, Some(boilerplateOracleSql))),
+
     // Per-source document cap — the source-dominance control that stops
     // one domain from flooding a training mix (the "max N pages per
     // domain" step every web-corpus pipeline runs). Kept subset is
@@ -4393,6 +4431,32 @@ object SparkEntry {
       FROM documents
       GROUP BY 1"""))),
 
+    // Measure-before-you-dedup: estimate the corpus duplication rate
+    // from a deterministic 1-in-4 CONTENT-HASH sample — every member
+    // of a dup group shares the hash, so groups enter the sample
+    // atomically and the in-sample rate is unbiased (a uniform doc
+    // sample keeps a pair only 1/16 of the time and reads ~4× low).
+    // Both dup bases from one scan: exact md5 + n10's fingerprint.
+    "n83_dup_rate_estimate" -> (((s: SparkSession, d: String) => {
+      Dedup.dupRateEstimate(Tables.documents(s, d), col("text"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT 'exact' AS basis, md5(text) AS h FROM documents
+        UNION ALL
+        SELECT 'fingerprint' AS basis,
+          md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS h
+        FROM documents),
+      smp AS (SELECT basis, h FROM b
+              WHERE ('0x' || substr(h, 1, 15))::BIGINT
+                % ${graft.operators.Dedup.DupSampleMod} = 0),
+      g AS (SELECT basis, h, count(*) AS c FROM smp GROUP BY 1, 2)
+      SELECT basis, CAST(sum(c) AS BIGINT) AS n_sampled,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(c) - count(*) AS BIGINT) AS n_dupes,
+        CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT)
+          AS dup_rate_ppm
+      FROM g GROUP BY basis"""))),
+
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic
     // stub — no codecs in the container; see Multimodal.decodeStub).
@@ -4995,6 +5059,15 @@ object SparkEntry {
     "s29_stream_segment_dedup" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamSegmentDedup(s, d)
     }, Some(segmentDedupOracleSql))),
+
+    // n82's streaming twin: the boilerplate df index accretes as docs
+    // arrive (ONE complete-mode count over per-doc-distinct segments —
+    // order-independent), apply runs batch-side against the drained
+    // index because crossing the df threshold is retroactive by
+    // nature. Same oracle as n82 (StreamQueries.streamBoilerplateStrip).
+    "s35_stream_boilerplate" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamBoilerplateStrip(s, d)
+    }, Some(boilerplateOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

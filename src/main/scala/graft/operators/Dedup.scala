@@ -28,6 +28,51 @@ object Dedup {
     docs.groupBy(Text.fingerprint(text).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(id).as("keep_id"))
 
+  /** The n83 sample denominator: a deterministic 1-in-this-many hash
+    * sample. Single shared constant — [[dupRateEstimate]]'s default
+    * AND SparkEntry's dupRateOracleSql interpolate THIS value. */
+  val DupSampleMod: Int = 4
+
+  /** Sampled duplication-rate estimate — the measure-before-you-dedup
+    * pre-pass: before committing a full-corpus dedup at 100 TB,
+    * estimate how much there is to remove from a deterministic 1/mod
+    * sample. The sample is drawn BY CONTENT HASH, not by document:
+    * every member of a duplicate group shares the hash, so a group is
+    * in or out of the sample ATOMICALLY and the within-sample dup rate
+    * is an unbiased estimator of the corpus rate. (A uniform DOCUMENT
+    * sample breaks groups apart — both members of a pair survive with
+    * probability 1/mod², so a naive doc sample reads the rate ~mod×
+    * low.) Estimated for two dup bases from ONE corpus scan (a per-row
+    * 2-way explode, no second pass): 'exact' (byte-identical text) and
+    * 'fingerprint' (n10's sorted-distinct-token normalization —
+    * catches reorder/repetition duplicates).
+    *
+    * Plan: scan → generate(2 rows) → hash filter (drops ~(mod−1)/mod
+    * of rows before any exchange) → map-side-combined
+    * groupBy(basis, h) count → 2-group rollup. The only shuffle
+    * carries sampled DISTINCT hashes — 1/mod of the dedup pass's own
+    * exchange, with none of its join or reassembly work. Deterministic
+    * end to end (md5, never rand()): re-runs and engines agree
+    * bit-for-bit. */
+  def dupRateEstimate(docs: DataFrame, text: Column,
+      mod: Int = DupSampleMod): DataFrame = {
+    val sampled = docs.select(explode(array(
+        struct(lit("exact").as("basis"), md5(text).as("h")),
+        struct(lit("fingerprint").as("basis"),
+          Text.fingerprint(text).as("h")))).as("e"))
+      .select(col("e.basis").as("basis"), col("e.h").as("h"))
+      .where(pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"),
+        lit(mod)) === 0)
+    sampled.groupBy(col("basis"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("basis"))
+      .agg(sum(col("c")).as("n_sampled"),
+        count(lit(1)).as("n_groups"),
+        (sum(col("c")) - count(lit(1))).as("n_dupes"))
+      .select(col("basis"), col("n_sampled"), col("n_groups"),
+        col("n_dupes"),
+        expr("n_dupes * 1000000L div n_sampled").as("dup_rate_ppm"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index
     * similarity join (the MapReduce set-similarity-join of Vernica et
     * al., SIGMOD'10) — NO pairwise set comparison anywhere:
@@ -546,20 +591,92 @@ object Dedup {
   /** Apply keep-first against a first-occurrence index: per-doc
     * retention stats + md5 signature of the surviving text. */
   def applySegmentDedup(segs: DataFrame, firsts: DataFrame): DataFrame =
-    segs.join(firsts, Seq("seg"))
+    reassemble(segs.join(firsts, Seq("seg"))
       .withColumn("kept",
         (col("doc_id") === col("f_doc") && col("seg_idx") === col("f_idx"))
-          .cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"),
-        sum(col("kept")).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(
-              when(col("kept") === 1, struct(col("seg_idx"), col("seg"))))),
-            x => x.getField("seg")))).as("kept_sig"))
-      .select(col("doc_id"), col("n_segs"), col("n_kept"),
-        (col("n_segs") - col("n_kept")).as("n_removed"), col("kept_sig"))
+          .cast("long")))
+
+  /** Per-doc reassembly of a kept/dropped segment table: retention
+    * stats + md5 of the surviving text in segment order. One
+    * groupBy(doc_id), bounded by each doc's own segment count. */
+  private def reassemble(segs: DataFrame): DataFrame = segs
+    .groupBy(col("doc_id"))
+    .agg(count(lit(1)).as("n_segs"),
+      sum(col("kept")).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(
+          array_sort(collect_list(
+            when(col("kept") === 1, struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")))).as("kept_sig"))
+    .select(col("doc_id"), col("n_segs"), col("n_kept"),
+      (col("n_segs") - col("n_kept")).as("n_removed"), col("kept_sig"))
+
+  /** The n82 boilerplate threshold: a segment present in at least this
+    * many DISTINCT documents is template chrome, not content. Single
+    * shared constant — [[boilerplateStrip]]'s default AND SparkEntry's
+    * boilerplateOracleSql interpolate THIS value, so the query/oracle
+    * twins cannot drift by editing one side. */
+  val BoilerMinDf: Int = 2
+
+  /** Corpus-frequency BOILERPLATE removal — the C4 idiom (Raffel '20
+    * §2.2) as pipelines like RefinedWeb run it at line granularity:
+    * any segment that appears in ≥ `minDf` DISTINCT documents is site
+    * chrome / license header / template text and is stripped from
+    * EVERY document, including the first. Deliberately different
+    * policy from [[segmentDedup]] (keep-first: content that happens to
+    * repeat keeps one canonical copy) — a nav bar is noise in all its
+    * copies. A segment repeated only WITHIN one doc (df = 1) is kept:
+    * that is self-repetition, n32/n64's business, not boilerplate.
+    *
+    * Plan (nothing pairwise, no window over the hot key):
+    *  1. per-doc DISTINCT segments are computed per-row
+    *     (array_distinct before the explode — no dropDuplicates
+    *     shuffle), so
+    *  2. the document frequency is ONE map-side-combined
+    *     `groupBy(seg).count` — a boilerplate segment on a billion
+    *     pages contributes one partial per input partition, and the
+    *     count is EXACTLY "distinct docs" because step 1 emits each
+    *     (doc, seg) once. count is monotone under arrival order, so
+    *     the SAME aggregate runs as the streaming complete-mode index
+    *     build (s35).
+    *  3. apply = equi-join occurrences against the df-filtered index
+    *     (at 100 TB the boiler set is tiny next to the corpus — AQE
+    *     broadcasts it when it fits; left join keeps every segment row
+    *     for exact retention stats);
+    *  4. per-doc reassembly identical to [[segmentDedup]]'s.
+    */
+  def boilerplateStrip(docs: DataFrame, k: Int = 8,
+      minDf: Int = BoilerMinDf): DataFrame =
+    applyBoilerplateStrip(segmentsOf(docs, k),
+      segmentDocFreq(distinctSegmentsOf(docs, k)), minDf)
+
+  /** Each doc's DISTINCT K-token segments — `(doc_id, seg)` with
+    * within-doc duplicates collapsed BEFORE the explode, a pure
+    * per-row generator (no shuffle). Feeding [[segmentDocFreq]] this
+    * makes a plain count an exact distinct-document frequency. */
+  def distinctSegmentsOf(docs: DataFrame, k: Int): DataFrame = docs
+    .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    .where(size(col("toks")) >= 1)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), expr(s"(size(toks) - 1) div $k")),
+        i => concat_ws(" ", slice(col("toks"), i * k + lit(1), lit(k))))))
+        .as("seg"))
+
+  /** Document frequency per segment over a per-doc-distinct segment
+    * stream: one map-side-combined count — order-independent, so the
+    * same plan is the s35 streaming complete-mode index build. */
+  def segmentDocFreq(distSegs: DataFrame): DataFrame =
+    distSegs.groupBy(col("seg")).agg(count(lit(1)).as("df"))
+
+  /** Apply a document-frequency index: strip every copy of segments
+    * with df ≥ minDf, reassemble per doc. */
+  def applyBoilerplateStrip(segs: DataFrame, dfIdx: DataFrame,
+      minDf: Int = BoilerMinDf): DataFrame =
+    reassemble(segs
+      .join(dfIdx.where(col("df") >= minDf)
+        .select(col("seg"), lit(1L).as("boiler")), Seq("seg"), "left")
+      .withColumn("kept", col("boiler").isNull.cast("long")))
 
   def duplicatedSpans(docs: DataFrame, g: Int = 8, minSpan: Int = 12): DataFrame = {
     val grams = docs

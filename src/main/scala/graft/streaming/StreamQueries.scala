@@ -865,6 +865,30 @@ object StreamQueries {
       Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), firsts)
   }
 
+  /** Streaming boilerplate-index build (s35) — n82's streaming twin:
+    * the per-segment document frequency is ONE complete-mode count
+    * over per-doc-distinct segments (each arriving doc contributes
+    * each of its segments exactly once — the distinctness is computed
+    * per-row BEFORE the aggregate, so no streaming dropDuplicates
+    * state is needed and the count is an exact distinct-doc df).
+    * count is monotone under any micro-batch arrival order, so the
+    * drained index equals the batch index and the applied table equals
+    * n82 row for row (same oracle). This is the ingest shape: the df
+    * index accretes as pages arrive; the strip itself is retroactive
+    * by nature (a segment crossing the threshold on doc N removes its
+    * copies from docs 1..N−1), hence apply runs batch-side against the
+    * drained index — the s19/s29 index-build/apply split. */
+  def streamBoilerplateStrip(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val dfIdx = runToTable(spark,
+      Dedup.segmentDocFreq(
+        Dedup.distinctSegmentsOf(documentsStream(spark, dir), k)),
+      "complete")
+    Dedup.applyBoilerplateStrip(
+      Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), dfIdx)
+  }
+
   /** Streaming BPE encode (s30) — n58's model-serving twin and the
     * tokenize-at-ingest shape: the merge table is trained ONCE
     * batch-side (graft.operators.Bpe.encodedVocab — deterministic, the

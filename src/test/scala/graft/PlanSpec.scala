@@ -31,6 +31,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("n03_dedup_minhash_lsh").contains("CartesianProduct"))
   }
 
+  test("boilerplate strip: df is one agg over a per-row distinct explode") {
+    val p = plan("n82_boilerplate_strip")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct-doc frequency must come from the map-side-combined
+    // count (partial+final HashAggregate), NOT a dropDuplicates
+    // shuffle before the agg — array_distinct runs inside the generate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("window"), p) // never a window over the hot seg key
+  }
+
   test("composed curation pipeline: no stage introduces a corpus×corpus join") {
     val p = plan("n80_curation_pipeline")
     // five chained stages (fingerprint index, LSH bands, segment index,
