@@ -4457,6 +4457,42 @@ object SparkEntry {
           AS dup_rate_ppm
       FROM g GROUP BY basis"""))),
 
+    // Snapshot-delta dedup classification — the incremental-crawl
+    // overlap report (FineWeb measured that deduping ACROSS dumps
+    // hurt quality vs per-dump; this emits the overlap numbers that
+    // decision needs). Snapshots = the deterministic doc_id parity
+    // split; the previous snapshot collapses to distinct-digest
+    // indexes probed by digest-keyed left joins — no broadcast
+    // assumption, the old snapshot is corpus-sized at 100 TB.
+    "n84_snapshot_delta" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.snapshotDelta(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        col("text"), col("source"))
+    }, Some(s"""
+      WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % 2 = 0),
+      afp AS (SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                  AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT source, md5(text) AS h,
+              md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                AS fp
+            FROM documents WHERE doc_id % 2 = 1),
+      j AS (SELECT b.source, (a.h IS NOT NULL) AS ex,
+              (afp.fp IS NOT NULL) AS fpin
+            FROM b LEFT JOIN a ON b.h = a.h
+                   LEFT JOIN afp ON b.fp = afp.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(sum(CASE WHEN NOT ex AND fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fp_dup,
+        CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new
+      FROM j GROUP BY source"""))),
+
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic
     // stub — no codecs in the container; see Multimodal.decodeStub).

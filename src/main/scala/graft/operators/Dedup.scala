@@ -33,6 +33,42 @@ object Dedup {
     * AND SparkEntry's dupRateOracleSql interpolate THIS value. */
   val DupSampleMod: Int = 4
 
+  /** Snapshot-delta dedup classification — the incremental-crawl
+    * question: of the docs in the NEW snapshot `b`, how many are
+    * byte-identical to the PREVIOUS snapshot `a`, how many are
+    * normalized (fingerprint) duplicates only, how many are genuinely
+    * new — reported per source. Successive web crawls overlap heavily,
+    * and whether to dedup ACROSS snapshots is a real, measured
+    * decision (FineWeb found cross-dump global dedup HURT downstream
+    * quality vs deduping each dump independently) — this operator
+    * produces the overlap numbers that decision needs, without
+    * committing to either policy.
+    *
+    * Plan: A collapses to its DISTINCT digest sets (two map-side-
+    * combined aggregates — the "index" is one row per distinct
+    * content, not per doc); B probes each with a digest-keyed LEFT
+    * equi-join (hash-partitioned on the digest — no broadcast
+    * assumption, the previous snapshot is corpus-sized at 100 TB);
+    * one groupBy(source) rollup. Nothing pairwise, nothing windowed. */
+  def snapshotDelta(a: DataFrame, b: DataFrame, text: Column,
+      src: Column): DataFrame = {
+    val aMd5 = a.select(md5(text).as("h")).distinct()
+      .withColumn("in_a", lit(1L))
+    val aFp = a.select(Text.fingerprint(text).as("fp")).distinct()
+      .withColumn("fp_in_a", lit(1L))
+    b.select(src.as("source"), md5(text).as("h"),
+        Text.fingerprint(text).as("fp"))
+      .join(aMd5, Seq("h"), "left")
+      .join(aFp, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_a").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("in_a").isNull && col("fp_in_a").isNotNull, 1L)
+          .otherwise(0L)).as("n_fp_dup"),
+        sum(when(col("in_a").isNull && col("fp_in_a").isNull, 1L)
+          .otherwise(0L)).as("n_new"))
+  }
+
   /** Sampled duplication-rate estimate — the measure-before-you-dedup
     * pre-pass: before committing a full-corpus dedup at 100 TB,
     * estimate how much there is to remove from a deterministic 1/mod
