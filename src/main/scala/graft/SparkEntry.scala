@@ -527,6 +527,34 @@ object SparkEntry {
           '')) AS kept_sig
       FROM f GROUP BY doc_id"""
 
+  /** Shared oracle for snapshot-delta dedup classification: n84
+    * (batch) and s36 (streaming stream-static classification +
+    * complete-mode rollup) produce the identical per-source table —
+    * the per-row classification is stateless and the rollup a sum,
+    * order-independent under any micro-batch arrival. */
+  private lazy val snapshotDeltaOracleSql = s"""
+      WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % 2 = 0),
+      afp AS (SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                  AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT source, md5(text) AS h,
+              md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                AS fp
+            FROM documents WHERE doc_id % 2 = 1),
+      j AS (SELECT b.source, (a.h IS NOT NULL) AS ex,
+              (afp.fp IS NOT NULL) AS fpin
+            FROM b LEFT JOIN a ON b.h = a.h
+                   LEFT JOIN afp ON b.fp = afp.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(sum(CASE WHEN NOT ex AND fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fp_dup,
+        CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new
+      FROM j GROUP BY source"""
+
   /** Shared oracle for the Gopher composite quality gate: n66 (batch
     * explode+agg form) and s24 (stateless streaming HOF form) emit the
     * identical survivor table. */
@@ -4470,28 +4498,7 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1),
         col("text"), col("source"))
-    }, Some(s"""
-      WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
-                 WHERE doc_id % 2 = 0),
-      afp AS (SELECT DISTINCT
-                md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
-                  AS fp
-              FROM documents WHERE doc_id % 2 = 0),
-      b AS (SELECT source, md5(text) AS h,
-              md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
-                AS fp
-            FROM documents WHERE doc_id % 2 = 1),
-      j AS (SELECT b.source, (a.h IS NOT NULL) AS ex,
-              (afp.fp IS NOT NULL) AS fpin
-            FROM b LEFT JOIN a ON b.h = a.h
-                   LEFT JOIN afp ON b.fp = afp.fp)
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
-        CAST(sum(CASE WHEN NOT ex AND fpin THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_fp_dup,
-        CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_new
-      FROM j GROUP BY source"""))),
+    }, Some(snapshotDeltaOracleSql))),
 
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic
@@ -5104,6 +5111,16 @@ object SparkEntry {
     "s35_stream_boilerplate" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamBoilerplateStrip(s, d)
     }, Some(boilerplateOracleSql))),
+
+    // n84's streaming twin: the previous snapshot's distinct-digest
+    // indexes build once batch-side (the pretrained artifact) and
+    // every arriving doc classifies new/exact-dup/fp-dup by two
+    // stateless stream-static equi-joins; only the per-source counter
+    // rollup is stateful. Same oracle as n84
+    // (StreamQueries.streamSnapshotDelta).
+    "s36_stream_snapshot_delta" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamSnapshotDelta(s, d)
+    }, Some(snapshotDeltaOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamTopUsers(s, d)

@@ -52,10 +52,25 @@ object Dedup {
     * one groupBy(source) rollup. Nothing pairwise, nothing windowed. */
   def snapshotDelta(a: DataFrame, b: DataFrame, text: Column,
       src: Column): DataFrame = {
-    val aMd5 = a.select(md5(text).as("h")).distinct()
-      .withColumn("in_a", lit(1L))
-    val aFp = a.select(Text.fingerprint(text).as("fp")).distinct()
-      .withColumn("fp_in_a", lit(1L))
+    val (aMd5, aFp) = snapshotIndexes(a, text)
+    applySnapshotDelta(b, aMd5, aFp, text, src)
+  }
+
+  /** The previous snapshot collapsed to its distinct-digest indexes
+    * (exact md5 + fingerprint) — two map-side-combined aggregates, one
+    * row per distinct CONTENT, not per doc. */
+  def snapshotIndexes(a: DataFrame, text: Column): (DataFrame, DataFrame) = (
+    a.select(md5(text).as("h")).distinct().withColumn("in_a", lit(1L)),
+    a.select(Text.fingerprint(text).as("fp")).distinct()
+      .withColumn("fp_in_a", lit(1L)))
+
+  /** Probe the new snapshot against the indexes and roll up per
+    * source. The per-row classification is stateless (two digest-keyed
+    * LEFT joins) and the rollup a plain sum — order-independent, so
+    * the SAME shape runs as s36's stream-static classification with a
+    * complete-mode aggregate. */
+  def applySnapshotDelta(b: DataFrame, aMd5: DataFrame, aFp: DataFrame,
+      text: Column, src: Column): DataFrame =
     b.select(src.as("source"), md5(text).as("h"),
         Text.fingerprint(text).as("fp"))
       .join(aMd5, Seq("h"), "left")
@@ -67,7 +82,6 @@ object Dedup {
           .otherwise(0L)).as("n_fp_dup"),
         sum(when(col("in_a").isNull && col("fp_in_a").isNull, 1L)
           .otherwise(0L)).as("n_new"))
-  }
 
   /** Sampled duplication-rate estimate — the measure-before-you-dedup
     * pre-pass: before committing a full-corpus dedup at 100 TB,

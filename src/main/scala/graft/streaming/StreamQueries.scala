@@ -889,6 +889,28 @@ object StreamQueries {
       Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), dfIdx)
   }
 
+  /** Streaming snapshot-delta classification (s36) — n84's streaming
+    * twin and the ingest-time "is this page new vs the last crawl?"
+    * shape: the previous snapshot's distinct-digest indexes build ONCE
+    * batch-side (lineage-severed — the pretrained artifact, the
+    * s14/s27/s30 idiom) and every arriving doc classifies by two
+    * stateless stream-static LEFT equi-joins; the only state is the
+    * per-source complete-mode counter rollup, order-independent by
+    * sum monotonicity, so the drained table equals batch n84 row for
+    * row (same oracle). */
+  def streamSnapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val (aMd5, aFp) = Dedup.snapshotIndexes(
+      graft.sources.Tables.documents(spark, dir)
+        .where(col("doc_id") % 2 === 0), col("text"))
+    runToTable(spark,
+      Dedup.applySnapshotDelta(
+        documentsStream(spark, dir).where(col("doc_id") % 2 === 1),
+        aMd5.localCheckpoint(), aFp.localCheckpoint(),
+        col("text"), col("source")),
+      "complete")
+  }
+
   /** Streaming BPE encode (s30) — n58's model-serving twin and the
     * tokenize-at-ingest shape: the merge table is trained ONCE
     * batch-side (graft.operators.Bpe.encodedVocab — deterministic, the

@@ -41,6 +41,43 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     assert(run(a, b) == Map("s2" -> ((2L, 1L, 0L, 1L))))
   }
 
+  test("forced 3-micro-batch stream-static classification == batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = TempDirs.create("snapdelta-stream")
+    def writeFile(name: String, docs: Seq[(Long, String, String)]): Unit = {
+      val tmp = TempDirs.create("snapdelta-tmp")
+      docs.toDF("doc_id", "source", "text").coalesce(1)
+        .write.parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "d"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(dir, name))
+    }
+    // the new snapshot arrives in 3 files, one source split ACROSS
+    // micro-batches — the complete-mode rollup must merge them
+    writeFile("f0.parquet", Seq((1L, "s1", "aa bb"))) // exact dup of A
+    writeFile("f1.parquet", Seq((3L, "s1", "bb aa"))) // fp dup of A
+    writeFile("f2.parquet", Seq((5L, "s2", "zz"))) // new
+    val a = df((0L, "x", "aa bb"))
+    val (aMd5, aFp) = Dedup.snapshotIndexes(a, col("text"))
+    import graft.streaming.StreamQueries
+    val got = StreamQueries.runToTable(spark,
+      Dedup.applySnapshotDelta(
+        spark.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(dir),
+        aMd5, aFp, col("text"), col("source")),
+      "complete")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 1L, 1L, 0L)), "s2" -> ((1L, 0L, 0L, 1L))))
+    // and it equals the batch operator on the union of the files
+    val batch = run(a, spark.read.parquet(dir)
+      .select(col("doc_id"), col("source"), col("text")))
+    assert(batch == got)
+  }
+
   test("disjoint snapshots: everything is new, grouped per source") {
     val a = df((0L, "x", "aa"))
     val b = df((1L, "s3", "bb"), (3L, "s4", "cc"), (5L, "s4", "dd"))
