@@ -2672,6 +2672,31 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id < b.doc_id)
       SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
 
+    // Cross-snapshot NEAR-dup delta — n84's near-duplicate completion
+    // and n03's incremental-crawl shape: which NEW-snapshot docs
+    // near-duplicate a PREVIOUS-snapshot doc. The snapshots band
+    // separately and the candidate join is old↔new only, so the
+    // |A|²+|B|² within-snapshot collisions never materialize (on
+    // successive crawls |A| is the accumulated corpus — the dominant
+    // term); old's banding index is the precomputable artifact (s19's
+    // bucket table). Rides the md5-bucket pair sample at sf0.1 like
+    // n03 (the exact-verify oracle is O(|A|·|B|)).
+    "n85_snapshot_neardup" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      MinHashLsh.snapshotNearDupPairs(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d).select(col("doc_id"),

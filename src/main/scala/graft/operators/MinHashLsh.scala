@@ -97,4 +97,35 @@ object MinHashLsh {
 
     verify(candidates, sets, threshold)
   }
+
+  /** Cross-snapshot NEAR-dup delta — [[nearDupPairs]]'s incremental-
+    * crawl shape and n84's near-duplicate completion: which docs of
+    * the NEW snapshot `b` near-duplicate (Jaccard ≥ threshold) a doc
+    * of the PREVIOUS snapshot `a`. The two snapshots band SEPARATELY
+    * and the candidate join is a↔b only, so within-snapshot pairs
+    * never materialize: running [[nearDupPairs]] on the union would
+    * pay the |A|²+|B|² within-snapshot band collisions just to throw
+    * them away, and on successive crawls |A| is the accumulated corpus
+    * — the dominant term. In production `a`'s banding index is the
+    * PRECOMPUTED artifact (exactly the bucket table s19 maintains as
+    * streaming state); here it derives inline. Exact-Jaccard
+    * verification (precision 1.0) runs against the union of the two
+    * sets frames; ids must be distinct across snapshots. Output:
+    * (a_id old doc, b_id new doc, jaccard). */
+  def snapshotNearDupPairs(a: DataFrame, b: DataFrame, id: String,
+      text: String, k: Int = 32, r: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    def setsOf(df: DataFrame) = df
+      .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
+      .where(size(col("sset")) > 0)
+    // persisted for the same 3-reference reason as nearDupPairs
+    val setsA = setsOf(a).persist()
+    val setsB = setsOf(b).persist()
+    val candidates = banded(setsA, k, r).as("a")
+      .join(banded(setsB, k, r).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.did").as("a_id"), col("b.did").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    verify(candidates, setsA.union(setsB), threshold)
+  }
 }

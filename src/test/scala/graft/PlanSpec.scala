@@ -31,6 +31,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("n03_dedup_minhash_lsh").contains("CartesianProduct"))
   }
 
+  test("snapshot near-dup delta joins old↔new bands, never cartesian") {
+    val p = plan("n85_snapshot_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("boilerplate strip: df is one agg over a per-row distinct explode") {
     val p = plan("n82_boilerplate_strip")
     assert(!p.contains("CartesianProduct"), p)

@@ -125,6 +125,26 @@ class ShinglesSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("snapshot near-dup delta: cross-snapshot pairs only, within-snapshot dropped") {
+    val old = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // dup WITHIN old
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    ).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), // dup of old 0 and 2
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"), // genuinely new
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12") // dup WITHIN new
+    ).toDF("doc_id", "text")
+    val got = MinHashLsh.snapshotNearDupPairs(old, nw, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap1
+    // the new doc 1 matches BOTH old copies, each at jaccard 1.0 ...
+    assert(got == Map((0L, 1L) -> 1.0, (2L, 1L) -> 1.0))
+    // ... and neither the (0,2) within-old nor the (3,5) within-new
+    // pair appears — the whole point of banding the snapshots apart
+    assert(!got.contains((0L, 2L)) && !got.contains((3L, 5L)))
+  }
+
   test("MinHashAgg: group sketch == componentwise min of member sigs (union property)") {
     import graft.functions.MinHashAgg
     val docs = Seq(
