@@ -6,9 +6,9 @@
 #
 # Usage: scripts/verify_all.sh [sfdir] [outdir] [artifact.json]
 #   GRAFT_PAIR_SAMPLE   (default 20) md5-bucket keep percentage applied
-#                       identically to BOTH engines' inputs for the 15
+#                       identically to BOTH engines' inputs for the 16
 #                       O(n²) pair queries (n02/n03/n13/n16/n23/n24/
-#                       n25/n26/n52/n61/n80/n81/n85/s19/s34) — bounds the DuckDB
+#                       n25/n26/n52/n61/n80/n81/n85/s19/s34/s37) — bounds the DuckDB
 #                       oracle, never the Spark plans. Export empty to
 #                       disable.
 set -euo pipefail

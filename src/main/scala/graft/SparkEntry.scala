@@ -555,6 +555,24 @@ object SparkEntry {
           AS n_new
       FROM j GROUP BY source"""
 
+  /** Shared oracle for the cross-snapshot near-dup delta: n85 (batch
+    * separate-banding join) and s37 (streaming: arriving docs probe
+    * the old snapshot's precomputed banding index by stream-static
+    * joins) emit the identical verified pair table — the bands are
+    * the same shared kernel, so the candidate sets match, and both
+    * paths exact-verify. O(|A|·|B|) pair subquery → rides the
+    * md5-bucket pair sample at sf0.1 like n03. */
+  private lazy val snapshotNearDupOracleSql = s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""
+
   /** Shared oracle for the Gopher composite quality gate: n66 (batch
     * explode+agg form) and s24 (stateless streaming HOF form) emit the
     * identical survivor table. */
@@ -2686,16 +2704,21 @@ object SparkEntry {
       MinHashLsh.snapshotNearDupPairs(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
-    }, Some(s"""
-      WITH s AS (
-        SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
-        FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+    }, Some(snapshotNearDupOracleSql))),
+
+    // n85's streaming twin and the production ingest shape: the old
+    // snapshot's banding index + shingle sets build once batch-side
+    // (the precomputed artifact), arriving docs band per-row with the
+    // SAME shared kernel and probe/verify via two stateless
+    // stream-static equi-joins; the only state is the confirmed-pair
+    // table. Same oracle as n85
+    // (StreamQueries.streamSnapshotNearDup).
+    "s37_stream_snapshot_neardup" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamSnapshotNearDup(s,
+        pairDocs(s, d).where(col("doc_id") % 2 === 0),
+        sampled(graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+          .where(col("doc_id") % 2 === 1))
+    }, Some(snapshotNearDupOracleSql))),
 
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {

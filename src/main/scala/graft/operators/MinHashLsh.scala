@@ -44,24 +44,36 @@ object MinHashLsh {
     * later instead. */
   def banded(sets: DataFrame, k: Int, r: Int): DataFrame = {
     require(k % r == 0, "k must be a multiple of band width r")
-    val b = k / r
     sets
       .withColumn("sig", signature(col("sset"), k))
       .select(col("did"),
-        explode(array((0 until b).map(bi => struct(
-          lit(bi).as("band"),
-          concat_ws("|", transform(slice(col("sig"), bi * r + 1, r),
-            _.cast("string"))).as("key"))): _*)).as("bk"))
+        explode(bandKeysFromSig(col("sig"), k, r)).as("bk"))
       .select(col("did"), col("bk.band"), col("bk.key"))
+  }
+
+  /** The (band, key) array of a materialized signature column — ONE
+    * shared kernel for every banding consumer (batch join, s19 bucket
+    * state, s37's per-row stream banding), so the paths cannot drift. */
+  private[graft] def bandKeysFromSig(sig: Column, k: Int, r: Int): Column = {
+    require(k % r == 0, "k must be a multiple of band width r")
+    val b = k / r
+    array((0 until b).map(bi => struct(
+      lit(bi).as("band"),
+      concat_ws("|", transform(slice(sig, bi * r + 1, r),
+        _.cast("string"))).as("key"))): _*)
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
     * against the sets frame — precision 1.0 regardless of how the
     * candidates were generated (batch band join or streaming bucket
     * state). */
+  /** Exact Jaccard of two shingle-set columns — the one formula every
+    * verifier (batch, s19, s37) applies. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
   def verify(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val jac = size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
-      size(array_union(col("a_set"), col("b_set")))
+    val jac = jaccard(col("a_set"), col("b_set"))
     candidates
       .join(sets.select(col("did"), col("sset").as("a_set")), col("a_id") === col("did"))
       .drop("did")

@@ -889,6 +889,52 @@ object StreamQueries {
       Dedup.segmentsOf(graft.sources.Tables.documents(spark, dir), k), dfIdx)
   }
 
+  /** Streaming cross-snapshot NEAR-dup delta (s37) — n85's streaming
+    * twin and the production ingest shape n85's scaladoc names: the
+    * OLD snapshot's banding index and shingle sets build ONCE
+    * batch-side (lineage-severed — the precomputed artifact; exactly
+    * the bucket table s19 maintains as state), and every ARRIVING doc
+    * bands per-row with the SAME shared kernel
+    * (MinHashLsh.bandKeysFromSig — batch and stream cannot drift),
+    * probes the index by a stateless stream-static equi-join on
+    * (band, key), and exact-verifies candidates against the old sets
+    * by a second stream-static join + the shared jaccard formula.
+    * The ONLY state is the confirmed-pair table (a complete-mode
+    * max-agg that dedups multi-band hits of the same pair) — bounded
+    * by true near-dups, not by candidates. Drained pairs equal batch
+    * n85 row for row: the bands are identical, so the candidate set
+    * is identical, and verification is exact (same oracle). */
+  def streamSnapshotNearDup(spark: SparkSession, oldDocs: DataFrame,
+      arrivingDocs: DataFrame, k: Int = 32, r: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.operators.MinHashLsh
+    import graft.functions.Text
+    val setsA = oldDocs
+      .select(col("doc_id").as("did"), Text.shingleSet(col("text")).as("sset"))
+      .where(size(col("sset")) > 0)
+      .localCheckpoint() // sever the fixture scan from every micro-batch
+    val bandsA = MinHashLsh.banded(setsA, k, r).localCheckpoint()
+    val arriving = arrivingDocs
+      .select(col("doc_id").as("b_id"), Text.shingleSet(col("text")).as("b_set"))
+      .where(size(col("b_set")) > 0)
+      .withColumn("sig", MinHashLsh.signature(col("b_set"), k))
+      .select(col("b_id"), col("b_set"),
+        explode(MinHashLsh.bandKeysFromSig(col("sig"), k, r)).as("bk"))
+      .select(col("b_id"), col("b_set"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val verified = arriving
+      .join(bandsA, Seq("band", "key")) // stream-static: probe the index
+      .select(col("did").as("a_id"), col("b_id"), col("b_set"))
+      .join(setsA.select(col("did").as("a_id"), col("sset").as("a_set")),
+        Seq("a_id")) // stream-static: fetch the old set for exact verify
+      .select(col("a_id"), col("b_id"),
+        MinHashLsh.jaccard(col("a_set"), col("b_set")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("jaccard")).as("jaccard")) // dedup multi-band hits
+    runToTable(spark, verified, "complete")
+  }
+
   /** Streaming snapshot-delta classification (s36) — n84's streaming
     * twin and the ingest-time "is this page new vs the last crawl?"
     * shape: the previous snapshot's distinct-digest indexes build ONCE

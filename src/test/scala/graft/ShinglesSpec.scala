@@ -145,6 +145,38 @@ class ShinglesSpec extends AnyFunSuite {
     assert(!got.contains((0L, 2L)) && !got.contains((3L, 5L)))
   }
 
+  test("streamed snapshot near-dup delta drains to the batch pair table") {
+    // arriving docs in 3 forced micro-batches probe the old snapshot's
+    // precomputed index; a doc matching TWO old copies and a multi-band
+    // hit must still emit one row per pair (the complete-mode max-agg)
+    val dir = TempDirs.create("snapnd-stream")
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit = {
+      val tmp = TempDirs.create("snapnd-tmp")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/d")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "d"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(dir, name))
+    }
+    val w = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    writeFile("f0.parquet", Seq(1L -> w)) // dups BOTH old copies
+    writeFile("f1.parquet", Seq(3L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"))
+    writeFile("f2.parquet", Seq(5L -> w)) // second new dup, later batch
+    val old = Seq((0L, w), (2L, w),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")).toDF("doc_id", "text")
+    import graft.streaming.StreamQueries
+    val got = StreamQueries.streamSnapshotNearDup(spark, old,
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir))
+      .as[(Long, Long, Double)].collect().toMap1
+    val want = MinHashLsh.snapshotNearDupPairs(old,
+      spark.read.parquet(dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap1
+    assert(got == want)
+    assert(got == Map((0L, 1L) -> 1.0, (2L, 1L) -> 1.0,
+      (0L, 5L) -> 1.0, (2L, 5L) -> 1.0))
+  }
+
   test("MinHashAgg: group sketch == componentwise min of member sigs (union property)") {
     import graft.functions.MinHashAgg
     val docs = Seq(
