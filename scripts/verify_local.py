@@ -129,6 +129,23 @@ def main():
         jrec[m] = {"rows_match": False, "schema_match": False,
                    "hash_match": False, "spark_rows": 0, "oracle_rows": None,
                    "err": "no result parquet (query failed in graft.Verify)"}
+    # registry coverage is part of the PASS/FAIL loop, not just a
+    # warning: a declared query with no oracle AND no result parquet
+    # (neither in `names` nor in `missing`) must fail the gate, or the
+    # script could exit 0 while the declared surface is uncovered
+    registry = None
+    registry_covered = None
+    reg_path = os.path.join(OUTDIR, "registry.json")
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registry = json.load(f)
+        registry_covered = sorted(registry) == sorted(jrec)
+        for m in sorted(set(registry) - set(jrec)):
+            results[m] = "NOT_IN_ARTIFACT (declared in registry; no result, no oracle)"
+            jrec[m] = {"rows_match": False, "schema_match": False,
+                       "hash_match": False, "spark_rows": 0,
+                       "oracle_rows": None,
+                       "err": "declared query missing from verify output"}
     if JSON_OUT:
         # stamp the producing HEAD + query count so the artifact is
         # self-describing: row count == n_queries proves the refresh
@@ -143,25 +160,18 @@ def main():
         except Exception:
             head = None
         # surface coverage proof: compare against the DECLARED registry
-        # (written by graft.Verify), not the artifact's own row count
-        registry = None
-        reg_path = os.path.join(OUTDIR, "registry.json")
-        if os.path.exists(reg_path):
-            with open(reg_path) as f:
-                registry = json.load(f)
+        # (loaded above, where uncovered entries already became FAIL rows)
         meta = {"sfdir": SFDIR,
                 "pair_sample": os.environ.get("GRAFT_PAIR_SAMPLE"),
                 "skip_oracle": sorted(skip_oracle),
                 "git_head": head,
                 "n_queries": len(jrec),
                 "n_registry": len(registry) if registry is not None else None,
-                "registry_covered": (sorted(registry) == sorted(jrec))
-                                    if registry is not None else None}
-        if registry is not None and sorted(registry) != sorted(jrec):
-            miss = sorted(set(registry) - set(jrec))
+                "registry_covered": registry_covered}
+        if registry_covered is False:
             extra = sorted(set(jrec) - set(registry))
-            print(f"WARNING: artifact does not cover declared registry: "
-                  f"missing={miss} extra={extra}")
+            print(f"WARNING: artifact does not cover declared registry "
+                  f"(uncovered entries are FAIL rows above; extra={extra})")
         with open(JSON_OUT, "w") as f:
             json.dump({"_meta": meta, **{k: jrec[k] for k in sorted(jrec)}},
                       f, indent=2)

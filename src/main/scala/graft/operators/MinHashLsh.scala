@@ -63,15 +63,15 @@ object MinHashLsh {
         _.cast("string"))).as("key"))): _*)
   }
 
-  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
-    * against the sets frame — precision 1.0 regardless of how the
-    * candidates were generated (batch band join or streaming bucket
-    * state). */
   /** Exact Jaccard of two shingle-set columns — the one formula every
     * verifier (batch, s19, s37) applies. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    * against the sets frame — precision 1.0 regardless of how the
+    * candidates were generated (batch band join or streaming bucket
+    * state). */
   def verify(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val jac = jaccard(col("a_set"), col("b_set"))
     candidates
@@ -130,7 +130,11 @@ object MinHashLsh {
     def setsOf(df: DataFrame) = df
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0)
-    // persisted for the same 3-reference reason as nearDupPairs
+    // persisted for the same 3-reference reason as nearDupPairs, and
+    // with the same lifecycle caveat: the entries live until session
+    // end (the bench clears caches between queries; a long-lived
+    // session composing these operators should unpersist after
+    // materializing, or persist to disk — same trade as nearDupPairs)
     val setsA = setsOf(a).persist()
     val setsB = setsOf(b).persist()
     val candidates = banded(setsA, k, r).as("a")

@@ -901,9 +901,14 @@ object StreamQueries {
     * by a second stream-static join + the shared jaccard formula.
     * The ONLY state is the confirmed-pair table (a complete-mode
     * max-agg that dedups multi-band hits of the same pair) — bounded
-    * by true near-dups, not by candidates. Drained pairs equal batch
-    * n85 row for row: the bands are identical, so the candidate set
-    * is identical, and verification is exact (same oracle). */
+    * by true near-dups, not by candidates. Complete mode re-emits the
+    * whole pair table every micro-batch, which is the harness's
+    * drain-to-memory shape; at production near-dup volumes the same
+    * max-agg runs in UPDATE mode (the (a_id, b_id) key makes the sink
+    * upsert idempotent), writing only each batch's delta. Drained
+    * pairs equal batch n85 row for row: the bands are identical, so
+    * the candidate set is identical, and verification is exact (same
+    * oracle). */
   def streamSnapshotNearDup(spark: SparkSession, oldDocs: DataFrame,
       arrivingDocs: DataFrame, k: Int = 32, r: Int = 2,
       threshold: Double = 0.8): DataFrame = {

@@ -45,7 +45,10 @@ class PlanSpec extends AnyFunSuite {
     // count (partial+final HashAggregate), NOT a dropDuplicates
     // shuffle before the agg — array_distinct runs inside the generate
     assert(p.contains("HashAggregate"), p)
-    assert(!p.contains("window"), p) // never a window over the hot seg key
+    // never a window over the hot seg key — case-insensitive so the
+    // guard catches both the `Window` operator and expression-tree
+    // forms like `windowspecdefinition`
+    assert(!p.toLowerCase.contains("window"), p)
   }
 
   test("composed curation pipeline: no stage introduces a corpus×corpus join") {
