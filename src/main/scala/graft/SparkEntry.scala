@@ -4548,6 +4548,71 @@ object SparkEntry {
         col("text"), col("source"))
     }, Some(snapshotDeltaOracleSql))),
 
+    // Snapshot POLICY applied — n84 reports the overlap, this emits
+    // the KEPT corpus under the named rule: drop cross-snapshot exact
+    // and fingerprint dups, KEEP near-dups (FineWeb's per-dump
+    // independence). Two shuffle-hash-hinted left-anti joins against
+    // the distinct-digest indexes — the old snapshot must never
+    // broadcast (PlanSpec pins it).
+    "n86_snapshot_policy_apply" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val (aMd5, aFp) = Dedup.snapshotIndexes(
+        docs.where(col("doc_id") % 2 === 0), col("text"))
+      Dedup.applySnapshotPolicy(
+        docs.where(col("doc_id") % 2 === 1), aMd5, aFp, col("text"))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }, Some(s"""
+      WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % 2 = 0),
+      afp AS (SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                  AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, source, lang, md5(text) AS h,
+              md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                AS fp
+            FROM documents WHERE doc_id % 2 = 1)
+      SELECT doc_id, source, lang FROM b
+      WHERE h NOT IN (SELECT h FROM a)
+        AND fp NOT IN (SELECT fp FROM afp)"""))),
+
+    // URL-level cross-snapshot delta — the dedup crawls run FIRST:
+    // key equality on the canonical URL costs no text processing, and
+    // most re-crawls drop right there. Canonical URL synthesized from
+    // source + the stable page id (doc_id div 2 — successive parities
+    // model successive crawls of the same page set). Unchanged /
+    // changed / new-URL counts per source.
+    "n88_snapshot_url_delta" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val url = concat(col("source"), lit("/"),
+        expr("doc_id div 2").cast("string"))
+      Dedup.snapshotUrlDelta(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        url, col("text"), col("source"))
+    }, Some("""
+      WITH a AS (SELECT DISTINCT
+                   source || '/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+                   md5(text) AS h
+                 FROM documents WHERE doc_id % 2 = 0),
+      au AS (SELECT DISTINCT url FROM a),
+      b AS (SELECT source,
+              source || '/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+              md5(text) AS h
+            FROM documents WHERE doc_id % 2 = 1),
+      j AS (SELECT b.source, (a.h IS NOT NULL) AS same_content,
+              (au.url IS NOT NULL) AS url_seen
+            FROM b LEFT JOIN a ON b.url = a.url AND b.h = a.h
+                   LEFT JOIN au ON b.url = au.url)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN same_content THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unchanged,
+        CAST(sum(CASE WHEN NOT same_content AND url_seen THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_changed,
+        CAST(sum(CASE WHEN NOT url_seen THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_url_new
+      FROM j GROUP BY source"""))),
+
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic
     // stub — no codecs in the container; see Multimodal.decodeStub).

@@ -83,6 +83,67 @@ object Dedup {
         sum(when(col("in_a").isNull && col("fp_in_a").isNull, 1L)
           .otherwise(0L)).as("n_new"))
 
+  /** Cross-snapshot dedup POLICY applied (n86) — n84 reports the
+    * overlap; this emits the KEPT CORPUS under a named rule:
+    *
+    *   drop a new-snapshot doc iff its exact digest OR its normalized
+    *   fingerprint appears anywhere in the previous snapshot; NEAR-dups
+    *   are deliberately kept (FineWeb measured cross-dump fuzzy dedup
+    *   HURTING downstream quality vs per-dump independence — the
+    *   near-dup numbers stay a report, n85, not a filter).
+    *
+    * Plan: two digest-keyed LEFT ANTI equi-joins against the
+    * distinct-digest indexes, both SHUFFLE_HASH-hinted: the previous
+    * snapshot is corpus-sized at 100 TB, so the indexes must
+    * hash-partition, never broadcast — the hint pins that even at
+    * fixture sizes where the optimizer would happily broadcast
+    * (PlanSpec asserts no broadcast in this subtree). Output is `b`'s
+    * own columns — the kept corpus flows on to curation unchanged. */
+  def applySnapshotPolicy(b: DataFrame, aMd5: DataFrame, aFp: DataFrame,
+      text: Column): DataFrame =
+    b.withColumn("h", md5(text))
+      .withColumn("fp", Text.fingerprint(text))
+      .join(aMd5.hint("shuffle_hash"), Seq("h"), "left_anti")
+      .join(aFp.hint("shuffle_hash"), Seq("fp"), "left_anti")
+      .drop("h", "fp")
+
+  /** URL-level cross-snapshot delta (n88) — the dedup crawls run FIRST,
+    * before any content pass: successive snapshots mostly re-crawl the
+    * same URLs, and key-equality on the canonical URL costs no text
+    * processing at all. Classifies each new-snapshot doc per source:
+    *
+    *   n_unchanged — URL seen in the previous snapshot with
+    *                 byte-identical content (the re-crawl to drop);
+    *   n_changed   — URL seen but content differs (the page updated —
+    *                 the revision policy decision);
+    *   n_url_new   — URL absent from the previous snapshot.
+    *
+    * Plan: the old snapshot collapses to its distinct (url, digest)
+    * index and distinct url set (two map-side-combined aggregates);
+    * the new snapshot probes each with a LEFT equi-join — URL-keyed,
+    * SHUFFLE_HASH-hinted for the same corpus-sized-index reason as
+    * [[applySnapshotPolicy]] — then one groupBy(source) rollup.
+    * Stateless per row + a sum rollup, so the same shape serves
+    * stream-side if needed. `url` is the caller's canonicalization
+    * (the fixtures derive one from source + a stable page id). */
+  def snapshotUrlDelta(a: DataFrame, b: DataFrame, url: Column,
+      text: Column, src: Column): DataFrame = {
+    val aUrlH = a.select(url.as("url"), md5(text).as("h")).distinct()
+      .withColumn("same_content", lit(1L))
+    val aUrl = aUrlH.select(col("url")).distinct()
+      .withColumn("url_seen", lit(1L))
+    b.select(src.as("source"), url.as("url"), md5(text).as("h"))
+      .join(aUrlH.hint("shuffle_hash"), Seq("url", "h"), "left")
+      .join(aUrl.hint("shuffle_hash"), Seq("url"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("same_content").isNotNull, 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("same_content").isNull && col("url_seen").isNotNull, 1L)
+          .otherwise(0L)).as("n_changed"),
+        sum(when(col("url_seen").isNull, 1L).otherwise(0L)).as("n_url_new"))
+  }
+
   /** Sampled duplication-rate estimate — the measure-before-you-dedup
     * pre-pass: before committing a full-corpus dedup at 100 TB,
     * estimate how much there is to remove from a deterministic 1/mod

@@ -37,6 +37,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("snapshot policy apply never broadcasts or pairs the old snapshot") {
+    val p = plan("n86_snapshot_policy_apply")
+    // the previous snapshot's digest indexes are corpus-sized at
+    // 100 TB: the anti-joins must hash-partition (shuffle_hash pinned)
+    // even at fixture sizes where the optimizer would broadcast
+    assert(!p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("URL-level snapshot delta is key equi-joins, no broadcast of old") {
+    val p = plan("n88_snapshot_url_delta")
+    assert(!p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("boilerplate strip: df is one agg over a per-row distinct explode") {
     val p = plan("n82_boilerplate_strip")
     assert(!p.contains("CartesianProduct"), p)

@@ -84,4 +84,51 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     assert(run(a, b) == Map(
       "s3" -> ((1L, 0L, 0L, 1L)), "s4" -> ((2L, 0L, 0L, 2L))))
   }
+
+  test("policy apply drops exact+fingerprint cross-snapshot dups, keeps near-dups") {
+    import spark.implicits._
+    val a = df((0L, "x", "aa bb cc"), (2L, "x", "dd ee ff"))
+    val b = df(
+      (1L, "s1", "aa bb cc"), // exact dup of A → dropped
+      (3L, "s1", "ff ee dd"), // fingerprint dup of A → dropped
+      (5L, "s1", "aa bb cc xx"), // near-dup only → KEPT (FineWeb rule)
+      (7L, "s1", "zz yy")) // new → kept
+    val (aMd5, aFp) = Dedup.snapshotIndexes(a, col("text"))
+    val kept = Dedup.applySnapshotPolicy(b, aMd5, aFp, col("text"))
+    // output schema is b's own columns, the corpus flows on unchanged
+    assert(kept.columns.toSeq == Seq("doc_id", "source", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+  }
+
+  test("URL delta classifies unchanged / changed / new-URL per source") {
+    import spark.implicits._
+    // url := source + "/" + doc_id div 2 — ids 0/1 same page, 2/3 same
+    val a = df((0L, "s1", "aa bb"), (2L, "s1", "cc dd"))
+    val b = df(
+      (1L, "s1", "aa bb"), // same URL, same content → unchanged
+      (3L, "s1", "cc dd EDITED"), // same URL, new content → changed
+      (9L, "s2", "new page")) // URL absent from old → url_new
+    import org.apache.spark.sql.functions.{concat, expr, lit}
+    val url = concat(col("source"), lit("/"),
+      expr("doc_id div 2").cast("string"))
+    val got = Dedup.snapshotUrlDelta(a, b, url, col("text"), col("source"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 1L, 1L, 0L)), "s2" -> ((1L, 0L, 0L, 1L))))
+  }
+
+  test("duplicate (url, content) rows in the old snapshot never fan B out") {
+    import spark.implicits._
+    // two old crawl records of the SAME url with the SAME bytes: the
+    // distinct (url, h) index must classify B's match as one doc
+    val a = df((0L, "s1", "aa bb"), (1L, "s1", "aa bb")) // div 2 → url s1/0
+    val b = df((2L, "s1", "aa bb")) // url s1/1 — absent; content equal
+    import org.apache.spark.sql.functions.{concat, expr, lit}
+    val url = concat(col("source"), lit("/"),
+      expr("doc_id div 2").cast("string"))
+    val got = Dedup.snapshotUrlDelta(a, b, url, col("text"), col("source"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("s1", 1L, 0L, 0L, 1L)))
+  }
 }
