@@ -2720,6 +2720,23 @@ object SparkEntry {
           .where(col("doc_id") % 2 === 1))
     }, Some(snapshotNearDupOracleSql))),
 
+    // s37 served from the MATERIALIZED SnapshotStore: the old
+    // snapshot's banding index + shingle sets WRITE as parquet once
+    // (the per-snapshot artifact a production pipeline amortizes over
+    // every later ingest) and arriving docs probe the store's file
+    // scans with the same probeIndex kernel — four paths (batch n85,
+    // inline s37, store s38, and the store's append path), one
+    // answer, one oracle. Append == rebuild is SnapshotStoreSpec's
+    // proof.
+    "s38_store_snapshot_neardup" -> (((s: SparkSession, d: String) => {
+      val dir = graft.TempDirs.create("graft-snapshot-store")
+      graft.operators.SnapshotStore.append(s, dir,
+        pairDocs(s, d).where(col("doc_id") % 2 === 0))
+      graft.streaming.StreamQueries.streamSnapshotNearDupFromStore(s, dir,
+        sampled(graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+          .where(col("doc_id") % 2 === 1))
+    }, Some(snapshotNearDupOracleSql))),
+
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -5233,6 +5250,20 @@ object SparkEntry {
     // (StreamQueries.streamSnapshotDelta).
     "s36_stream_snapshot_delta" -> (((s: SparkSession, d: String) => {
       graft.streaming.StreamQueries.streamSnapshotDelta(s, d)
+    }, Some(snapshotDeltaOracleSql))),
+
+    // s36 served from the MATERIALIZED SnapshotStore digest
+    // components: the previous snapshot's distinct-digest indexes
+    // write as parquet once and every arriving doc classifies by two
+    // stateless stream-static LEFT joins against the store's file
+    // scans. Same oracle as n84/s36.
+    "s39_store_snapshot_delta" -> (((s: SparkSession, d: String) => {
+      val dir = graft.TempDirs.create("graft-snapshot-store")
+      graft.operators.SnapshotStore.append(s, dir,
+        Tables.documents(s, d).where(col("doc_id") % 2 === 0))
+      graft.streaming.StreamQueries.streamSnapshotDeltaFromStore(s, dir,
+        graft.streaming.StreamQueries.documentsStream(s, d)
+          .where(col("doc_id") % 2 === 1))
     }, Some(snapshotDeltaOracleSql))),
 
     "s18_stream_topk" -> (((s: SparkSession, d: String) => {

@@ -144,4 +144,40 @@ object MinHashLsh {
       .dropDuplicates("a_id", "b_id")
     verify(candidates, setsA.union(setsB), threshold)
   }
+
+  /** Probe a previous snapshot's (bands, sets) index with arriving
+    * docs — the ONE serving kernel behind s37 (index derived inline),
+    * s38 (index read from the [[SnapshotStore]] parquet layout) and
+    * any batch probe: each arriving doc bands per-row with the shared
+    * [[bandKeysFromSig]] kernel, candidates come from a stateless
+    * equi-join on (band, key), the old set is fetched by a second
+    * equi-join, and exact Jaccard verifies (precision 1.0). The
+    * closing groupBy(a_id, b_id) max-agg dedups multi-band hits of
+    * the same pair — a plain aggregate batch-side, the complete-mode
+    * state when `arriving` is a stream. Row-equal to
+    * [[snapshotNearDupPairs]] on the same corpora: the bands are the
+    * same kernel, so the candidate set matches, and both verify
+    * exactly. */
+  def probeIndex(bandsA: DataFrame, setsA: DataFrame, arriving: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val banded = arriving
+      .select(col(id).as("b_id"), Text.shingleSet(col(text)).as("b_set"))
+      .where(size(col("b_set")) > 0)
+      .withColumn("sig", signature(col("b_set"), k))
+      .select(col("b_id"), col("b_set"),
+        explode(bandKeysFromSig(col("sig"), k, r)).as("bk"))
+      .select(col("b_id"), col("b_set"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded
+      .join(bandsA, Seq("band", "key"))
+      .select(col("did").as("a_id"), col("b_id"), col("b_set"))
+      .join(setsA.select(col("did").as("a_id"), col("sset").as("a_set")),
+        Seq("a_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_set"), col("b_set")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
 }

@@ -919,26 +919,42 @@ object StreamQueries {
       .where(size(col("sset")) > 0)
       .localCheckpoint() // sever the fixture scan from every micro-batch
     val bandsA = MinHashLsh.banded(setsA, k, r).localCheckpoint()
-    val arriving = arrivingDocs
-      .select(col("doc_id").as("b_id"), Text.shingleSet(col("text")).as("b_set"))
-      .where(size(col("b_set")) > 0)
-      .withColumn("sig", MinHashLsh.signature(col("b_set"), k))
-      .select(col("b_id"), col("b_set"),
-        explode(MinHashLsh.bandKeysFromSig(col("sig"), k, r)).as("bk"))
-      .select(col("b_id"), col("b_set"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val verified = arriving
-      .join(bandsA, Seq("band", "key")) // stream-static: probe the index
-      .select(col("did").as("a_id"), col("b_id"), col("b_set"))
-      .join(setsA.select(col("did").as("a_id"), col("sset").as("a_set")),
-        Seq("a_id")) // stream-static: fetch the old set for exact verify
-      .select(col("a_id"), col("b_id"),
-        MinHashLsh.jaccard(col("a_set"), col("b_set")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(max(col("jaccard")).as("jaccard")) // dedup multi-band hits
-    runToTable(spark, verified, "complete")
+    runToTable(spark,
+      MinHashLsh.probeIndex(bandsA, setsA, arrivingDocs,
+        k = k, r = r, threshold = threshold),
+      "complete")
   }
+
+  /** Streaming near-dup delta served from the MATERIALIZED
+    * [[graft.operators.SnapshotStore]] (s38) — s37 with the inline
+    * localCheckpoint index replaced by the parquet store a production
+    * pipeline writes once per snapshot: arriving docs probe the
+    * store's bands/sets file scans via the SAME
+    * [[graft.operators.MinHashLsh.probeIndex]] kernel, so the drained
+    * pair table equals s37's and batch n85's row for row (same
+    * oracle). Only the confirmed-pair max-agg is stateful; the same
+    * complete-vs-update emission note as s37 applies. */
+  def streamSnapshotNearDupFromStore(spark: SparkSession, storeDir: String,
+      arrivingDocs: DataFrame, k: Int = 32, r: Int = 2,
+      threshold: Double = 0.8): DataFrame =
+    runToTable(spark,
+      graft.operators.SnapshotStore.serveNearDup(spark, storeDir,
+        arrivingDocs, k = k, r = r, threshold = threshold),
+      "complete")
+
+  /** Streaming snapshot-delta classification served from the
+    * MATERIALIZED [[graft.operators.SnapshotStore]] digest components
+    * (s39) — s36 with the inline localCheckpoint indexes replaced by
+    * the store's file scans; classification stays two stateless
+    * stream-static LEFT equi-joins, only the per-source sum rollup is
+    * stateful, so the drained table equals batch n84 row for row
+    * (same oracle). */
+  def streamSnapshotDeltaFromStore(spark: SparkSession, storeDir: String,
+      arrivingDocs: DataFrame): DataFrame =
+    runToTable(spark,
+      graft.operators.SnapshotStore.serveDelta(spark, storeDir,
+        arrivingDocs, col("text"), col("source")),
+      "complete")
 
   /** Streaming snapshot-delta classification (s36) — n84's streaming
     * twin and the ingest-time "is this page new vs the last crawl?"
