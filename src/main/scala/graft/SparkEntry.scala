@@ -602,11 +602,16 @@ object SparkEntry {
   /** The curation CTE chain through the flagged frames f1..f5 and the
     * report input h — shared prefix of the n80 report oracle and n81's
     * pack oracle (the pack consumes f5's pass5 survivors). */
-  private lazy val curationCtesSql: String = {
+  /** The n80 CTE chain with a caller-supplied `d` definition (plus any
+    * CTEs it needs before it) and stage-5 budgets — n80/n81 run it
+    * over the (sampled) documents table with the shared budgets, n87
+    * over the snapshot-kept parity subset with halved ones. */
+  private def curationCtesFrom(lead: String, budgetEn: Long,
+      budgetOther: Long): String = {
     val fpSql = // n10's fingerprint over an aliased toks column
       "md5(array_to_string(list_sort(list_distinct(toks)), ' '))"
     s"""
-      WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM $docsT),
+      WITH $lead,
       st80 AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
             list_sum(list_transform(toks, t -> length(t))) AS len_sum,
             list_max(list_transform(toks, t -> length(t))) AS max_len,
@@ -646,8 +651,8 @@ object SparkEntry {
                FALSE) AS pass4
              FROM f3 LEFT JOIN ret USING (doc_id)),
       rates AS (SELECT lang, least(1000000::BIGINT,
-                  (CASE WHEN lang = 'en' THEN ${CurBudgetEn}::BIGINT
-                        ELSE ${CurBudgetOther}::BIGINT END) * 1000000
+                  (CASE WHEN lang = 'en' THEN ${budgetEn}::BIGINT
+                        ELSE ${budgetOther}::BIGINT END) * 1000000
                   // CAST(sum(tok) AS BIGINT)) AS rate_ppm
                 FROM f4 WHERE pass4 GROUP BY lang),
       f5 AS (SELECT f4.*, coalesce(pass4 AND
@@ -659,6 +664,46 @@ object SparkEntry {
                 AS hv,
               TRUE AS pass0, pass1, pass2, pass3, pass4, pass5
             FROM f5)"""
+  }
+
+  private lazy val curationCtesSql: String = curationCtesFrom(
+    s"d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM $docsT)",
+    CurBudgetEn, CurBudgetOther)
+
+  /** n87: the n80 chain over the SNAPSHOT-KEPT new-snapshot docs (the
+    * n86 keep rule as a leading CTE), stage labels shifted by the
+    * shared Curation.SnapshotStageRelabel, plus a raw-input row over
+    * the whole new snapshot. Budgets halve with the parity-halved
+    * corpus so the mixture stage stays live. */
+  private lazy val snapshotCurationSql: String = {
+    val fpSql =
+      s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
+    val lead = s"""aH87 AS (SELECT DISTINCT md5(text) AS h FROM $docsT
+                 WHERE doc_id % 2 = 0),
+      aFp87 AS (SELECT DISTINCT $fpSql AS fp
+                FROM $docsT WHERE doc_id % 2 = 0),
+      bNew87 AS (SELECT doc_id, lang, text, $toksSql AS toks,
+                   md5(text) AS h, $fpSql AS fp
+                 FROM $docsT WHERE doc_id % 2 = 1),
+      d AS (SELECT doc_id, lang, text, toks FROM bNew87
+            WHERE h NOT IN (SELECT h FROM aH87)
+              AND fp NOT IN (SELECT fp FROM aFp87))"""
+    val relabel = graft.operators.Curation.SnapshotStageRelabel.toMap
+    val stageRows = graft.operators.Curation.Stages.map { case (nm, f) =>
+      s"""SELECT '${relabel(nm)}' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(bit_xor(hv), 0) AS BIGINT) AS corpus_xor
+      FROM h WHERE $f"""
+    }.mkString("\n      UNION ALL\n      ")
+    val inputRow = s"""SELECT '0_input' AS stage,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(len($toksSql)), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(bit_xor(
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT),
+          0) AS BIGINT) AS corpus_xor
+      FROM $docsT WHERE doc_id % 2 = 1"""
+    curationCtesFrom(lead, CurBudgetEn / 2, CurBudgetOther / 2) +
+      s"\n      $inputRow\n      UNION ALL\n      $stageRows"
   }
 
   private lazy val curationPipelineSql: String = {
@@ -3980,6 +4025,22 @@ object SparkEntry {
         CurBudgetEn, CurBudgetOther,
         packTokens = graft.operators.Curation.PackTokens)
     }, Some(curationPackSql))),
+
+    // The SNAPSHOT-GATED curation pipeline — what an incremental
+    // corpus build runs on a new crawl: n86's cross-snapshot keep rule
+    // FIRST (exact+fingerprint dups vs the previous snapshot dropped,
+    // near-dups kept), then the full five-stage curation trained on
+    // the survivors; 7-row report (raw input + snapshot gate + the
+    // relabeled n80 cascade). Budgets halve with the parity-halved
+    // corpus so the mixture stage stays live. Rides the pair sample
+    // at sf0.1 (contains the LSH stage).
+    "n87_snapshot_curation" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      graft.operators.Curation.snapshotPipeline(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        CurBudgetEn / 2, CurBudgetOther / 2)
+    }, Some(snapshotCurationSql))),
 
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then

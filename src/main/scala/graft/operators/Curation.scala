@@ -272,6 +272,63 @@ object Curation {
     report(flagAgainst(docs, trainGates(docs, budgetEn, budgetOther,
       (df, _) => df.localCheckpoint())))
 
+  /** n87 stage labels: [[Stages]] shifted one slot to make room for
+    * the cross-snapshot gate between raw input and the quality gate.
+    * Single shared constant — [[snapshotPipeline]]'s relabel AND
+    * SparkEntry's oracle stage rows interpolate THIS sequence. */
+  val SnapshotStageRelabel: Seq[(String, String)] = Seq(
+    "0_input" -> "1_snapshot",
+    "1_quality" -> "2_quality",
+    "2_exact_dedup" -> "3_exact_dedup",
+    "3_near_dedup" -> "4_near_dedup",
+    "4_segment_gate" -> "5_segment_gate",
+    "5_mixture" -> "6_mixture")
+
+  /** The SNAPSHOT-GATED curation pipeline (n87) — what an incremental
+    * corpus build actually runs on a new crawl: FIRST drop docs whose
+    * exact digest or fingerprint already exists in the accumulated
+    * previous snapshot ([[Dedup.applySnapshotPolicy]] — near-dups
+    * deliberately survive, the FineWeb cross-dump rule), THEN run the
+    * full five-stage curation over the survivors, with every gate
+    * table trained on the post-snapshot corpus (training on docs the
+    * snapshot gate already killed would skew the mixture rates and
+    * waste the LSH pass on content that never reaches stage 1).
+    *
+    * Output: [[report]]'s (stage, n_docs, n_tokens, corpus_xor) rows
+    * with a 7-row stage axis — `0_input` aggregates the RAW new
+    * snapshot, `1_snapshot` the gate's survivors, `2_quality` ..
+    * `6_mixture` the relabeled curation cascade. Order-independent
+    * union, same column contract as n80.
+    *
+    * Scale shape: the snapshot gate is two shuffle-hash anti-joins
+    * against the previous snapshot's distinct-digest indexes (never
+    * broadcast — the old snapshot is corpus-sized), the curation part
+    * is [[pipeline]]'s (bounded gate tables over narrowing survivor
+    * sets, lineage-cut), and the extra `0_input` row is one map-side-
+    * combined aggregate over the new snapshot. */
+  def snapshotPipeline(oldDocs: DataFrame, newDocs: DataFrame,
+      budgetEn: Long, budgetOther: Long): DataFrame = {
+    val (aMd5, aFp) = Dedup.snapshotIndexes(oldDocs, col("text"))
+    // lineage-cut like the gate tables: the kept frame feeds every
+    // gate build AND the flag pass — without the cut the anti-joins
+    // (and the old snapshot's index aggregates under them) re-derive
+    // per consumer. A production build writes this frame to storage
+    // outright: it IS the kept corpus.
+    val kept = Dedup.applySnapshotPolicy(newDocs, aMd5, aFp, col("text"))
+      .localCheckpoint()
+    val inner = pipeline(kept, budgetEn, budgetOther)
+      .withColumn("stage",
+        element_at(typedLit(SnapshotStageRelabel.toMap), col("stage")))
+    val input = statsBase(newDocs)
+      .select(col("tok"), hash60(col("doc_id")).as("hv"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("tok")), lit(0L)).as("n_tokens"),
+        coalesce(expr("bit_xor(hv)"), lit(0L)).as("corpus_xor"))
+      .select(lit("0_input").as("stage"), col("n_docs"),
+        col("n_tokens"), col("corpus_xor"))
+    input.unionByName(inner)
+  }
+
   /** Curate THEN tokenize-and-pack (n81) — the step after n80 in a real
     * corpus build: the stage-5 survivors are laid end-to-end per
     * language in deterministic doc_id order and chopped into

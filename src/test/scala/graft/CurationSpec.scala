@@ -137,4 +137,33 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("snapshot gate drops cross-snapshot exact+fp dups, then curation (n87)") {
+    import spark.implicits._
+    val a = uniqToks('a')
+    val c = uniqToks('c')
+    val oldSnap = docsOf((100L, "en", a))
+    val corpus = docsOf(
+      (1L, "en", a),            // exact dup of old 100 → snapshot gate
+      (3L, "en", a.reverse),    // fp dup of old 100 → snapshot gate
+      (5L, "en", c),            // survives everything
+      (7L, "en", c.reverse),    // fp dup of 5 WITHIN the new snapshot:
+                                //   survives the CROSS-snapshot gate,
+                                //   dropped by curation stage 3 (labels
+                                //   shifted: exact dedup = 3_exact_dedup)
+      (9L, "en", Seq("too", "short"))) // quality gate (2_quality)
+    val got = Curation.snapshotPipeline(oldSnap, corpus, 1000000L, 1000000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 7)
+    assert(got("0_input") == ((5L, 24L * 4 + 2, xorOf(Seq(1L, 3L, 5L, 7L, 9L)))))
+    // cross-snapshot gate: 1 (exact) and 3 (fingerprint) drop;
+    // 7 (fp dup of a NEW doc, not an old one) survives
+    assert(got("1_snapshot") == ((3L, 50L, xorOf(Seq(5L, 7L, 9L)))))
+    assert(got("2_quality") == ((2L, 48L, xorOf(Seq(5L, 7L)))))
+    assert(got("3_exact_dedup") == ((1L, 24L, xorOf(Seq(5L)))))
+    assert(got("4_near_dedup") == got("3_exact_dedup"))
+    assert(got("5_segment_gate") == got("3_exact_dedup"))
+    assert(got("6_mixture") == got("3_exact_dedup")) // budget ≥ actual
+  }
 }

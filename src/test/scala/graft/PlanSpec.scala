@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("window"), p)
   }
 
+  test("snapshot-gated curation: no stage introduces a corpus×corpus join") {
+    // the snapshot gate's own anti-join shape (shuffle-hash, no
+    // broadcast of the old snapshot) is pinned by the n86 contract
+    // above; here the gate runs inside the lineage-cut kept frame, so
+    // the report plan shows the checkpoint scan + the curation cascade
+    val p = plan("n87_snapshot_curation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the |langs|-row mixture rates still ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("composed curation pipeline: no stage introduces a corpus×corpus join") {
     val p = plan("n80_curation_pipeline")
     // five chained stages (fingerprint index, LSH bands, segment index,
