@@ -4654,6 +4654,46 @@ object SparkEntry {
       WHERE h NOT IN (SELECT h FROM a)
         AND fp NOT IN (SELECT fp FROM afp)"""))),
 
+    // The STRICT cross-snapshot policy — the comparison point n86's
+    // FineWeb rule argues against: drop exact+fingerprint dups AND
+    // near-dups of the previous snapshot. Order matters for cost: the
+    // cheap digest anti-joins run first, the LSH pass bands only their
+    // survivors (old↔new banding only, per n85 — within-snapshot
+    // collisions never materialize). Rides the pair sample at sf0.1
+    // (the near-dup oracle is the O(|A|·|B|) pair subquery).
+    "n89_snapshot_policy_strict" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val oldSnap = docs.where(col("doc_id") % 2 === 0)
+      val (aMd5, aFp) = Dedup.snapshotIndexes(oldSnap, col("text"))
+      val kept = Dedup.applySnapshotPolicy(
+        docs.where(col("doc_id") % 2 === 1), aMd5, aFp, col("text"))
+      val losers = MinHashLsh.snapshotNearDupPairs(
+        oldSnap, kept, "doc_id", "text").select(col("b_id"))
+      kept.join(losers, kept("doc_id") === losers("b_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }, Some(s"""
+      WITH a89 AS (SELECT DISTINCT md5(text) AS h FROM $docsT
+                   WHERE doc_id % 2 = 0),
+      afp89 AS (SELECT DISTINCT
+                  md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                    AS fp
+                FROM $docsT WHERE doc_id % 2 = 0),
+      bk AS (SELECT doc_id, source, lang, text FROM $docsT
+             WHERE doc_id % 2 = 1
+               AND md5(text) NOT IN (SELECT h FROM a89)
+               AND md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                 NOT IN (SELECT fp FROM afp89)),
+      sa AS (SELECT doc_id, $ssetSql AS sset
+             FROM (SELECT doc_id, $toksSql AS toks FROM $docsT
+                   WHERE doc_id % 2 = 0)),
+      sb AS (SELECT doc_id, $ssetSql AS sset
+             FROM (SELECT doc_id, $toksSql AS toks FROM bk)),
+      nd AS (SELECT b.doc_id AS b_id FROM sa a JOIN sb b
+             ON CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8)
+      SELECT doc_id, source, lang FROM bk
+      WHERE doc_id NOT IN (SELECT b_id FROM nd)"""))),
+
     // URL-level cross-snapshot delta — the dedup crawls run FIRST:
     // key equality on the canonical URL costs no text processing, and
     // most re-crawls drop right there. Canonical URL synthesized from

@@ -47,6 +47,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("strict snapshot policy: digest anti-joins + banded LSH, never cartesian") {
+    val p = plan("n89_snapshot_policy_strict")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the digest gate keeps its pinned shuffle-hash anti-joins
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("URL-level snapshot delta is key equi-joins, no broadcast of old") {
     val p = plan("n88_snapshot_url_delta")
     assert(!p.contains("Broadcast"), p)
