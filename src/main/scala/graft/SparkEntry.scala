@@ -4042,6 +4042,23 @@ object SparkEntry {
         CurBudgetEn / 2, CurBudgetOther / 2)
     }, Some(snapshotCurationSql))),
 
+    // n87's train/serve split (the s34 idiom + the cross-snapshot
+    // gate): digest indexes + gate tables build once batch-side
+    // (gates materialized as parquet — the pretrained model), arriving
+    // docs get passS from two stateless stream-static LEFT joins and
+    // flag through the same cascade, append mode, no state store;
+    // drained flags aggregate to n87's 7-row report. SAME oracle.
+    "s40_stream_snapshot_curation" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val stream = sampled(
+        graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+        .where(col("doc_id") % 2 === 1)
+      graft.streaming.StreamQueries.streamSnapshotCurationServe(s, stream,
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        CurBudgetEn / 2, CurBudgetOther / 2)
+    }, Some(snapshotCurationSql))),
+
     // Greedy token-budget curation: rank domains by stopword density
     // (the cheap English-ness/quality proxy, exact integer ppm), then
     // fill a 60%-of-corpus token budget in rank order — the "keep the

@@ -240,15 +240,21 @@ object Curation {
 
   /** The report: ONE aggregate over the flagged frame (3 conditional
     * aggregates per stage, map-side combined), explode to 6 rows. */
-  def report(flagged: DataFrame): DataFrame = {
-    val aggs = Stages.flatMap { case (nm, f) => Seq(
+  def report(flagged: DataFrame): DataFrame = reportStages(flagged, Stages)
+
+  /** [[report]] over a caller-supplied stage axis — n80's 6 stages or
+    * n87/s40's 7 (with the snapshot-gate flag); still one aggregate +
+    * one explode, never a per-stage rescan. */
+  def reportStages(flagged: DataFrame,
+      stages: Seq[(String, String)]): DataFrame = {
+    val aggs = stages.flatMap { case (nm, f) => Seq(
       sum(when(col(f), 1L).otherwise(0L)).as(s"nd_$nm"),
       coalesce(sum(when(col(f), col("tok"))), lit(0L)).as(s"nt_$nm"),
       coalesce(expr(s"bit_xor(CASE WHEN $f THEN hv END)"), lit(0L))
         .as(s"bx_$nm"))
     }
     flagged.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(Stages.map { case (nm, _) =>
+      .select(explode(array(stages.map { case (nm, _) =>
         struct(lit(nm).as("stage"), col(s"nd_$nm").as("n_docs"),
           col(s"nt_$nm").as("n_tokens"), col(s"bx_$nm").as("corpus_xor"))
       }: _*)).as("s"))
@@ -283,6 +289,40 @@ object Curation {
     "3_near_dedup" -> "4_near_dedup",
     "4_segment_gate" -> "5_segment_gate",
     "5_mixture" -> "6_mixture")
+
+  /** n87/s40's 7-slot stage axis for [[reportStages]]: raw input, the
+    * snapshot gate, then [[Stages]]' cascade under its shifted labels
+    * (flags keep their pass1..5 names — only labels shift). */
+  val SnapshotStages: Seq[(String, String)] =
+    Seq("0_input" -> "pass0", "1_snapshot" -> "passS") ++
+      Stages.tail.map { case (nm, f) =>
+        SnapshotStageRelabel.toMap.apply(nm) -> f }
+
+  /** n87's flag-assignment pass over arriving docs — batch or stream
+    * (s40): `passS` comes from two stateless LEFT equi-joins against
+    * the previous snapshot's distinct-digest indexes (stream-static
+    * when `docs` is a stream — membership-equivalent to the batch
+    * anti-joins) and GUARDS the cascade by conjoining into pass1, so a
+    * snapshot-gated doc counts only in `0_input` and never joins a
+    * later stage's gate. Output: (doc_id, tok, hv, pass0, passS,
+    * pass1..5) — [[reportStages]] with [[SnapshotStages]] aggregates
+    * it to the same 7-row report as [[snapshotPipeline]]. */
+  def snapshotFlagAgainst(docs: DataFrame, g: Gates, aMd5: DataFrame,
+      aFp: DataFrame): DataFrame = {
+    val gated = statsBase(docs)
+      .withColumn("h", md5(col("text")))
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .join(aMd5.hint("shuffle_hash"), Seq("h"), "left")
+      .join(aFp.hint("shuffle_hash"), Seq("fp"), "left")
+      .withColumn("passS", col("in_a").isNull && col("fp_in_a").isNull)
+      .withColumn("pass1", col("passS") && col("pass1"))
+      .drop("h", "fp", "in_a", "fp_in_a")
+    withPass5(withPass4(withPass3(withPass2(
+        gated, g.firsts), g.losers), g.retention), g.rates)
+      .select(col("doc_id") +: col("tok") +: hash60(col("doc_id")).as("hv") +:
+        lit(true).as("pass0") +: col("passS") +:
+        Stages.tail.map { case (_, f) => col(f) }: _*)
+  }
 
   /** The SNAPSHOT-GATED curation pipeline (n87) — what an incremental
     * corpus build actually runs on a new crawl: FIRST drop docs whose

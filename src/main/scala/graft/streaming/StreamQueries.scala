@@ -1079,6 +1079,35 @@ object StreamQueries {
     * equality to be the batch-rebuild statement (the s19/s29
     * index/verify split — the caller applies any input sampling to
     * BOTH frames, like s19). */
+  /** Streaming SNAPSHOT-GATED curation serving (s40) — n87's
+    * train/serve split, the s34 idiom extended by the cross-snapshot
+    * gate: the previous snapshot's digest indexes and the gate tables
+    * (trained on the snapshot-KEPT corpus, materialized via
+    * `Curation.parquetMat`) build ONCE batch-side; every arriving doc
+    * gets `passS` from two stateless stream-static LEFT joins against
+    * the digest indexes (membership-equivalent to the batch
+    * anti-joins) conjoined into the same flag cascade — append mode,
+    * no state store — and the drained flag table aggregates to the
+    * identical 7-row report: s40 shares n87's oracle VERBATIM.
+    * `docsStream` must replay `newDocsBatch` (the caller applies any
+    * input sampling to both frames, like s34). */
+  def streamSnapshotCurationServe(spark: SparkSession,
+      docsStream: DataFrame, oldDocs: DataFrame, newDocsBatch: DataFrame,
+      budgetEn: Long, budgetOther: Long): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val (aMd5r, aFpr) = Dedup.snapshotIndexes(oldDocs, col("text"))
+    val aMd5 = aMd5r.localCheckpoint() // sever from every micro-batch
+    val aFp = aFpr.localCheckpoint()
+    val kept = Dedup.applySnapshotPolicy(newDocsBatch, aMd5, aFp,
+      col("text")).localCheckpoint()
+    val gates = Curation.trainGates(kept, budgetEn, budgetOther,
+      Curation.parquetMat(spark,
+        graft.TempDirs.create("graft-snapshot-curation-gates")))
+    val flagged = Curation.snapshotFlagAgainst(docsStream, gates, aMd5, aFp)
+    Curation.reportStages(runToTable(spark, flagged, "append"),
+      Curation.SnapshotStages)
+  }
+
   def streamCurationServe(spark: SparkSession, docsStream: DataFrame,
       docsBatch: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame = {
     import graft.operators.Curation

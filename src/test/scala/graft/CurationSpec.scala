@@ -166,4 +166,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got("5_segment_gate") == got("3_exact_dedup"))
     assert(got("6_mixture") == got("3_exact_dedup")) // budget ≥ actual
   }
+
+  test("streamed snapshot-gated serving == the batch snapshotPipeline (s40)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long)].collect().toSet
+    val streamed = rows(
+      graft.streaming.StreamQueries.streamSnapshotCurationServe(spark,
+        graft.streaming.StreamQueries.documentsStream(spark, sf)
+          .where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), 2500L, 1250L))
+    val batch = rows(Curation.snapshotPipeline(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), 2500L, 1250L))
+    assert(streamed.size == 7)
+    assert(streamed == batch)
+  }
 }
