@@ -4748,6 +4748,45 @@ object SparkEntry {
           AS n_url_new
       FROM j GROUP BY source"""))),
 
+    // Delta classification against the ACCUMULATED store — the shape
+    // successive crawls actually run: snapshots 1 and 2 APPEND into
+    // the SnapshotStore (the anti-join keeps the digest components
+    // one-row-per-distinct-value across appends — SnapshotStoreSpec's
+    // append==rebuild invariant, exercised here in a declared,
+    // hash-checked query), snapshot 3 classifies against the
+    // accumulated indexes. Crawls = the doc_id mod-3 split.
+    "n90_snapshot_chain_delta" -> (((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.TempDirs.create("graft-snapshot-chain")
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 0))
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 1))
+      graft.operators.SnapshotStore.serveDelta(s, dir,
+        docs.where(col("doc_id") % 3 === 2), col("text"), col("source"))
+    }, Some(s"""
+      WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % 3 < 2),
+      afp AS (SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                  AS fp
+              FROM documents WHERE doc_id % 3 < 2),
+      b AS (SELECT source, md5(text) AS h,
+              md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+                AS fp
+            FROM documents WHERE doc_id % 3 = 2),
+      j AS (SELECT b.source, (a.h IS NOT NULL) AS ex,
+              (afp.fp IS NOT NULL) AS fpin
+            FROM b LEFT JOIN a ON b.h = a.h
+                   LEFT JOIN afp ON b.fp = afp.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(sum(CASE WHEN NOT ex AND fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fp_dup,
+        CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new
+      FROM j GROUP BY source"""))),
+
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic
     // stub — no codecs in the container; see Multimodal.decodeStub).

@@ -42,7 +42,15 @@ object SnapshotStore {
 
   /** Append one snapshot's index rows to the store at `dir`. Doc ids
     * must be distinct across appended snapshots (caller contract, as
-    * in [[MinHashLsh.snapshotNearDupPairs]]). */
+    * in [[MinHashLsh.snapshotNearDupPairs]]).
+    *
+    * Failure atomicity: each component write is job-atomic via the
+    * Hadoop output committer, but the four writes are separate jobs —
+    * a crash between them leaves a component-skewed store. A
+    * production pipeline stages an append under a manifest (commit =
+    * rename the manifest in last); the recovery CHECK is exactly
+    * SnapshotStoreSpec's append==rebuild equality, which any suspect
+    * store can be audited against by rebuilding from the snapshots. */
   def append(spark: SparkSession, dir: String, snapshot: DataFrame,
       id: String = "doc_id", text: String = "text",
       k: Int = 32, r: Int = 2): Unit = {
