@@ -135,11 +135,21 @@ def main():
     # script could exit 0 while the declared surface is uncovered
     registry = None
     registry_covered = None
+    # n_queries is the VERIFIED surface (results + missing-oracle rows,
+    # i.e. everything graft.Verify actually emitted) — captured BEFORE
+    # synthetic NOT_IN_ARTIFACT rows are inserted below, so the meta
+    # invariant stays self-describing: n_queries == n_registry AND
+    # n_synthetic_fail == 0 proves the refresh covered the declared
+    # surface (ADVICE r16: post-insertion len(jrec) always equals
+    # n_registry, even when uncovered).
+    n_queries = len(jrec)
+    n_synthetic_fail = 0
     reg_path = os.path.join(OUTDIR, "registry.json")
     if os.path.exists(reg_path):
         with open(reg_path) as f:
             registry = json.load(f)
         registry_covered = sorted(registry) == sorted(jrec)
+        n_synthetic_fail = len(set(registry) - set(jrec))
         for m in sorted(set(registry) - set(jrec)):
             results[m] = "NOT_IN_ARTIFACT (declared in registry; no result, no oracle)"
             jrec[m] = {"rows_match": False, "schema_match": False,
@@ -165,7 +175,8 @@ def main():
                 "pair_sample": os.environ.get("GRAFT_PAIR_SAMPLE"),
                 "skip_oracle": sorted(skip_oracle),
                 "git_head": head,
-                "n_queries": len(jrec),
+                "n_queries": n_queries,
+                "n_synthetic_fail": n_synthetic_fail,
                 "n_registry": len(registry) if registry is not None else None,
                 "registry_covered": registry_covered}
         if registry_covered is False:

@@ -4682,8 +4682,13 @@ object SparkEntry {
       val docs = pairDocs(s, d)
       val oldSnap = docs.where(col("doc_id") % 2 === 0)
       val (aMd5, aFp) = Dedup.snapshotIndexes(oldSnap, col("text"))
+      // lineage-cut like snapshotPipeline's kept frame: kept feeds the
+      // LSH pass AND the final anti-join — without the cut the digest
+      // anti-joins (and the old snapshot's index aggregates under
+      // them) re-derive once per consumer (ADVICE r16)
       val kept = Dedup.applySnapshotPolicy(
         docs.where(col("doc_id") % 2 === 1), aMd5, aFp, col("text"))
+        .localCheckpoint()
       val losers = MinHashLsh.snapshotNearDupPairs(
         oldSnap, kept, "doc_id", "text").select(col("b_id"))
       kept.join(losers, kept("doc_id") === losers("b_id"), "left_anti")

@@ -67,6 +67,49 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 6)
   }
 
+  test("a crash between staging and commit leaves the previous manifest") {
+    import spark.implicits._
+    val a = Seq((0L, "x", "aa bb cc dd ee"), (2L, "x", "ff gg hh ii jj"))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((1L, "x", "kk ll mm nn oo")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-crash")
+    SnapshotStore.append(spark, dir, a)
+    val before = (rows(SnapshotStore.sets(spark, dir)),
+      rows(SnapshotStore.digests(spark, dir)))
+    // simulated crash: the append staged every component but died
+    // before the manifest rename — readers must see the old store
+    val orphan = SnapshotStore.stage(spark, dir, b)
+    assert((rows(SnapshotStore.sets(spark, dir)),
+      rows(SnapshotStore.digests(spark, dir))) == before)
+    assert(SnapshotStore.committedIds(spark, dir).size == 1)
+    // recovery = retry the commit of the staged id (or re-append and
+    // GC the orphan); after it the new rows are visible
+    SnapshotStore.commit(spark, dir, orphan)
+    assert(SnapshotStore.committedIds(spark, dir).size == 2)
+    assert(SnapshotStore.sets(spark, dir).count() == 3)
+  }
+
+  test("commit audit rejects a stale-staged overlapping append") {
+    import spark.implicits._
+    val x = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val y = Seq((1L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-reject")
+    // stage y against the EMPTY store (its digest delta is the full
+    // set), then let a racing append commit the same content first:
+    // y's staged delta now overlaps the committed digests and the
+    // audit must reject it instead of duplicating an index row
+    val stale = SnapshotStore.stage(spark, dir, y)
+    SnapshotStore.append(spark, dir, x)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.commit(spark, dir, stale)
+    }
+    assert(e.getMessage.contains("rejected"))
+    // manifest untouched by the rejected commit; invariant holds
+    assert(SnapshotStore.committedIds(spark, dir).size == 1)
+    val dig = SnapshotStore.digests(spark, dir)
+    assert(dig.count() == 1 && dig.count() == dig.distinct().count())
+  }
+
   test("store-served near-dup delta == inline snapshotNearDupPairs") {
     val a = docs(sf).where(col("doc_id") % 2 === 0)
     val b = docs(sf).where(col("doc_id") % 2 === 1)
