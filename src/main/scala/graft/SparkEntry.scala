@@ -2782,6 +2782,23 @@ object SparkEntry {
           .where(col("doc_id") % 2 === 1))
     }, Some(snapshotNearDupOracleSql))),
 
+    // s37's confirmed-pair state in UPDATE mode — the production
+    // emission: each micro-batch writes ONLY its delta, and for this
+    // plan the delta is exactly-once per pair (every band of an
+    // arriving doc derives per-row from that doc's own batch, so all
+    // candidates for a pair land in the one batch that carries its new
+    // doc and the pair's max-agg group changes exactly once) — the
+    // drained update emissions ARE the final pair table, proven by
+    // sharing n85/s37's oracle verbatim: a double emission would
+    // duplicate a key and fail the row/hash compare.
+    "s41_stream_snapshot_neardup_update" -> (((s: SparkSession, d: String) => {
+      graft.streaming.StreamQueries.streamSnapshotNearDup(s,
+        pairDocs(s, d).where(col("doc_id") % 2 === 0),
+        sampled(graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+          .where(col("doc_id") % 2 === 1),
+        mode = "update")
+    }, Some(snapshotNearDupOracleSql))),
+
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -4791,6 +4808,34 @@ object SparkEntry {
         CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
           AS n_new
       FROM j GROUP BY source"""))),
+
+    // n90's twin for the bands/sets components: snapshots 1 and 2
+    // APPEND into the SnapshotStore and snapshot 3 probes the
+    // ACCUMULATED banding index with the same probeIndex kernel as
+    // s37/s38 — the near-dup path of successive crawls against a
+    // multi-append store, declared and hash-checked (SnapshotStoreSpec
+    // proves append==rebuild; this proves the accumulated serve
+    // answers the production question). Rides the pair sample at
+    // sf0.1 (the exact-verify oracle is O(|A|·|B|)).
+    "n92_store_chain_neardup" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-snapshot-chain-nd")
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 0))
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 1))
+      graft.operators.SnapshotStore.serveNearDup(s, dir,
+        docs.where(col("doc_id") % 3 === 2))
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
 
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic

@@ -899,19 +899,24 @@ object StreamQueries {
     * probes the index by a stateless stream-static equi-join on
     * (band, key), and exact-verifies candidates against the old sets
     * by a second stream-static join + the shared jaccard formula.
-    * The ONLY state is the confirmed-pair table (a complete-mode
-    * max-agg that dedups multi-band hits of the same pair) — bounded
-    * by true near-dups, not by candidates. Complete mode re-emits the
-    * whole pair table every micro-batch, which is the harness's
-    * drain-to-memory shape; at production near-dup volumes the same
-    * max-agg runs in UPDATE mode (the (a_id, b_id) key makes the sink
-    * upsert idempotent), writing only each batch's delta. Drained
-    * pairs equal batch n85 row for row: the bands are identical, so
-    * the candidate set is identical, and verification is exact (same
-    * oracle). */
+    * The ONLY state is the confirmed-pair table (a max-agg that dedups
+    * multi-band hits of the same pair) — bounded by true near-dups,
+    * not by candidates. `mode` picks the emission: "complete" re-emits
+    * the whole pair table every micro-batch (the harness's original
+    * drain-to-memory shape, s37); "update" writes ONLY each batch's
+    * delta (s41) — and for THIS plan the delta is exactly-once per
+    * pair, because every band of an arriving doc derives per-row from
+    * that doc's own batch, so all candidates for a pair (a, b) arrive
+    * in the single micro-batch that carries b and the pair's max-agg
+    * group changes exactly once: the drained update-mode emissions ARE
+    * the final pair table, no upsert reconciliation needed (the
+    * production near-dup sink shape — resolves the r16 complete-mode
+    * note). Drained pairs equal batch n85 row for row either way: the
+    * bands are identical, so the candidate set is identical, and
+    * verification is exact (same oracle). */
   def streamSnapshotNearDup(spark: SparkSession, oldDocs: DataFrame,
       arrivingDocs: DataFrame, k: Int = 32, r: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, mode: String = "complete"): DataFrame = {
     import graft.operators.MinHashLsh
     import graft.functions.Text
     val setsA = oldDocs
@@ -922,7 +927,7 @@ object StreamQueries {
     runToTable(spark,
       MinHashLsh.probeIndex(bandsA, setsA, arrivingDocs,
         k = k, r = r, threshold = threshold),
-      "complete")
+      mode)
   }
 
   /** Streaming near-dup delta served from the MATERIALIZED
@@ -933,14 +938,14 @@ object StreamQueries {
     * [[graft.operators.MinHashLsh.probeIndex]] kernel, so the drained
     * pair table equals s37's and batch n85's row for row (same
     * oracle). Only the confirmed-pair max-agg is stateful; the same
-    * complete-vs-update emission note as s37 applies. */
+    * exactly-once-per-pair update emission as s41 applies (`mode`). */
   def streamSnapshotNearDupFromStore(spark: SparkSession, storeDir: String,
       arrivingDocs: DataFrame, k: Int = 32, r: Int = 2,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8, mode: String = "complete"): DataFrame =
     runToTable(spark,
       graft.operators.SnapshotStore.serveNearDup(spark, storeDir,
         arrivingDocs, k = k, r = r, threshold = threshold),
-      "complete")
+      mode)
 
   /** Streaming snapshot-delta classification served from the
     * MATERIALIZED [[graft.operators.SnapshotStore]] digest components
