@@ -607,63 +607,70 @@ object SparkEntry {
     * over the (sampled) documents table with the shared budgets, n87
     * over the snapshot-kept parity subset with halved ones. */
   private def curationCtesFrom(lead: String, budgetEn: Long,
-      budgetOther: Long): String = {
+      budgetOther: Long): String =
+    "\n      WITH " + curationCtesBody(lead, budgetEn, budgetOther)
+
+  /** [[curationCtesFrom]]'s body without the WITH keyword and with
+    * every CTE name suffixed by `x` (the lead must define `d$x`) — so
+    * TWO curation chains can live in one oracle (n91 runs the cascade
+    * once per crawl cycle). `x = ""` emits the historical n80 bytes. */
+  private def curationCtesBody(lead: String, budgetEn: Long,
+      budgetOther: Long, x: String = ""): String = {
     val fpSql = // n10's fingerprint over an aliased toks column
       "md5(array_to_string(list_sort(list_distinct(toks)), ' '))"
-    s"""
-      WITH $lead,
-      st80 AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+    s"""$lead,
+      st80$x AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
             list_sum(list_transform(toks, t -> length(t))) AS len_sum,
             list_max(list_transform(toks, t -> length(t))) AS max_len,
             len(list_filter(toks, t -> t IN $stopListSql)) AS stop_hits
-          FROM d),
-      f1 AS (SELECT doc_id, lang, text, toks,
+          FROM d$x),
+      f1$x AS (SELECT doc_id, lang, text, toks,
             CAST(n_tokens AS BIGINT) AS tok,
             coalesce(n_tokens BETWEEN 20 AND 1000
               AND len_sum >= n_tokens * 3 AND len_sum <= n_tokens * 10
               AND max_len <= 20 AND stop_hits >= 2, FALSE) AS pass1
-          FROM st80),
-      k2 AS (SELECT $fpSql AS fp, min(doc_id) AS keep_id
-             FROM f1 WHERE pass1 GROUP BY 1),
-      f2 AS (SELECT f1.*, coalesce(pass1 AND f1.doc_id = k2.keep_id, FALSE)
+          FROM st80$x),
+      k2$x AS (SELECT $fpSql AS fp, min(doc_id) AS keep_id
+             FROM f1$x WHERE pass1 GROUP BY 1),
+      f2$x AS (SELECT f1$x.*, coalesce(pass1 AND f1$x.doc_id = k2$x.keep_id, FALSE)
                AS pass2
-             FROM f1 LEFT JOIN k2
-               ON ${fpSql.replace("toks", "f1.toks")} = k2.fp),
-      s3 AS (SELECT doc_id, $ssetSql AS sset FROM f2 WHERE pass2),
-      losers AS (SELECT DISTINCT b.doc_id AS loser
-                 FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+             FROM f1$x LEFT JOIN k2$x
+               ON ${fpSql.replace("toks", s"f1$x.toks")} = k2$x.fp),
+      s3$x AS (SELECT doc_id, $ssetSql AS sset FROM f2$x WHERE pass2),
+      losers$x AS (SELECT DISTINCT b.doc_id AS loser
+                 FROM s3$x a JOIN s3$x b ON a.doc_id < b.doc_id
                  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8),
-      f3 AS (SELECT f2.*,
-               (pass2 AND doc_id NOT IN (SELECT loser FROM losers)) AS pass3
-             FROM f2),
-      seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      f3$x AS (SELECT f2$x.*,
+               (pass2 AND doc_id NOT IN (SELECT loser FROM losers$x)) AS pass3
+             FROM f2$x),
+      seg$x AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
                 array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
               FROM (SELECT doc_id, toks,
                       unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i
-                    FROM f3 WHERE pass3 AND len(toks) >= 1)),
-      ret AS (SELECT doc_id, count(*) AS n_segs,
+                    FROM f3$x WHERE pass3 AND len(toks) >= 1)),
+      ret$x AS (SELECT doc_id, count(*) AS n_segs,
                 sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
               FROM (SELECT doc_id, row_number() OVER (PARTITION BY seg
-                      ORDER BY doc_id, seg_idx) AS rn FROM seg)
+                      ORDER BY doc_id, seg_idx) AS rn FROM seg$x)
               GROUP BY 1),
-      f4 AS (SELECT f3.*, coalesce(pass3 AND 10 * ret.n_kept >= 9 * ret.n_segs,
+      f4$x AS (SELECT f3$x.*, coalesce(pass3 AND 10 * ret$x.n_kept >= 9 * ret$x.n_segs,
                FALSE) AS pass4
-             FROM f3 LEFT JOIN ret USING (doc_id)),
-      rates AS (SELECT lang, least(1000000::BIGINT,
+             FROM f3$x LEFT JOIN ret$x USING (doc_id)),
+      rates$x AS (SELECT lang, least(1000000::BIGINT,
                   (CASE WHEN lang = 'en' THEN ${budgetEn}::BIGINT
                         ELSE ${budgetOther}::BIGINT END) * 1000000
                   // CAST(sum(tok) AS BIGINT)) AS rate_ppm
-                FROM f4 WHERE pass4 GROUP BY lang),
-      f5 AS (SELECT f4.*, coalesce(pass4 AND
+                FROM f4$x WHERE pass4 GROUP BY lang),
+      f5$x AS (SELECT f4$x.*, coalesce(pass4 AND
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  % 1000000) < r.rate_ppm, FALSE) AS pass5
-             FROM f4 LEFT JOIN rates r USING (lang)),
-      h AS (SELECT doc_id, tok,
+             FROM f4$x LEFT JOIN rates$x r USING (lang)),
+      h$x AS (SELECT doc_id, tok,
               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                 AS hv,
               TRUE AS pass0, pass1, pass2, pass3, pass4, pass5
-            FROM f5)"""
+            FROM f5$x)"""
   }
 
   private lazy val curationCtesSql: String = curationCtesFrom(
@@ -704,6 +711,59 @@ object SparkEntry {
       FROM $docsT WHERE doc_id % 2 = 1"""
     curationCtesFrom(lead, CurBudgetEn / 2, CurBudgetOther / 2) +
       s"\n      $inputRow\n      UNION ALL\n      $stageRows"
+  }
+
+  /** n91: TWO crawl cycles composed end to end, then a probe. Cycle 1
+    * curates snapshot 0 (the store is empty, so the policy keeps
+    * everything); its stage-5 survivors' digests become the store.
+    * Cycle 2 drops snapshot-1 docs whose digest/fingerprint is already
+    * stored (the n86 rule against the CURATED corpus), curates the
+    * survivors, and unions their digests in. Snapshot 2 then
+    * classifies against the accumulated curated store — n84's rollup
+    * shape over n91's store state. The curation cascade appears twice
+    * via [[curationCtesBody]]'s c1/c2 suffixes; budgets third with the
+    * mod-3 chunks so the mixture stage stays live. */
+  private lazy val crawlCycleSql: String = {
+    val fpT = // n10's fingerprint over the raw text column
+      s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
+    val b1 = curationCtesBody(
+      s"dc1 AS (SELECT doc_id, lang, text, $toksSql AS toks FROM $docsT WHERE doc_id % 3 = 0)",
+      CurBudgetEn / 3, CurBudgetOther / 3, "c1")
+    val b2 = curationCtesBody(
+      s"""dc2 AS (SELECT doc_id, lang, text, toks FROM
+              (SELECT doc_id, lang, text, $toksSql AS toks, md5(text) AS h,
+                 $fpT AS fp FROM $docsT WHERE doc_id % 3 = 1)
+            WHERE h NOT IN (SELECT h FROM sh1)
+              AND fp NOT IN (SELECT fp FROM sfp1))""",
+      CurBudgetEn / 3, CurBudgetOther / 3, "c2")
+    s"""
+      WITH $b1,
+      sh1 AS (SELECT DISTINCT md5(text) AS h FROM f5c1 WHERE pass5),
+      sfp1 AS (SELECT DISTINCT
+                 md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS fp
+               FROM f5c1 WHERE pass5),
+      $b2,
+      sh AS (SELECT h FROM sh1 UNION
+             SELECT DISTINCT md5(text) AS h FROM f5c2 WHERE pass5),
+      sfp AS (SELECT fp FROM sfp1 UNION
+              SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                  AS fp
+              FROM f5c2 WHERE pass5),
+      bprobe AS (SELECT source, md5(text) AS h, $fpT AS fp
+                 FROM $docsT WHERE doc_id % 3 = 2),
+      jprobe AS (SELECT bprobe.source, (sh.h IS NOT NULL) AS ex,
+                   (sfp.fp IS NOT NULL) AS fpin
+                 FROM bprobe LEFT JOIN sh ON bprobe.h = sh.h
+                        LEFT JOIN sfp ON bprobe.fp = sfp.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        CAST(sum(CASE WHEN NOT ex AND fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fp_dup,
+        CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new
+      FROM jprobe GROUP BY source"""
   }
 
   private lazy val curationPipelineSql: String = {
@@ -4808,6 +4868,31 @@ object SparkEntry {
         CAST(sum(CASE WHEN NOT ex AND NOT fpin THEN 1 ELSE 0 END) AS BIGINT)
           AS n_new
       FROM j GROUP BY source"""))),
+
+    // The crawl cycle CLOSED (the round-16 top ask): two production
+    // increments run end to end — each cycle probes the accumulated
+    // store, applies the n86 keep rule, curates the survivors with the
+    // full five-stage cascade, and APPENDS the curated survivors'
+    // indexes back into the store (staged, audited,
+    // manifest-committed) — then snapshot 3 classifies against the
+    // accumulated, CURATED corpus, proving the next probe sees what
+    // the cycles committed. Oracle = the curation CTE chain twice
+    // (c1/c2 suffixes) + the store-union CTEs + n84's rollup; the
+    // corpus-scale generalization of the reference's sink-side dedup
+    // loop (kafka_s.py:614-630). Rides the pair sample at sf0.1 (two
+    // LSH stages). Budgets third with the mod-3 chunks.
+    "n91_crawl_cycle" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-crawl-cycle")
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 0),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 1),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.SnapshotStore.serveDelta(s, dir,
+        docs.where(col("doc_id") % 3 === 2), col("text"), col("source"))
+    }, Some(crawlCycleSql))),
 
     // n90's twin for the bands/sets components: snapshots 1 and 2
     // APPEND into the SnapshotStore and snapshot 3 probes the

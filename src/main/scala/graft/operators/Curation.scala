@@ -369,6 +369,65 @@ object Curation {
     input.unionByName(inner)
   }
 
+  /** The curated corpus ITSELF — the stage-5 survivors as a
+    * (doc_id, lang, text) frame, i.e. the kept output a production
+    * build materializes (the report queries aggregate it; downstream
+    * consumers — the pack, the snapshot store — consume it). Gates are
+    * lineage-cut as in [[pipeline]]. */
+  def curatedCorpus(docs: DataFrame, budgetEn: Long,
+      budgetOther: Long): DataFrame =
+    flagsFull(docs, trainGates(docs, budgetEn, budgetOther,
+        (df, _) => df.localCheckpoint()))
+      .where(col("pass5"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  /** ONE production crawl increment, end to end (n91) — the state
+    * transition a real incremental pipeline commits every dump, and
+    * the corpus-scale generalization of the reference's sink-side
+    * dedup loop (kafka_s.py:614-630 — every processed event
+    * immediately becomes dedup state for the next):
+    *
+    *   1. PROBE + POLICY: drop arriving docs whose exact digest or
+    *      fingerprint is already in the ACCUMULATED store
+    *      ([[Dedup.applySnapshotPolicy]] against the store's digest
+    *      components — the n86 FineWeb rule; a first crawl against an
+    *      empty store keeps everything);
+    *   2. CURATE the survivors with the full five-stage cascade,
+    *      gates trained on them ([[curatedCorpus]] — the n87 shape);
+    *   3. APPEND the CURATED survivors' sets/bands/digests back into
+    *      the store ([[SnapshotStore.append]] — staged, audited,
+    *      manifest-committed), so the NEXT crawl probes the
+    *      accumulated, curated corpus.
+    *
+    * Returns the curated kept frame (what was appended). Cycle applied
+    * twice == rebuild from the curated union — CrawlCycleSpec proves
+    * every store component row-equal, and the declared n91 query
+    * hash-checks a post-cycle probe against the composed oracle.
+    *
+    * Scale shape: step 1 is two shuffle-hash anti-joins against the
+    * store's file scans (never broadcast — the accumulated store is
+    * corpus-sized), step 2 is [[pipeline]]'s bounded gate cascade over
+    * the narrowed survivors, step 3 one scan of the curated frame plus
+    * the O(delta) append anti-joins/audit. The kept and curated frames
+    * are lineage-cut (localCheckpoint) because each feeds several
+    * downstream jobs (gate builds; the four component writes) — a
+    * production build writes both to durable storage outright: the
+    * curated frame IS the corpus increment it ships. */
+  def cycleAppend(spark: SparkSession, storeDir: String, newDocs: DataFrame,
+      budgetEn: Long, budgetOther: Long): DataFrame = {
+    val kept =
+      if (SnapshotStore.nonEmpty(spark, storeDir))
+        Dedup.applySnapshotPolicy(newDocs,
+          SnapshotStore.digests(spark, storeDir),
+          SnapshotStore.fps(spark, storeDir), col("text"))
+          .localCheckpoint()
+      else newDocs
+    val curated = curatedCorpus(kept, budgetEn, budgetOther)
+      .localCheckpoint()
+    SnapshotStore.append(spark, storeDir, curated)
+    curated
+  }
+
   /** Curate THEN tokenize-and-pack (n81) — the step after n80 in a real
     * corpus build: the stage-5 survivors are laid end-to-end per
     * language in deterministic doc_id order and chopped into

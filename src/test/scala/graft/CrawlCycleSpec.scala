@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, md5}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Curation, Dedup, SnapshotStore}
+
+/** The closed crawl cycle (n91): applying [[Curation.cycleAppend]]
+  * twice leaves the SAME store as a from-scratch rebuild from the
+  * curated union — every component, row for row — and the next probe
+  * sees exactly what the cycles committed. */
+class CrawlCycleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def snap(i: Int) = docs.where(col("doc_id") % 3 === i)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // budgets above the chunk token volume: stage 5 keeps every stage-4
+  // survivor, maximizing cross-cycle duplicate coverage (the declared
+  // n91 query exercises LIVE budgets; this spec proves composition)
+  private val bEn = 1000000L
+  private val bOther = 1000000L
+
+  test("cycle applied twice == rebuild from the curated union") {
+    val dir = TempDirs.create("crawl-cycle-inc")
+    val c1 = Curation.cycleAppend(spark, dir, snap(0), bEn, bOther)
+    val c2 = Curation.cycleAppend(spark, dir, snap(1), bEn, bOther)
+    assert(c1.count() > 0 && c2.count() > 0)
+
+    // the parts composed BY HAND: curate snapshot 0 standalone, apply
+    // the policy to snapshot 1 against cycle 1's curated digests,
+    // curate the survivors, rebuild a store from the curated union
+    val cur1 = Curation.curatedCorpus(snap(0), bEn, bOther).localCheckpoint()
+    val kept2 = Dedup.applySnapshotPolicy(snap(1),
+      cur1.select(md5(col("text")).as("h")).distinct(),
+      cur1.select(Text.fingerprint(col("text")).as("fp")).distinct(),
+      col("text"))
+    // the policy must BITE for the equality to be non-vacuous: some
+    // snapshot-1 doc duplicates a curated snapshot-0 survivor
+    assert(kept2.count() < snap(1).count(),
+      "policy dropped nothing — cross-chunk dup coverage is vacuous")
+    val cur2 = Curation.curatedCorpus(kept2.localCheckpoint(), bEn, bOther)
+      .localCheckpoint()
+    assert(rows(c1) == rows(cur1) && rows(c2) == rows(cur2))
+
+    val dir2 = TempDirs.create("crawl-cycle-rebuild")
+    SnapshotStore.append(spark, dir2, cur1.unionByName(cur2))
+    for (comp <- Seq("sets", "bands", "digests", "fps")) {
+      def read(d: String) = comp match {
+        case "sets" => SnapshotStore.sets(spark, d)
+        case "bands" => SnapshotStore.bands(spark, d)
+        case "digests" => SnapshotStore.digests(spark, d)
+        case "fps" => SnapshotStore.fps(spark, d)
+      }
+      assert(rows(read(dir)) == rows(read(dir2)), s"component $comp differs")
+    }
+
+    // ...and the NEXT probe sees the accumulated curated corpus: the
+    // store-served classification of snapshot 2 equals the inline
+    // classification against the curated union
+    assert(rows(SnapshotStore.serveDelta(spark, dir, snap(2),
+        col("text"), col("source"))) ==
+      rows(Dedup.snapshotDelta(cur1.unionByName(cur2), snap(2),
+        col("text"), col("source"))))
+  }
+}
