@@ -177,16 +177,25 @@ object Bench {
     // Ambient-spike auto-classification: a judged run lands in an
     // uncontrolled co-tenant box, and its per-query spikes previously
     // had to be attributed BY HAND against history. Compare this run's
-    // wall + task_ms to the rolling MIN across prior history entries at
-    // the same SF (the min is the least-ambient observation of the same
-    // code-or-faster): wall > 3× the rolling min with task_ms still in
-    // band (≤1.5×) means the executors were starved between tasks —
-    // "scheduler-ambient"; task_ms inflated too means the stall hit
-    // inside task execution (co-tenant CPU steal) — "in-task-stall".
-    // Either way the artifact self-attributes; a genuine plan
-    // regression shows up as task_ms inflation that REPRODUCES across
-    // runs, which the rolling min never absorbs. Only flagged queries
-    // appear; first run at an SF ⇒ empty.
+    // wall + task_ms to the rolling MIN across prior history entries
+    // with the SAME settings — sf AND pair_sample AND iters; a
+    // pair-sampled (or differently-iterated) run measures a different
+    // workload and must not poison the min (ADVICE r17; entries
+    // predating the pair_sample stamp were all full-input, so a
+    // missing field reads as unset). Wall > 3× the rolling min with
+    // task_ms still in band (≤1.5×) means the executors were starved
+    // between tasks — "scheduler-ambient"; task_ms inflated too means
+    // the stall hit inside task execution (co-tenant CPU steal) —
+    // "in-task-stall". A scheduler-ambient spike that ALSO fired in
+    // the most recent matching run is reproducing, which weather
+    // shouldn't: it demotes to "ambient-unconfirmed" (suspect — e.g. a
+    // plan change adding jobs/drain waits that wall sees but task_ms
+    // doesn't) until a later run lands back near the min (ADVICE r17).
+    // Advisory instrument either way; a genuine compute regression
+    // shows up as task_ms inflation that reproduces across runs, which
+    // the rolling min never absorbs. Only flagged queries appear;
+    // first run at a setting ⇒ empty.
+    val pairSample = SparkEntry.pairSampleKeep
     val ambientJson = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -194,26 +203,34 @@ object Bench {
         detailPath.stripSuffix(".json") + "_HISTORY.jsonl")
       val minWall = scala.collection.mutable.Map[String, Double]()
       val minTask = scala.collection.mutable.Map[String, Long]()
+      val lastWall = scala.collection.mutable.Map[String, Double]()
       if (histFile.exists()) {
         val src = scala.io.Source.fromFile(histFile)
         try src.getLines().foreach { line =>
           val j = JsonMethods.parse(line)
+          def num(v: JValue): Option[Double] = v match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
+            case JLong(l) => Some(l.toDouble)
+            case JDecimal(d) => Some(d.toDouble)
+            case _ => None
+          }
           val sfOk = (j \ "sf") match {
             case JString(s) => s == sfDir
             case _ => false
           }
-          if (sfOk) {
-            def num(v: JValue): Option[Double] = v match {
-              case JDouble(d) => Some(d)
-              case JInt(i) => Some(i.toDouble)
-              case JLong(l) => Some(l.toDouble)
-              case JDecimal(d) => Some(d.toDouble)
-              case _ => None
-            }
+          val pairOk = (j \ "pair_sample") match {
+            case JNull | JNothing => pairSample.isEmpty
+            case v => num(v).map(_.toInt) == pairSample
+          }
+          val itersOk = num(j \ "iters").map(_.toInt).contains(iters)
+          if (sfOk && pairOk && itersOk) {
             (j \ "queries") match {
               case JObject(fs) => fs.foreach { case (k, v) =>
-                num(v).filter(_ >= 0).foreach(d =>
-                  minWall(k) = math.min(minWall.getOrElse(k, d), d))
+                num(v).filter(_ >= 0).foreach { d =>
+                  minWall(k) = math.min(minWall.getOrElse(k, d), d)
+                  lastWall(k) = d // entries are chronological
+                }
               }
               case _ => ()
             }
@@ -233,7 +250,9 @@ object Bench {
             val tag = (taskByQuery.get(name).map(_.taskMs),
                 minTask.get(name)) match {
               case (Some(ct), Some(mt)) if mt > 0 && ct <= 1.5 * mt =>
-                "scheduler-ambient"
+                if (lastWall.get(name).exists(_ > 3 * mw))
+                  "ambient-unconfirmed"
+                else "scheduler-ambient"
               case (Some(ct), Some(mt)) if mt > 0 => "in-task-stall"
               case _ => "ambient-unattributed"
             }
@@ -244,8 +263,9 @@ object Bench {
       System.err.println(s"[bench] ambient classification failed: ${e.getMessage}")
       "{}"
     }
+    val pairSampleJson = pairSample.fold("null")(_.toString)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"stream":$streamJson,"task":$taskJson,"ambient":$ambientJson$shuffleJson,"sf":"${esc(sfDir)}","iters":$iters,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcJson,"blk_mb":$blkJson,"stream":$streamJson,"task":$taskJson,"ambient":$ambientJson$shuffleJson,"sf":"${esc(sfDir)}","iters":$iters,"pair_sample":$pairSampleJson,"failed":$failedJson}"""
     try {
       val w = new java.io.PrintWriter(detailPath); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -196,6 +196,23 @@ object SnapshotStore {
     aid
   }
 
+  /** Delete staging directories not listed in the MANIFEST — the
+    * recovery sweep for appends that crashed between stage and commit
+    * (readers never resolve them, so this is pure space reclamation;
+    * run it only with no append in flight — the single-writer
+    * contract). Returns the deleted ids. */
+  def gcOrphans(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new HPath(s"$dir/appends")
+    val fs = hfs(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val live = committedIds(spark, dir).toSet
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => !live(p.getName))
+        .map { p => fs.delete(p, true); p.getName }
+    }
+  }
+
   def sets(spark: SparkSession, dir: String): DataFrame =
     readComponent(spark, dir, "sets")
   def bands(spark: SparkSession, dir: String): DataFrame =

@@ -48,11 +48,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("strict snapshot policy: digest anti-joins + banded LSH, never cartesian") {
+    // the digest gate's shuffle-hash anti-join shape is pinned by the
+    // n86 contract above; here the gate runs inside the lineage-cut
+    // kept frame (it feeds the LSH pass AND the final anti-join —
+    // ADVICE r16), so the declared plan shows the checkpoint scan, the
+    // banded LSH subtree and the greedy near-dup drop
     val p = plan("n89_snapshot_policy_strict")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the digest gate keeps its pinned shuffle-hash anti-joins
-    assert(p.contains("ShuffledHashJoin"), p)
+    // the near-dup losers drop is an anti EQUI-join, never a filter
+    // over a materialized pair list
+    assert(p.contains("LeftAnti"), p)
   }
 
   test("URL-level snapshot delta is key equi-joins, no broadcast of old") {

@@ -89,6 +89,19 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 3)
   }
 
+  test("gcOrphans deletes only unlisted staging dirs") {
+    import spark.implicits._
+    val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val b = Seq((1L, "x", "kk ll mm nn oo")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-gc")
+    SnapshotStore.append(spark, dir, a)
+    val orphan = SnapshotStore.stage(spark, dir, b) // crashed append
+    assert(SnapshotStore.gcOrphans(spark, dir) == Seq(orphan))
+    assert(SnapshotStore.gcOrphans(spark, dir).isEmpty) // idempotent
+    // the committed append is untouched and still serves
+    assert(SnapshotStore.sets(spark, dir).count() == 1)
+  }
+
   test("commit audit rejects a stale-staged overlapping append") {
     import spark.implicits._
     val x = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
