@@ -193,17 +193,24 @@ object Bench {
     // doesn't) until a later run lands back near the min (ADVICE r17).
     // Advisory instrument either way; a genuine compute regression
     // shows up as task_ms inflation that reproduces across runs, which
-    // the rolling min never absorbs. Only flagged queries appear;
-    // first run at a setting ⇒ empty.
+    // the rolling min never absorbs. The window is the LAST 30 matching
+    // entries, not all history: an unbounded min pins forever to walls
+    // from superseded implementations (n21's round-1 stub left a
+    // 0.115 s min that flagged every post-reimplementation ~0.9 s run
+    // for 80+ entries), so the min must reflect the current code era —
+    // 30 entries ≈ three rounds of runs, still spanning any turbulent
+    // stretch. Only flagged queries appear; first run at a setting ⇒
+    // empty.
     val pairSample = SparkEntry.pairSampleKeep
+    val histWindow = 30
     val ambientJson = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val histFile = new java.io.File(
         detailPath.stripSuffix(".json") + "_HISTORY.jsonl")
-      val minWall = scala.collection.mutable.Map[String, Double]()
-      val minTask = scala.collection.mutable.Map[String, Long]()
-      val lastWall = scala.collection.mutable.Map[String, Double]()
+      // chronological matching entries: per-entry (query→wall, query→task_ms)
+      val entries = scala.collection.mutable.ArrayBuffer[
+        (Map[String, Double], Map[String, Long])]()
       if (histFile.exists()) {
         val src = scala.io.Source.fromFile(histFile)
         try src.getLines().foreach { line =>
@@ -225,25 +232,26 @@ object Bench {
           }
           val itersOk = num(j \ "iters").map(_.toInt).contains(iters)
           if (sfOk && pairOk && itersOk) {
-            (j \ "queries") match {
-              case JObject(fs) => fs.foreach { case (k, v) =>
-                num(v).filter(_ >= 0).foreach { d =>
-                  minWall(k) = math.min(minWall.getOrElse(k, d), d)
-                  lastWall(k) = d // entries are chronological
-                }
-              }
-              case _ => ()
+            val walls = (j \ "queries") match {
+              case JObject(fs) => fs.flatMap { case (k, v) =>
+                num(v).filter(_ >= 0).map(k -> _)
+              }.toMap
+              case _ => Map.empty[String, Double]
             }
-            (j \ "task") match {
-              case JObject(fs) => fs.foreach { case (k, v) =>
-                num(v \ "task_ms").map(_.toLong).foreach(t =>
-                  minTask(k) = math.min(minTask.getOrElse(k, t), t))
-              }
-              case _ => ()
+            val tasks = (j \ "task") match {
+              case JObject(fs) => fs.flatMap { case (k, v) =>
+                num(v \ "task_ms").map(d => k -> d.toLong)
+              }.toMap
+              case _ => Map.empty[String, Long]
             }
+            entries += ((walls, tasks))
           }
         } finally src.close()
       }
+      val window = entries.takeRight(histWindow)
+      val minWall = window.flatMap(_._1).groupMapReduce(_._1)(_._2)(math.min)
+      val minTask = window.flatMap(_._2).groupMapReduce(_._1)(_._2)(math.min)
+      val lastWall = window.flatMap(_._1).toMap // chronological: last wins
       results.flatMap { case (name, wall) =>
         minWall.get(name).collect {
           case mw if wall >= 0 && mw > 0 && wall > 3 * mw =>
