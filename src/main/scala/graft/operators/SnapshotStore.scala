@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+import org.apache.hadoop.fs.{FileContext, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,10 +15,12 @@ import graft.functions.Text
   * to the snapshot family).
   *
   * Layout under `dir/` (all plain parquet):
-  *   MANIFEST                  committed append ids, one per line, in
-  *                             commit order (readers resolve ONLY
-  *                             through this — the file layout is the
-  *                             contract, not who wrote it)
+  *   MANIFEST.v{N}             committed append ids, one per line, in
+  *                             commit order; the CURRENT state is the
+  *                             highest N (readers resolve ONLY through
+  *                             it — the file layout is the contract,
+  *                             not who wrote it). Older versions stay
+  *                             as commit history.
   *   appends/<id>/sets/        (did, sset)      one row per doc
   *   appends/<id>/bands/       (did, band, key) the LSH banding index
   *   appends/<id>/digests/     (h)              DISTINCT exact md5 DELTA
@@ -27,28 +29,44 @@ import graft.functions.Text
   * CRASH ATOMICITY — the Publish.scala write-audit-publish discipline
   * at append granularity: [[stage]] writes all four component deltas
   * under a fresh `appends/<id>/` directory that no reader resolves
-  * (readers union only MANIFEST-listed appends), [[commit]] AUDITS the
+  * (readers union only manifest-listed appends), [[commit]] AUDITS the
   * staged bytes as they exist on disk (the distinct-digest invariant:
   * staged digest/fp deltas must be disjoint from the committed store —
   * exactly the property the probe joins rely on), and only then
-  * publishes by atomically renaming a rewritten MANIFEST over the old
-  * one (FileContext rename-with-OVERWRITE — atomic on HDFS and local
-  * filesystems; an object-store deployment swaps in its conditional-put
-  * commit, the same trade [[Publish]] documents). A crash at ANY point
-  * before the rename leaves the store readable at the previous
-  * manifest; the orphaned staging directory is invisible and can be
-  * GC'd by id at leisure.
+  * publishes a NEW manifest version. A crash at ANY point before the
+  * publish leaves the store readable at the previous manifest; the
+  * orphaned staging directory is invisible and can be GC'd by id at
+  * leisure. A crash AFTER the publish is equally safe to retry:
+  * [[commit]] is idempotent — an id already in the manifest
+  * early-returns without re-auditing (re-auditing would see the id's
+  * own committed rows as overlap and must never be allowed to touch a
+  * published directory — ADVICE r17).
   *
-  * SINGLE WRITER PER STORE: stage→commit is read-modify-write of the
-  * manifest, so concurrent appends to the same store must serialize
-  * (two racing commits would derive their manifest from the same
-  * pre-commit state and the second rename would drop the first's id).
-  * The commit-time audit additionally catches the CONTENT hazard of a
-  * stage/commit interleaving — a staged delta whose digests were
-  * anti-joined against a stale committed state fails its disjointness
-  * audit instead of silently breaking one-row-per-distinct-value
-  * (ADVICE r16). Appends from different jobs therefore go through a
-  * queue or a lock, as every manifest-based table format requires.
+  * OPTIMISTIC CONCURRENCY (r17's top ask — the versioned-manifest
+  * protocol every real manifest-based table format uses): a commit
+  * never overwrites the manifest. It reads the current version N,
+  * audits against exactly that state, and publishes MANIFEST.v{N+1}
+  * with a CREATE-IF-ABSENT rename ([[publishOnce]] — atomic on HDFS;
+  * an object-store deployment swaps in its conditional put, the same
+  * trade [[Publish]] documents). Only one writer can claim a given
+  * version, so a commit that lands is provably derived from the state
+  * it audited against; a losing racer's rename fails, and it RETRIES —
+  * re-reads the new state, re-checks idempotence, re-audits its staged
+  * bytes against the winner's rows — so two racing non-overlapping
+  * appends BOTH commit (no lost append id, the overwrite-rename race
+  * of r17), while a racing append whose staged delta now overlaps the
+  * winner's content fails its re-audit and is rejected instead of
+  * silently breaking one-row-per-distinct-value.
+  *
+  * COMPACTION ([[compact]]): reads pay O(appends) manifest+listing
+  * metadata per component scan, so after many crawl-cycle appends the
+  * store is rewritten into ONE append through the same
+  * stage→audit→publish protocol — the audit here is the append==rebuild
+  * row-multiset equality itself (count + EXCEPT ALL per component,
+  * O(corpus) like the rewrite it guards), and the publish preserves any
+  * append that raced in after the compactor captured its sources.
+  * Superseded append directories become unlisted and [[gcOrphans]]
+  * reclaims them.
   *
   * APPEND == REBUILD (SnapshotStoreSpec proves it across 3 chunks):
   * sets/bands rows are per-doc and banding is per-row deterministic
@@ -72,19 +90,35 @@ object SnapshotStore {
   private def hfs(spark: SparkSession, p: HPath) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed append ids, in commit order (empty before the first
-    * successful commit — readers resolve ONLY these). */
-  def committedIds(spark: SparkSession, dir: String): Seq[String] = {
-    val mf = new HPath(s"$dir/MANIFEST")
-    val fs = hfs(spark, mf)
-    if (!fs.exists(mf)) Seq.empty
+  private val ManifestRe = """MANIFEST\.v(\d+)""".r
+
+  /** (version, committed append ids) of the CURRENT manifest — the
+    * highest MANIFEST.v{N} present; (0, empty) before the first
+    * successful commit. Readers resolve ONLY these ids. */
+  private[graft] def currentManifest(spark: SparkSession,
+      dir: String): (Long, Seq[String]) = {
+    val d = new HPath(dir)
+    val fs = hfs(spark, d)
+    if (!fs.exists(d)) (0L, Seq.empty)
     else {
-      val in = fs.open(mf)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toVector
-      finally in.close()
+      val versions = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .collect { case ManifestRe(n) => n.toLong }
+      if (versions.isEmpty) (0L, Seq.empty)
+      else {
+        val v = versions.max
+        val in = fs.open(new HPath(s"$dir/MANIFEST.v$v"))
+        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toVector
+        finally in.close()
+        (v, ids)
+      }
     }
   }
+
+  /** Committed append ids, in commit order (empty before the first
+    * successful commit). */
+  def committedIds(spark: SparkSession, dir: String): Seq[String] =
+    currentManifest(spark, dir)._2
 
   /** True once at least one append has committed. */
   def nonEmpty(spark: SparkSession, dir: String): Boolean =
@@ -100,11 +134,13 @@ object SnapshotStore {
       fs.listStatus(hp).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  private def componentPaths(spark: SparkSession, dir: String,
+      ids: Seq[String], comp: String): Seq[String] =
+    ids.map(id => s"$dir/appends/$id/$comp").filter(hasParquet(spark, _))
+
   private def readComponent(spark: SparkSession, dir: String,
       comp: String): DataFrame = {
-    val paths = committedIds(spark, dir)
-      .map(id => s"$dir/appends/$id/$comp")
-      .filter(hasParquet(spark, _))
+    val paths = componentPaths(spark, dir, committedIds(spark, dir), comp)
     require(paths.nonEmpty,
       s"SnapshotStore at $dir has no committed $comp rows")
     spark.read.parquet(paths: _*)
@@ -147,47 +183,86 @@ object SnapshotStore {
     delta.write.mode("error").parquet(s"$dir/appends/$aid/$comp")
   }
 
-  /** AUDIT the staged append as it exists on disk, then atomically
-    * publish it into the manifest. The audit re-reads the staged
-    * digest/fp deltas (the bytes a consumer would scan, not the
-    * producing plan) and requires them disjoint from the committed
-    * store — the invariant every probe join relies on; a staged append
-    * whose anti-join ran against a stale manifest (a racing commit
-    * landed in between) is REJECTED here, its staging directory
-    * deleted and the manifest untouched. */
-  private[graft] def commit(spark: SparkSession, dir: String,
-      aid: String): Unit = {
-    val base = s"$dir/appends/$aid"
-    val conflict = Seq("digests", "fps").exists { comp =>
-      hasParquet(spark, s"$base/$comp") && nonEmpty(spark, dir) && {
-        val staged = spark.read.parquet(s"$base/$comp")
-        staged.join(readComponent(spark, dir, comp),
-          staged.columns.toSeq, "left_semi").limit(1).count() > 0
-      }
-    }
-    if (conflict) {
-      val fs = hfs(spark, new HPath(base))
-      fs.delete(new HPath(base), true)
-      throw new IllegalStateException(
-        s"SnapshotStore commit rejected: staged append $aid overlaps the " +
-          s"committed digest components of $dir (concurrent append?); " +
-          "staging deleted, manifest untouched")
-    }
-    val mf = new HPath(s"$dir/MANIFEST")
-    val tmp = new HPath(s"$dir/MANIFEST.tmp")
+  /** Atomically publish `ids` as manifest version `version` —
+    * CREATE-IF-ABSENT: the content is written to a uuid'd dot-temp
+    * (invisible to [[currentManifest]]'s pattern) and renamed WITHOUT
+    * overwrite, so exactly one writer can claim a given version.
+    * Returns false when a racer already claimed it — the caller
+    * re-reads the new state and retries. */
+  private[graft] def publishOnce(spark: SparkSession, dir: String,
+      ids: Seq[String], version: Long): Boolean = {
+    val mf = new HPath(s"$dir/MANIFEST.v$version")
     val fs = hfs(spark, mf)
-    val ids = committedIds(spark, dir) :+ aid
+    val tmp = new HPath(s"$dir/.MANIFEST.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write((ids.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    FileContext.getFileContext(fs.getUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, mf, Options.Rename.OVERWRITE)
+    try {
+      FileContext.getFileContext(fs.getUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, mf) // no Rename.OVERWRITE: fails if the version exists
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false); false
+      case e: java.io.IOException if fs.exists(mf) =>
+        // some FileContext implementations surface the existing
+        // destination as a plain IOException — same lost race
+        fs.delete(tmp, false); false
+    }
+  }
+
+  /** AUDIT the staged append as it exists on disk, then atomically
+    * publish it into the next manifest version. The audit re-reads the
+    * staged digest/fp deltas (the bytes a consumer would scan, not the
+    * producing plan) and requires them disjoint from the committed
+    * store — the invariant every probe join relies on. The
+    * audit+publish pair is atomic with respect to the version chain:
+    * [[publishOnce]] claims v+1 only if nothing committed since the
+    * state v the audit ran against; a losing racer loops — re-reads,
+    * re-checks idempotence, re-audits — so non-overlapping racers all
+    * land, and a staged append whose delta overlaps a racer's
+    * committed rows is REJECTED (staging deleted, manifest untouched)
+    * instead of duplicating an index row. Re-committing an
+    * already-committed id is a no-op (crash-after-publish recovery),
+    * and committing an id that was never staged (or already GC'd)
+    * refuses rather than publishing a dangling id. */
+  private[graft] def commit(spark: SparkSession, dir: String,
+      aid: String): Unit = {
+    val base = s"$dir/appends/$aid"
+    val fs = hfs(spark, new HPath(base))
+    var published = false
+    while (!published) {
+      val (v, ids) = currentManifest(spark, dir)
+      if (ids.contains(aid)) return // idempotent: already published
+      require(fs.exists(new HPath(base)),
+        s"SnapshotStore commit of $aid at $dir: no staged directory " +
+          "(never staged, or GC'd) — refusing to publish a dangling id")
+      val conflict = Seq("digests", "fps").exists { comp =>
+        hasParquet(spark, s"$base/$comp") && {
+          val committed = componentPaths(spark, dir, ids, comp)
+          committed.nonEmpty && {
+            val staged = spark.read.parquet(s"$base/$comp")
+            staged.join(spark.read.parquet(committed: _*),
+              staged.columns.toSeq, "left_semi").limit(1).count() > 0
+          }
+        }
+      }
+      if (conflict) {
+        fs.delete(new HPath(base), true)
+        throw new IllegalStateException(
+          s"SnapshotStore commit rejected: staged append $aid overlaps the " +
+            s"committed digest components of $dir (concurrent append?); " +
+            "staging deleted, manifest untouched")
+      }
+      published = publishOnce(spark, dir, ids :+ aid, v + 1)
+    }
   }
 
   /** Append one snapshot's index rows to the store at `dir`:
-    * [[stage]] → [[commit]] (audit + rename-is-commit). Returns the
-    * committed append id. */
+    * [[stage]] → [[commit]] (audit + versioned publish). Returns the
+    * committed append id. Concurrent appends are safe: each commit
+    * retries through the optimistic-concurrency protocol. */
   def append(spark: SparkSession, dir: String, snapshot: DataFrame,
       id: String = "doc_id", text: String = "text",
       k: Int = 32, r: Int = 2): String = {
@@ -196,14 +271,90 @@ object SnapshotStore {
     aid
   }
 
-  /** Delete staging directories not listed in the MANIFEST — the
-    * recovery sweep for appends that crashed between stage and commit
-    * (readers never resolve them, so this is pure space reclamation;
-    * run it only with no append in flight — the single-writer
-    * contract). Returns the deleted ids. */
+  /** Rewrite committed appends into ONE compacted append, through the
+    * same stage→audit→publish protocol — bounds the O(appends)
+    * manifest + per-append listing cost every [[readComponent]] pays
+    * (after thousands of crawl-cycle appends, each probe would walk
+    * thousands of directories). `only` restricts the rewrite to a
+    * subset of committed ids (e.g. the K oldest); default = all.
+    *
+    * AUDIT: the staged rewrite must be row-multiset-equal to its
+    * source appends, per component (count equality + one-sided
+    * EXCEPT ALL — together they imply multiset equality). The audit is
+    * O(compacted bytes), the same order as the rewrite it guards.
+    *
+    * PUBLISH: the new manifest is the compacted id plus every
+    * committed id NOT compacted — so appends that raced in after the
+    * compactor captured its sources survive. If a source id vanishes
+    * from the manifest mid-compaction (a concurrent compactor), the
+    * publish refuses rather than duplicate the rows it rewrote:
+    * appends may race a compaction freely, compactions must not race
+    * each other. Superseded append directories become unlisted;
+    * [[gcOrphans]] reclaims them. Returns the compacted append id. */
+  def compact(spark: SparkSession, dir: String,
+      only: Option[Seq[String]] = None): String = {
+    val idsNow = committedIds(spark, dir)
+    val ids0 = only.getOrElse(idsNow)
+    require(ids0.nonEmpty,
+      s"SnapshotStore.compact at $dir: no committed appends")
+    require(ids0.forall(idsNow.contains),
+      s"SnapshotStore.compact at $dir: sources not committed: " +
+        ids0.filterNot(idsNow.contains).mkString(","))
+    val aid = s"compact-${java.util.UUID.randomUUID()}"
+    val base = s"$dir/appends/$aid"
+    val fs = hfs(spark, new HPath(base))
+    val comps = Seq("sets", "bands", "digests", "fps")
+    val srcPaths = comps.map { c =>
+      c -> componentPaths(spark, dir, ids0, c)
+    }.toMap
+    srcPaths.foreach { case (c, ps) =>
+      if (ps.nonEmpty)
+        spark.read.parquet(ps: _*).write.mode("error").parquet(s"$base/$c")
+    }
+    srcPaths.foreach { case (c, ps) =>
+      if (ps.nonEmpty) {
+        val old = spark.read.parquet(ps: _*)
+        val neu = spark.read.parquet(s"$base/$c")
+        if (old.count() != neu.count() || !old.exceptAll(neu).isEmpty) {
+          fs.delete(new HPath(base), true)
+          throw new IllegalStateException(
+            s"SnapshotStore.compact audit failed on $c at $dir: staged " +
+              "rewrite is not row-equal to its sources; staging deleted, " +
+              "manifest untouched")
+        }
+      }
+    }
+    var published = false
+    while (!published) {
+      val (v, ids) = currentManifest(spark, dir)
+      if (!ids0.forall(ids.contains)) {
+        fs.delete(new HPath(base), true)
+        throw new IllegalStateException(
+          s"SnapshotStore.compact at $dir: a source append left the " +
+            "manifest mid-compaction (concurrent compact?); staging " +
+            "deleted, manifest untouched")
+      }
+      val compacted = ids0.toSet
+      published =
+        publishOnce(spark, dir, aid +: ids.filterNot(compacted), v + 1)
+    }
+    aid
+  }
+
+  /** Delete staging directories not listed in the manifest — the
+    * recovery sweep for appends that crashed between stage and commit,
+    * and the reclaimer for appends superseded by [[compact]] (readers
+    * never resolve either, so this is pure space reclamation; run it
+    * only with no append in flight — an in-flight STAGED id is not yet
+    * listed and would be swept). Torn publish temporaries are swept
+    * too. Returns the deleted append ids. */
   def gcOrphans(spark: SparkSession, dir: String): Seq[String] = {
     val root = new HPath(s"$dir/appends")
     val fs = hfs(spark, root)
+    if (fs.exists(new HPath(dir)))
+      fs.listStatus(new HPath(dir)).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".MANIFEST.tmp-"))
+        .foreach(fs.delete(_, false))
     if (!fs.exists(root)) Seq.empty
     else {
       val live = committedIds(spark, dir).toSet

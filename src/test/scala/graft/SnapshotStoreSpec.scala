@@ -123,6 +123,125 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(dig.count() == 1 && dig.count() == dig.distinct().count())
   }
 
+  test("racing non-overlapping commits both land (versioned-manifest retry)") {
+    import spark.implicits._
+    // the r17 lost-append race, interleaved deterministically: A and B
+    // both stage against the EMPTY store (each reads version 0), B's
+    // commit wins MANIFEST.v1; A's in-flight publish with its STALE
+    // read must FAIL (create-if-absent), and A's commit retry must
+    // re-read, re-audit against B's rows and land in v2 — under the
+    // overwrite-rename protocol A's manifest would have dropped B's id
+    val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val b = Seq((1L, "x", "kk ll mm nn oo")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-race")
+    val aidA = SnapshotStore.stage(spark, dir, a)
+    val aidB = SnapshotStore.stage(spark, dir, b)
+    SnapshotStore.commit(spark, dir, aidB) // B wins v1
+    // A's stale publish attempt (derived from version 0) loses cleanly
+    assert(!SnapshotStore.publishOnce(spark, dir, Seq(aidA), 1L))
+    SnapshotStore.commit(spark, dir, aidA) // the retry path: v2 = B, A
+    assert(SnapshotStore.committedIds(spark, dir).toSet == Set(aidA, aidB))
+    assert(SnapshotStore.sets(spark, dir).count() == 2)
+    val dig = SnapshotStore.digests(spark, dir)
+    assert(dig.count() == 2 && dig.count() == dig.distinct().count())
+  }
+
+  test("threaded concurrent commits: every disjoint append lands exactly once") {
+    import spark.implicits._
+    val dir = TempDirs.create("snapstore-threads")
+    val aids = (0 until 3).map { i =>
+      SnapshotStore.stage(spark, dir,
+        Seq((i.toLong, "x", s"t$i u$i v$i w$i z$i"))
+          .toDF("doc_id", "source", "text"))
+    }
+    val threads = aids.map { aid =>
+      new Thread(() => SnapshotStore.commit(spark, dir, aid))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(SnapshotStore.committedIds(spark, dir).sorted == aids.sorted)
+    val dig = SnapshotStore.digests(spark, dir)
+    assert(dig.count() == 3 && dig.count() == dig.distinct().count())
+  }
+
+  test("re-committing an already-committed id is a no-op, never destructive") {
+    import spark.implicits._
+    // ADVICE r17: a crash-after-publish retry used to re-audit, see the
+    // id's own committed digests as self-overlap, and DELETE the
+    // published append directory while the manifest still listed it —
+    // silently losing the rows. Idempotent commit must leave the store
+    // byte-identical and serving.
+    val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-idem")
+    val aid = SnapshotStore.append(spark, dir, a)
+    val before = (SnapshotStore.committedIds(spark, dir),
+      rows(SnapshotStore.digests(spark, dir)),
+      rows(SnapshotStore.sets(spark, dir)))
+    SnapshotStore.commit(spark, dir, aid) // recovery retry — no-op
+    assert((SnapshotStore.committedIds(spark, dir),
+      rows(SnapshotStore.digests(spark, dir)),
+      rows(SnapshotStore.sets(spark, dir))) == before)
+  }
+
+  test("committing a never-staged id refuses instead of publishing a dangling id") {
+    import spark.implicits._
+    val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-dangling")
+    SnapshotStore.append(spark, dir, a)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commit(spark, dir, "append-no-such-id")
+    }
+    assert(SnapshotStore.committedIds(spark, dir).size == 1)
+  }
+
+  test("compact rewrites the store into one append, row-identical, old dirs GC'd") {
+    val d = docs(sf).where(col("doc_id") % 2 === 0)
+    val dir = TempDirs.create("snapstore-compact")
+    val aids = Seq(
+      d.where(col("doc_id") % 6 === 0),
+      d.where(col("doc_id") % 6 === 2),
+      d.where(col("doc_id") % 6 === 4))
+      .map(c => SnapshotStore.append(spark, dir, c))
+    val before = Seq(SnapshotStore.sets(spark, dir),
+      SnapshotStore.bands(spark, dir), SnapshotStore.digests(spark, dir),
+      SnapshotStore.fps(spark, dir)).map(rows)
+    val b = docs(sf).where(col("doc_id") % 2 === 1)
+    val servedBefore = rows(SnapshotStore.serveNearDup(spark, dir, b))
+    val cid = SnapshotStore.compact(spark, dir)
+    assert(SnapshotStore.committedIds(spark, dir) == Seq(cid))
+    val after = Seq(SnapshotStore.sets(spark, dir),
+      SnapshotStore.bands(spark, dir), SnapshotStore.digests(spark, dir),
+      SnapshotStore.fps(spark, dir)).map(rows)
+    assert(after == before)
+    assert(rows(SnapshotStore.serveNearDup(spark, dir, b)) == servedBefore)
+    // superseded append dirs are unlisted now — gcOrphans reclaims them
+    assert(SnapshotStore.gcOrphans(spark, dir).toSet == aids.toSet)
+    assert(Seq(SnapshotStore.sets(spark, dir),
+      SnapshotStore.bands(spark, dir), SnapshotStore.digests(spark, dir),
+      SnapshotStore.fps(spark, dir)).map(rows) == before)
+  }
+
+  test("subset compact preserves appends outside its sources (racer-append shape)") {
+    import spark.implicits._
+    // compacting ids captured BEFORE a racing append must keep the
+    // racer's id in the published manifest — the same arithmetic the
+    // publish loop applies when an append lands mid-compaction
+    val chunks = Seq(
+      Seq((0L, "x", "aa bb cc dd ee")), Seq((1L, "x", "ff gg hh ii jj")),
+      Seq((2L, "x", "kk ll mm nn oo")))
+      .map(_.toDF("doc_id", "source", "text"))
+    val dir = TempDirs.create("snapstore-subset")
+    val aids = chunks.map(c => SnapshotStore.append(spark, dir, c))
+    val before = rows(SnapshotStore.digests(spark, dir))
+    val cid = SnapshotStore.compact(spark, dir, Some(aids.take(2)))
+    assert(SnapshotStore.committedIds(spark, dir) == Seq(cid, aids(2)))
+    assert(rows(SnapshotStore.digests(spark, dir)) == before)
+    assert(SnapshotStore.sets(spark, dir).count() == 3)
+    // appends keep working against the compacted store
+    SnapshotStore.append(spark, dir,
+      Seq((3L, "x", "pp qq rr ss tt")).toDF("doc_id", "source", "text"))
+    assert(SnapshotStore.sets(spark, dir).count() == 4)
+  }
+
   test("store-served near-dup delta == inline snapshotNearDupPairs") {
     val a = docs(sf).where(col("doc_id") % 2 === 0)
     val b = docs(sf).where(col("doc_id") % 2 === 1)
