@@ -181,8 +181,9 @@ object Bench {
     // with the SAME settings — sf AND pair_sample AND iters; a
     // pair-sampled (or differently-iterated) run measures a different
     // workload and must not poison the min (ADVICE r17; entries
-    // predating the pair_sample stamp were all full-input, so a
-    // missing field reads as unset). Wall > 3× the rolling min with
+    // predating the pair_sample stamp are EXCLUDED — their setting is
+    // unverifiable and a stamped generation exists). Wall > 3× the
+    // rolling min with
     // task_ms still in band (≤1.5×) means the executors were starved
     // between tasks — "scheduler-ambient"; task_ms inflated too means
     // the stall hit inside task execution (co-tenant CPU steal) —
@@ -226,8 +227,14 @@ object Bench {
             case JString(s) => s == sfDir
             case _ => false
           }
+          // stamped entries only: pair_sample ABSENT means the entry
+          // predates the stamp, and its actual setting is unverifiable
+          // — one stamped generation exists (r17+), so pre-stamp
+          // entries are excluded rather than assumed full-input
+          // (ADVICE r17; JNull = stamped, explicitly unset)
           val pairOk = (j \ "pair_sample") match {
-            case JNull | JNothing => pairSample.isEmpty
+            case JNothing => false
+            case JNull => pairSample.isEmpty
             case v => num(v).map(_.toInt) == pairSample
           }
           val itersOk = num(j \ "iters").map(_.toInt).contains(iters)

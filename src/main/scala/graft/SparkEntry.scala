@@ -2859,6 +2859,38 @@ object SparkEntry {
         mode = "update")
     }, Some(snapshotNearDupOracleSql))),
 
+    // n91's cycle as a STREAMING serving path (the r17 top composition
+    // ask): cycle 1 bootstraps the store batch-side, then increment 2
+    // ARRIVES as a stream — the store's digests gate each doc
+    // (stateless stream-static joins), the gates train once on the
+    // increment's kept survivors (per-increment FineWeb policy, see
+    // Curation.cycleAppend), and foreachBatch appends each
+    // micro-batch's pass5 survivors back through the crash-atomic
+    // versioned-manifest commit. Snapshot 3 then probes the
+    // accumulated store AS A STREAM (s39's shape) — same oracle as
+    // n91 VERBATIM: the drained classification equals the two-cascade
+    // CTE chain, so a wrong per-batch append (dropped survivor,
+    // duplicated digest) would shift the rollup and fail the hash.
+    // StreamCrawlIncrementSpec proves drained store == batch
+    // cycleAppend store per component under maxFilesPerTrigger=1.
+    // Rides the pair sample at sf0.1 (two LSH train stages).
+    "s42_stream_crawl_increment" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-stream-crawl-inc")
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 0),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.streaming.StreamQueries.streamCrawlIncrement(s, dir,
+        "dump-2", // the stable per-increment replay key (dump label)
+        sampled(graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+          .where(col("doc_id") % 3 === 1),
+        docs.where(col("doc_id") % 3 === 1),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.streaming.StreamQueries.streamSnapshotDeltaFromStore(s, dir,
+        sampled(graft.streaming.StreamQueries.documentsStream(s, d), "doc_id")
+          .where(col("doc_id") % 3 === 2))
+    }, Some(crawlCycleSql))),
+
     // 64-bit SimHash digest per document (native Catalyst expression).
     "n04_simhash" -> (((s: SparkSession, d: String) => {
       Tables.documents(s, d).select(col("doc_id"),
@@ -4909,6 +4941,39 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 === 0))
       graft.operators.SnapshotStore.append(s, dir,
         docs.where(col("doc_id") % 3 === 1))
+      graft.operators.SnapshotStore.serveNearDup(s, dir,
+        docs.where(col("doc_id") % 3 === 2))
+    }, Some(s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+
+    // n92 served from a COMPACTED store (the r17 metadata-cost ask,
+    // declared): the two appends rewrite into ONE through the same
+    // stage→audit→publish protocol (audit = per-component count +
+    // EXCEPT ALL row-multiset equality) and gcOrphans DELETES the
+    // superseded append dirs before the probe — so the near-dup serve
+    // provably answers from the compacted append alone, not a
+    // leftover path, and reads pay one manifest + one listing per
+    // component instead of O(appends). Same probeIndex kernel, same
+    // exact-Jaccard oracle as n92: a compaction that dropped or
+    // duplicated an index row would change the pair table and fail
+    // the hash. Rides the pair sample at sf0.1 like n92.
+    "n93_compacted_store_serve" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-snapshot-compact-nd")
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 0))
+      graft.operators.SnapshotStore.append(s, dir,
+        docs.where(col("doc_id") % 3 === 1))
+      graft.operators.SnapshotStore.compact(s, dir)
+      graft.operators.SnapshotStore.gcOrphans(s, dir)
       graft.operators.SnapshotStore.serveNearDup(s, dir,
         docs.where(col("doc_id") % 3 === 2))
     }, Some(s"""

@@ -308,6 +308,21 @@ object Curation {
     * pass1..5) — [[reportStages]] with [[SnapshotStages]] aggregates
     * it to the same 7-row report as [[snapshotPipeline]]. */
   def snapshotFlagAgainst(docs: DataFrame, g: Gates, aMd5: DataFrame,
+      aFp: DataFrame): DataFrame =
+    snapshotFlagsFull(docs, g, aMd5, aFp)
+      .select(col("doc_id") +: col("tok") +: hash60(col("doc_id")).as("hv") +:
+        lit(true).as("pass0") +: col("passS") +:
+        Stages.tail.map { case (_, f) => col(f) }: _*)
+
+  /** [[snapshotFlagAgainst]]'s FULL flagged frame — keeps (lang, text)
+    * alongside passS and the cascade flags, so a serving tier can ACT
+    * on the survivors instead of just counting them: s42's streaming
+    * crawl increment appends each micro-batch's pass5 docs back into
+    * the snapshot store. passS conjoins into pass1 (as in
+    * [[snapshotFlagAgainst]]), so pass5 already implies the doc
+    * survived the cross-snapshot gate. Same stateless join shapes —
+    * stream-static when `docs` is a stream. */
+  def snapshotFlagsFull(docs: DataFrame, g: Gates, aMd5: DataFrame,
       aFp: DataFrame): DataFrame = {
     val gated = statsBase(docs)
       .withColumn("h", md5(col("text")))
@@ -319,9 +334,6 @@ object Curation {
       .drop("h", "fp", "in_a", "fp_in_a")
     withPass5(withPass4(withPass3(withPass2(
         gated, g.firsts), g.losers), g.retention), g.rates)
-      .select(col("doc_id") +: col("tok") +: hash60(col("doc_id")).as("hv") +:
-        lit(true).as("pass0") +: col("passS") +:
-        Stages.tail.map { case (_, f) => col(f) }: _*)
   }
 
   /** The SNAPSHOT-GATED curation pipeline (n87) — what an incremental
@@ -403,6 +415,27 @@ object Curation {
     * twice == rebuild from the curated union — CrawlCycleSpec proves
     * every store component row-equal, and the declared n91 query
     * hash-checks a post-cycle probe against the composed oracle.
+    *
+    * GATE-TRAINING POLICY (deliberate, not incidental): all five
+    * curation gates RE-TRAIN from scratch on each increment's
+    * survivors — per-dump independence, the rule FineWeb settled on
+    * after measuring cross-dump fuzzy dedup (gates carrying state
+    * across dumps) HURTING downstream quality versus processing each
+    * dump independently (Penedo et al. 2024, "The FineWeb Datasets" —
+    * the same evidence behind [[Dedup.applySnapshotPolicy]] keeping
+    * cross-snapshot near-dups). Concretely: the fingerprint
+    * firsts, LSH losers, and segment retention are relations over
+    * THIS increment's doc ids (accumulated-corpus training would only
+    * add cross-increment pairs — exactly the fuzzy matches the policy
+    * says to keep), and the mixture rates budget each increment on
+    * its own token volume, so every dump contributes at the same
+    * per-language rate instead of early dumps exhausting the budget.
+    * Only the EXACT-digest gate (step 1) consults accumulated state —
+    * the store — because exact cross-dump re-crawls are the one class
+    * FineWeb removes globally. The alternative (gates trained on the
+    * accumulated corpus) would also re-scan O(corpus) per increment
+    * instead of O(delta), so the measured-quality rule and the scale
+    * rule agree here.
     *
     * Scale shape: step 1 is two shuffle-hash anti-joins against the
     * store's file scans (never broadcast — the accumulated store is

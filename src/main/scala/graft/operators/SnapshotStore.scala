@@ -153,8 +153,13 @@ object SnapshotStore {
     * [[MinHashLsh.snapshotNearDupPairs]]). Returns the append id. */
   private[graft] def stage(spark: SparkSession, dir: String,
       snapshot: DataFrame, id: String = "doc_id", text: String = "text",
+      k: Int = 32, r: Int = 2): String =
+    stageAs(spark, dir, s"append-${java.util.UUID.randomUUID()}",
+      snapshot, id, text, k, r)
+
+  private[graft] def stageAs(spark: SparkSession, dir: String, aid: String,
+      snapshot: DataFrame, id: String = "doc_id", text: String = "text",
       k: Int = 32, r: Int = 2): String = {
-    val aid = s"append-${java.util.UUID.randomUUID()}"
     val base = s"$dir/appends/$aid"
     val sets = snapshot
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
@@ -269,6 +274,36 @@ object SnapshotStore {
     val aid = stage(spark, dir, snapshot, id, text, k, r)
     commit(spark, dir, aid)
     aid
+  }
+
+  /** [[append]] under a CALLER-SUPPLIED append id — the exactly-once
+    * REPLAY KEY for streaming commits (s42's foreachBatch derives it
+    * from (increment id, micro-batch id)): re-appending an id that is
+    * already in the manifest is a NO-OP (the replayed batch already
+    * committed — its content must be the committed content, which is
+    * the caller's uniqueness contract: one id ⇔ one logical append,
+    * stable across restarts), and a leftover staging directory under
+    * the same id is REPLACED before re-staging (an uncommitted dir
+    * under a caller-keyed id can only be a torn earlier attempt of
+    * this same logical append — the crash-between-stage-and-commit
+    * recovery, per id instead of via gcOrphans). Do not run
+    * [[compact]] over a store while a keyed append's stream is live:
+    * compacting a committed id out of the manifest would make its
+    * replay look uncommitted (same in-flight rule as [[gcOrphans]]).
+    * Returns true iff this call committed the append (false = replay
+    * no-op). */
+  def appendAs(spark: SparkSession, dir: String, aid: String,
+      snapshot: DataFrame, id: String = "doc_id", text: String = "text",
+      k: Int = 32, r: Int = 2): Boolean = {
+    if (committedIds(spark, dir).contains(aid)) false
+    else {
+      val base = new HPath(s"$dir/appends/$aid")
+      val fs = hfs(spark, base)
+      if (fs.exists(base)) fs.delete(base, true)
+      stageAs(spark, dir, aid, snapshot, id, text, k, r)
+      commit(spark, dir, aid)
+      true
+    }
   }
 
   /** Rewrite committed appends into ONE compacted append, through the

@@ -1113,6 +1113,103 @@ object StreamQueries {
       Curation.SnapshotStages)
   }
 
+  /** STREAMING CRAWL INCREMENT (s42) — n91's closed cycle as the
+    * serving path, the r17 top composition ask: ONE production
+    * increment ARRIVES as a stream against a non-empty accumulated
+    * store (the first crawl is n91's batch cycle 1 — it has no serving
+    * question), and every micro-batch both CLASSIFIES and COMMITS:
+    *
+    *   batch-side, once per increment (the s40 train/serve split):
+    *   the store's digest components load as the cross-snapshot gate
+    *   (lineage-severed file-scan indexes), the increment's KEPT
+    *   survivors train the five curation gates
+    *   ([[graft.operators.Curation.trainGates]] on
+    *   [[graft.operators.Dedup.applySnapshotPolicy]]'s output —
+    *   per-increment training, the FineWeb policy pinned on
+    *   [[graft.operators.Curation.cycleAppend]]), materialized as
+    *   parquet (the pretrained model);
+    *
+    *   per micro-batch: arriving docs flag through the stateless
+    *   snapshot-gated cascade
+    *   ([[graft.operators.Curation.snapshotFlagsFull]] — stream-static
+    *   equi-joins, no state store), and `foreachBatch` APPENDS the
+    *   batch's pass5 survivors' index rows back into the store through
+    *   the crash-atomic versioned-manifest commit
+    *   ([[graft.operators.SnapshotStore.appendAs]]) — so a crash mid-
+    *   stream leaves the store readable at its last committed version
+    *   and the restarted query re-flags only unprocessed files.
+    *
+    * Drained store == the batch [[graft.operators.Curation.cycleAppend]]
+    * store, every component row for row, at ANY micro-batching
+    * (StreamCrawlIncrementSpec forces maxFilesPerTrigger=1): the gates
+    * are per-increment constants, each flag is a pure per-row
+    * expression over them, sets/bands rows are per-doc, and the digest
+    * deltas stay disjoint across batch appends because pass2 keeps one
+    * doc per fingerprint (⇒ distinct text ⇒ distinct md5) and passS
+    * excluded everything already stored. `incrementStream` must replay
+    * `incrementBatch` (the caller applies any input sampling to both,
+    * like s40).
+    *
+    * EXACTLY-ONCE under replay: each batch's append id is the
+    * DETERMINISTIC (incrementId, micro-batch id) key, committed via
+    * [[graft.operators.SnapshotStore.appendAs]] — a batch replayed
+    * after a crash between its store commit and the checkpoint commit
+    * finds its id already in the manifest and no-ops, and a crash
+    * between stage and commit is recovered by the keyed re-stage. The
+    * caller's `incrementId` must be unique per increment and STABLE
+    * across restarts (a crawl-dump label — the FineWeb dump id — not
+    * a random token; a re-minted id would double-append sets/bands on
+    * replay). Do not compact the store while the increment is live
+    * (appendAs's in-flight rule). */
+  def streamCrawlIncrement(spark: SparkSession, storeDir: String,
+      incrementId: String, incrementStream: DataFrame,
+      incrementBatch: DataFrame,
+      budgetEn: Long, budgetOther: Long): Unit = {
+    import graft.operators.{Curation, Dedup, SnapshotStore}
+    require(SnapshotStore.nonEmpty(spark, storeDir),
+      s"streamCrawlIncrement needs a non-empty store at $storeDir " +
+        "(the first crawl is Curation.cycleAppend, batch)")
+    // the PRE-increment gate state, severed from every micro-batch:
+    // the policy (and n91's batch twin) classifies against the store
+    // as of increment start — per-batch re-reads would let earlier
+    // micro-batches' own appends gate later ones
+    val aMd5 = SnapshotStore.digests(spark, storeDir)
+      .withColumn("in_a", lit(1L)).localCheckpoint()
+    val aFp = SnapshotStore.fps(spark, storeDir)
+      .withColumn("fp_in_a", lit(1L)).localCheckpoint()
+    val kept = Dedup.applySnapshotPolicy(incrementBatch,
+      aMd5.drop("in_a"), aFp.drop("fp_in_a"), col("text"))
+      .localCheckpoint()
+    val gates = Curation.trainGates(kept, budgetEn, budgetOther,
+      Curation.parquetMat(spark,
+        graft.TempDirs.create("graft-crawl-inc-gates")))
+    val survivors = Curation
+      .snapshotFlagsFull(incrementStream, gates, aMd5, aFp)
+      .where(col("pass5"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    def appendBatch(batch: DataFrame, batchId: Long): Unit = {
+      val aid = s"append-$incrementId-b$batchId"
+      // replay fast-path: a committed id no-ops before computing the
+      // batch (appendAs re-checks under the commit loop either way)
+      if (!SnapshotStore.committedIds(spark, storeDir).contains(aid)) {
+        // computed once: the append stages four component writes plus
+        // the audit over this frame
+        val b = batch.localCheckpoint()
+        if (b.limit(1).count() > 0)
+          SnapshotStore.appendAs(batch.sparkSession, storeDir, aid, b)
+      }
+      ()
+    }
+    withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
+      val q = survivors.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(appendBatch _)
+        .start()
+      drain(q)
+    } }
+  }
+
   def streamCurationServe(spark: SparkSession, docsStream: DataFrame,
       docsBatch: DataFrame, budgetEn: Long, budgetOther: Long): DataFrame = {
     import graft.operators.Curation

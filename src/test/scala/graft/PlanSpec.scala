@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     // the near-dup losers drop is an anti EQUI-join, never a filter
     // over a materialized pair list
     assert(p.contains("LeftAnti"), p)
+    // the digest gate runs INSIDE the lineage-cut kept frame, so the
+    // declared plan above can't see it — pin its shape directly on the
+    // PRE-checkpoint frame n89 builds (ADVICE r17): the corpus-sized
+    // digest indexes must hash-partition, never broadcast
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (aMd5, aFp) = graft.operators.Dedup.snapshotIndexes(
+      docs.where(col("doc_id") % 2 === 0), col("text"))
+    val gate = graft.operators.Dedup.applySnapshotPolicy(
+        docs.where(col("doc_id") % 2 === 1), aMd5, aFp, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!gate.contains("Broadcast"), gate)
+    assert(gate.contains("ShuffledHashJoin"), gate)
   }
 
   test("URL-level snapshot delta is key equi-joins, no broadcast of old") {

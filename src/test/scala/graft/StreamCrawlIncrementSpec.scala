@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, SnapshotStore}
+import graft.streaming.StreamQueries
+
+/** The streaming crawl increment (s42): draining an increment through
+  * [[StreamQueries.streamCrawlIncrement]] — flags per micro-batch,
+  * survivors appended back per micro-batch through the crash-atomic
+  * commit — leaves the SAME store as the batch
+  * [[Curation.cycleAppend]], every component row for row, under
+  * FORCED multi-batch execution (maxFilesPerTrigger=1). */
+class StreamCrawlIncrementSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def snap(i: Int) = docs.where(col("doc_id") % 3 === i)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // budgets above the chunk token volume, as in CrawlCycleSpec: stage 5
+  // keeps every stage-4 survivor, maximizing cross-chunk dup coverage
+  // (the declared s42 query exercises LIVE budgets)
+  private val bEn = 1000000L
+  private val bOther = 1000000L
+
+  test("streamed increment == batch cycleAppend store, per component") {
+    val dirStream = TempDirs.create("s42-stream-store")
+    val dirBatch = TempDirs.create("s42-batch-store")
+    // cycle 1 bootstraps BOTH stores identically, batch-side
+    Curation.cycleAppend(spark, dirStream, snap(0), bEn, bOther)
+    Curation.cycleAppend(spark, dirBatch, snap(0), bEn, bOther)
+
+    // increment 2 as a 3-file source: maxFilesPerTrigger=1 forces the
+    // flags AND the store appends through ≥3 separate micro-batches
+    val src = TempDirs.create("s42-increment-src")
+    snap(1).repartition(3).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    StreamQueries.streamCrawlIncrement(spark, dirStream, "dump-2", stream,
+      snap(1), bEn, bOther)
+    val curatedBatch = Curation.cycleAppend(spark, dirBatch, snap(1),
+      bEn, bOther)
+
+    // non-vacuity: the increment curated something, and the stream
+    // really committed it across MULTIPLE appends (bootstrap + one per
+    // non-empty micro-batch) — otherwise the multi-batch claim is
+    // untested
+    assert(curatedBatch.count() > 0, "increment curated nothing")
+    val nAppends = SnapshotStore.committedIds(spark, dirStream).size
+    assert(nAppends >= 3,
+      s"expected >= 2 micro-batch appends beyond the bootstrap, got " +
+        s"${nAppends - 1}")
+
+    for (comp <- Seq("sets", "bands", "digests", "fps")) {
+      def read(d: String) = comp match {
+        case "sets" => SnapshotStore.sets(spark, d)
+        case "bands" => SnapshotStore.bands(spark, d)
+        case "digests" => SnapshotStore.digests(spark, d)
+        case "fps" => SnapshotStore.fps(spark, d)
+      }
+      assert(rows(read(dirStream)) == rows(read(dirBatch)),
+        s"component $comp differs between streamed and batch increment")
+    }
+
+    // ...and the next probe answers identically from either store
+    assert(rows(SnapshotStore.serveDelta(spark, dirStream, snap(2),
+        col("text"), col("source"))) ==
+      rows(SnapshotStore.serveDelta(spark, dirBatch, snap(2),
+        col("text"), col("source"))))
+  }
+
+  test("streaming an increment into an empty store refuses") {
+    val dir = TempDirs.create("s42-empty-store")
+    val src = TempDirs.create("s42-empty-src")
+    snap(1).limit(5).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      StreamQueries.streamCrawlIncrement(spark, dir, "dump-x", stream,
+        snap(1), bEn, bOther)
+    }
+    assert(e.getMessage.contains("non-empty store"))
+  }
+
+  test("a replayed keyed append is a no-op (exactly-once by replay key)") {
+    val dir = TempDirs.create("s42-replay-store")
+    SnapshotStore.append(spark, dir, snap(0))
+    // first keyed commit lands...
+    assert(SnapshotStore.appendAs(spark, dir, "append-dump-2-b0", snap(1)))
+    val ids = SnapshotStore.committedIds(spark, dir)
+    val before = Seq(
+      rows(SnapshotStore.sets(spark, dir)),
+      rows(SnapshotStore.bands(spark, dir)),
+      rows(SnapshotStore.digests(spark, dir)),
+      rows(SnapshotStore.fps(spark, dir)))
+    // ...the replay (same id — crash between store commit and stream
+    // checkpoint commit) must change NOTHING
+    assert(!SnapshotStore.appendAs(spark, dir, "append-dump-2-b0", snap(1)))
+    assert(SnapshotStore.committedIds(spark, dir) == ids)
+    val after = Seq(
+      rows(SnapshotStore.sets(spark, dir)),
+      rows(SnapshotStore.bands(spark, dir)),
+      rows(SnapshotStore.digests(spark, dir)),
+      rows(SnapshotStore.fps(spark, dir)))
+    assert(before == after)
+  }
+
+  test("a torn keyed staging is replaced, not erred, on re-append") {
+    val dir = TempDirs.create("s42-torn-store")
+    SnapshotStore.append(spark, dir, snap(0))
+    // simulate a crash between stage and commit of a keyed append
+    SnapshotStore.stageAs(spark, dir, "append-dump-2-b1", snap(1))
+    // the recovery re-append under the same id must land cleanly
+    assert(SnapshotStore.appendAs(spark, dir, "append-dump-2-b1", snap(1)))
+    assert(SnapshotStore.committedIds(spark, dir).contains("append-dump-2-b1"))
+    // and the store equals a plain two-append build
+    val ref = TempDirs.create("s42-torn-ref")
+    SnapshotStore.append(spark, ref, snap(0))
+    SnapshotStore.append(spark, ref, snap(1))
+    assert(rows(SnapshotStore.sets(spark, dir)) ==
+      rows(SnapshotStore.sets(spark, ref)))
+    assert(rows(SnapshotStore.digests(spark, dir)) ==
+      rows(SnapshotStore.digests(spark, ref)))
+  }
+}
