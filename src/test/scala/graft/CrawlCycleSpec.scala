@@ -69,4 +69,33 @@ class CrawlCycleSpec extends AnyFunSuite {
       rows(Dedup.snapshotDelta(cur1.unionByName(cur2), snap(2),
         col("text"), col("source"))))
   }
+
+  test("a mid-cycle compaction is invisible to the cycle") {
+    // compaction between increments must not change what the next
+    // cycle's policy drops, what its gates train on, or what the
+    // final probe answers — cycle 2 consumes the compacted store's
+    // digests for BOTH its policy gate and its append anti-joins
+    val dirA = TempDirs.create("crawl-cycle-compacted")
+    val dirB = TempDirs.create("crawl-cycle-uncompacted")
+    for (d <- Seq(dirA, dirB))
+      Curation.cycleAppend(spark, d, snap(0), bEn, bOther)
+    SnapshotStore.compact(spark, dirA)
+    assert(SnapshotStore.gcOrphans(spark, dirA).nonEmpty)
+    for (d <- Seq(dirA, dirB))
+      Curation.cycleAppend(spark, d, snap(1), bEn, bOther)
+    for (comp <- Seq("sets", "bands", "digests", "fps")) {
+      def read(d: String) = comp match {
+        case "sets" => SnapshotStore.sets(spark, d)
+        case "bands" => SnapshotStore.bands(spark, d)
+        case "digests" => SnapshotStore.digests(spark, d)
+        case "fps" => SnapshotStore.fps(spark, d)
+      }
+      assert(rows(read(dirA)) == rows(read(dirB)),
+        s"component $comp differs after a mid-cycle compaction")
+    }
+    assert(rows(SnapshotStore.serveDelta(spark, dirA, snap(2),
+        col("text"), col("source"))) ==
+      rows(SnapshotStore.serveDelta(spark, dirB, snap(2),
+        col("text"), col("source"))))
+  }
 }
