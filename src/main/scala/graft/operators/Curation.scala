@@ -448,11 +448,13 @@ object Curation {
     * curated frame IS the corpus increment it ships. */
   def cycleAppend(spark: SparkSession, storeDir: String, newDocs: DataFrame,
       budgetEn: Long, budgetOther: Long): DataFrame = {
+    // both policy baselines from ONE pinned store version (reader
+    // snapshot isolation — SnapshotStore.Snapshot scaladoc)
+    val store = SnapshotStore.snapshot(spark, storeDir)
     val kept =
-      if (SnapshotStore.nonEmpty(spark, storeDir))
+      if (store.ids.nonEmpty)
         Dedup.applySnapshotPolicy(newDocs,
-          SnapshotStore.digests(spark, storeDir),
-          SnapshotStore.fps(spark, storeDir), col("text"))
+          store.digests(spark), store.fps(spark), col("text"))
           .localCheckpoint()
       else newDocs
     val curated = curatedCorpus(kept, budgetEn, budgetOther)

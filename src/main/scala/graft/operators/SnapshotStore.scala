@@ -138,13 +138,48 @@ object SnapshotStore {
       ids: Seq[String], comp: String): Seq[String] =
     ids.map(id => s"$dir/appends/$id/$comp").filter(hasParquet(spark, _))
 
-  private def readComponent(spark: SparkSession, dir: String,
-      comp: String): DataFrame = {
-    val paths = componentPaths(spark, dir, committedIds(spark, dir), comp)
-    require(paths.nonEmpty,
-      s"SnapshotStore at $dir has no committed $comp rows")
-    spark.read.parquet(paths: _*)
+  /** READER SNAPSHOT ISOLATION — an immutable view of the store at ONE
+    * manifest version. Every multi-component consumer ([[serveNearDup]]
+    * needs bands+sets, [[serveDelta]] digests+fps, the crawl cycle's
+    * policy gate digests+fps) resolves the manifest ONCE through
+    * [[SnapshotStore.snapshot]] and reads all its components from the
+    * same committed id set: without the pin, each component read
+    * re-resolves the CURRENT manifest, so a commit or compaction
+    * landing between two reads of one logical query would serve it a
+    * torn store (digests at version N, fps at N+1 — or, after a
+    * compaction, paths from two generations of the same rows). The
+    * append dirs a snapshot references are immutable once committed
+    * and never deleted by publishing alone, so a pinned snapshot stays
+    * readable under any number of later commits/compactions — until
+    * [[gcOrphans]] reclaims superseded dirs, which is why GC (like the
+    * in-flight-append rule) must only run with no pinned reader alive:
+    * the grace-period discipline every manifest-based table format
+    * pairs with optimistic concurrency. */
+  final case class Snapshot(dir: String, version: Long, ids: Seq[String]) {
+    private[operators] def component(spark: SparkSession,
+        comp: String): DataFrame = {
+      val paths = componentPaths(spark, dir, ids, comp)
+      require(paths.nonEmpty,
+        s"SnapshotStore at $dir has no committed $comp rows (version $version)")
+      spark.read.parquet(paths: _*)
+    }
+    def sets(spark: SparkSession): DataFrame = component(spark, "sets")
+    def bands(spark: SparkSession): DataFrame = component(spark, "bands")
+    def digests(spark: SparkSession): DataFrame = component(spark, "digests")
+    def fps(spark: SparkSession): DataFrame = component(spark, "fps")
   }
+
+  /** Resolve the CURRENT manifest once into an immutable [[Snapshot]]
+    * view — the version every component read of one logical query
+    * should share. */
+  def snapshot(spark: SparkSession, dir: String): Snapshot = {
+    val (v, ids) = currentManifest(spark, dir)
+    Snapshot(dir, v, ids)
+  }
+
+  private def readComponent(spark: SparkSession, dir: String,
+      comp: String): DataFrame =
+    snapshot(spark, dir).component(spark, comp)
 
   /** STAGE one snapshot's index rows: all four component deltas are
     * written under `appends/<id>/`, which no reader resolves until
@@ -158,19 +193,23 @@ object SnapshotStore {
       snapshot, id, text, k, r)
 
   private[graft] def stageAs(spark: SparkSession, dir: String, aid: String,
-      snapshot: DataFrame, id: String = "doc_id", text: String = "text",
+      snapshotDf: DataFrame, id: String = "doc_id", text: String = "text",
       k: Int = 32, r: Int = 2): String = {
     val base = s"$dir/appends/$aid"
-    val sets = snapshot
+    val sets = snapshotDf
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0)
     sets.write.mode("error").parquet(s"$base/sets")
     MinHashLsh.banded(sets, k, r).write.mode("error")
       .parquet(s"$base/bands")
-    stageDistinct(spark, dir, "digests", aid,
-      snapshot.select(md5(col(text)).as("h")).distinct())
-    stageDistinct(spark, dir, "fps", aid,
-      snapshot.select(Text.fingerprint(col(text)).as("fp")).distinct())
+    // BOTH digest anti-join baselines read the same pinned store
+    // version (the commit-time audit is the safety backstop against
+    // anything that lands after this resolution)
+    val pinned = snapshot(spark, dir)
+    stageDistinct(spark, pinned, "digests", aid,
+      snapshotDf.select(md5(col(text)).as("h")).distinct())
+    stageDistinct(spark, pinned, "fps", aid,
+      snapshotDf.select(Text.fingerprint(col(text)).as("fp")).distinct())
     aid
   }
 
@@ -178,14 +217,15 @@ object SnapshotStore {
     * preserves the one-row-per-distinct-digest invariant, making
     * append == rebuild. The write target (staging) is never the read
     * source (committed appends), so the job needs no lineage cut. */
-  private def stageDistinct(spark: SparkSession, dir: String, comp: String,
-      aid: String, rows: DataFrame): Unit = {
+  private def stageDistinct(spark: SparkSession, pinned: Snapshot,
+      comp: String, aid: String, rows: DataFrame): Unit = {
+    val paths = componentPaths(spark, pinned.dir, pinned.ids, comp)
     val delta =
-      if (nonEmpty(spark, dir))
-        rows.join(readComponent(spark, dir, comp),
+      if (paths.nonEmpty)
+        rows.join(spark.read.parquet(paths: _*),
           rows.columns.toSeq, "left_anti")
       else rows
-    delta.write.mode("error").parquet(s"$dir/appends/$aid/$comp")
+    delta.write.mode("error").parquet(s"${pinned.dir}/appends/$aid/$comp")
   }
 
   /** Atomically publish `ids` as manifest version `version` —
@@ -378,11 +418,14 @@ object SnapshotStore {
 
   /** Delete staging directories not listed in the manifest — the
     * recovery sweep for appends that crashed between stage and commit,
-    * and the reclaimer for appends superseded by [[compact]] (readers
-    * never resolve either, so this is pure space reclamation; run it
-    * only with no append in flight — an in-flight STAGED id is not yet
-    * listed and would be swept). Torn publish temporaries are swept
-    * too. Returns the deleted append ids. */
+    * and the reclaimer for appends superseded by [[compact]] (CURRENT
+    * readers never resolve either, so this is pure space reclamation;
+    * run it only with no append in flight — an in-flight STAGED id is
+    * not yet listed and would be swept — and no pinned [[Snapshot]]
+    * reader alive, since a pre-compaction snapshot still references
+    * the superseded dirs: the GC grace period every manifest-based
+    * table format pairs with snapshot-isolated reads). Torn publish
+    * temporaries are swept too. Returns the deleted append ids. */
   def gcOrphans(spark: SparkSession, dir: String): Seq[String] = {
     val root = new HPath(s"$dir/appends")
     val fs = hfs(spark, root)
@@ -411,20 +454,26 @@ object SnapshotStore {
   /** Near-dup delta of `arriving` docs against the STORED snapshot
     * index — [[MinHashLsh.probeIndex]] over the store's file scans;
     * row-equal to the inline [[MinHashLsh.snapshotNearDupPairs]] on
-    * the same corpora (SnapshotStoreSpec). */
+    * the same corpora (SnapshotStoreSpec). bands+sets come from ONE
+    * pinned [[Snapshot]], never two manifest resolutions. */
   def serveNearDup(spark: SparkSession, dir: String, arriving: DataFrame,
       id: String = "doc_id", text: String = "text",
-      k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame =
-    MinHashLsh.probeIndex(bands(spark, dir), sets(spark, dir),
+      k: Int = 32, r: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val s = snapshot(spark, dir)
+    MinHashLsh.probeIndex(s.bands(spark), s.sets(spark),
       arriving, id, text, k, r, threshold)
+  }
 
   /** Snapshot-delta classification of `b` against the STORED digest
     * indexes — [[Dedup.applySnapshotDelta]] over the store's file
-    * scans; row-equal to the inline [[Dedup.snapshotDelta]]. */
+    * scans; row-equal to the inline [[Dedup.snapshotDelta]].
+    * digests+fps come from ONE pinned [[Snapshot]]. */
   def serveDelta(spark: SparkSession, dir: String, b: DataFrame,
-      text: Column, src: Column): DataFrame =
+      text: Column, src: Column): DataFrame = {
+    val s = snapshot(spark, dir)
     Dedup.applySnapshotDelta(b,
-      digests(spark, dir).withColumn("in_a", lit(1L)),
-      fps(spark, dir).withColumn("fp_in_a", lit(1L)),
+      s.digests(spark).withColumn("in_a", lit(1L)),
+      s.fps(spark).withColumn("fp_in_a", lit(1L)),
       text, src)
+  }
 }

@@ -1172,10 +1172,12 @@ object StreamQueries {
     // the PRE-increment gate state, severed from every micro-batch:
     // the policy (and n91's batch twin) classifies against the store
     // as of increment start — per-batch re-reads would let earlier
-    // micro-batches' own appends gate later ones
-    val aMd5 = SnapshotStore.digests(spark, storeDir)
+    // micro-batches' own appends gate later ones; both components
+    // from ONE pinned store version (SnapshotStore.Snapshot)
+    val store = SnapshotStore.snapshot(spark, storeDir)
+    val aMd5 = store.digests(spark)
       .withColumn("in_a", lit(1L)).localCheckpoint()
-    val aFp = SnapshotStore.fps(spark, storeDir)
+    val aFp = store.fps(spark)
       .withColumn("fp_in_a", lit(1L)).localCheckpoint()
     val kept = Dedup.applySnapshotPolicy(incrementBatch,
       aMd5.drop("in_a"), aFp.drop("fp_in_a"), col("text"))

@@ -242,6 +242,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 4)
   }
 
+  test("a pinned snapshot is immune to later commits (reader isolation)") {
+    val d = docs(sf).where(col("doc_id") % 2 === 0)
+    val dir = TempDirs.create("snapstore-isolation")
+    SnapshotStore.append(spark, dir, d.where(col("doc_id") % 6 === 0))
+    val pinned = SnapshotStore.snapshot(spark, dir)
+    val digestsAtPin = rows(pinned.digests(spark))
+    val setsAtPin = rows(pinned.sets(spark))
+    // a later append AND a compaction land...
+    SnapshotStore.append(spark, dir, d.where(col("doc_id") % 6 === 2))
+    SnapshotStore.compact(spark, dir)
+    // ...the CURRENT view moved (version and content)...
+    val current = SnapshotStore.snapshot(spark, dir)
+    assert(current.version > pinned.version)
+    assert(rows(current.digests(spark)) != digestsAtPin)
+    // ...but the pinned snapshot still reads exactly its own version:
+    // committed append dirs are immutable and publishing never deletes
+    // them (only gcOrphans does — the documented grace-period rule)
+    assert(rows(pinned.digests(spark)) == digestsAtPin)
+    assert(rows(pinned.sets(spark)) == setsAtPin)
+  }
+
   test("store-served near-dup delta == inline snapshotNearDupPairs") {
     val a = docs(sf).where(col("doc_id") % 2 === 0)
     val b = docs(sf).where(col("doc_id") % 2 === 1)
