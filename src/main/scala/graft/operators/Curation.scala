@@ -406,10 +406,12 @@ object Curation {
     *      empty store keeps everything);
     *   2. CURATE the survivors with the full five-stage cascade,
     *      gates trained on them ([[curatedCorpus]] — the n87 shape);
-    *   3. APPEND the CURATED survivors' sets/bands/digests back into
-    *      the store ([[SnapshotStore.append]] — staged, audited,
-    *      manifest-committed), so the NEXT crawl probes the
-    *      accumulated, curated corpus.
+    *   3. APPEND the CURATED survivors back into the store — their
+    *      sets/bands/digests indexes AND the curated (doc_id, lang,
+    *      text) rows themselves as the `docs` component
+    *      ([[SnapshotStore.append]] with `persistDocs` — staged,
+    *      audited, manifest-committed), so the NEXT crawl probes the
+    *      accumulated, curated corpus and a training run reads it.
     *
     * Returns the curated kept frame (what was appended). Cycle applied
     * twice == rebuild from the curated union — CrawlCycleSpec proves
@@ -443,9 +445,13 @@ object Curation {
     * the narrowed survivors, step 3 one scan of the curated frame plus
     * the O(delta) append anti-joins/audit. The kept and curated frames
     * are lineage-cut (localCheckpoint) because each feeds several
-    * downstream jobs (gate builds; the four component writes) — a
-    * production build writes both to durable storage outright: the
-    * curated frame IS the corpus increment it ships. */
+    * downstream jobs (gate builds; the component writes) — and the
+    * curated frame IS the corpus increment a production run ships, so
+    * the append persists it as the store's `docs` component
+    * (`persistDocs` — the same staged/audited commit as the indexes):
+    * the store holds the shipped training corpus itself, not just its
+    * dedup indexes, and [[SnapshotStore.docs]] serves the accumulated
+    * curated corpus to downstream consumers (n94). */
   def cycleAppend(spark: SparkSession, storeDir: String, newDocs: DataFrame,
       budgetEn: Long, budgetOther: Long): DataFrame = {
     // both policy baselines from ONE pinned store version (reader
@@ -459,7 +465,7 @@ object Curation {
       else newDocs
     val curated = curatedCorpus(kept, budgetEn, budgetOther)
       .localCheckpoint()
-    SnapshotStore.append(spark, storeDir, curated)
+    SnapshotStore.append(spark, storeDir, curated, persistDocs = true)
     curated
   }
 

@@ -15,48 +15,62 @@ import graft.functions.Text
   * to the snapshot family).
   *
   * Layout under `dir/` (all plain parquet):
-  *   MANIFEST.v{N}             committed append ids, one per line, in
-  *                             commit order; the CURRENT state is the
-  *                             highest N (readers resolve ONLY through
-  *                             it — the file layout is the contract,
-  *                             not who wrote it). Older versions stay
-  *                             as commit history.
+  *   MANIFEST.v{N}             manifest version N: committed append
+  *                             ids, one per line, in commit order,
+  *                             followed by `#tombstone <id>` lines for
+  *                             ids compacted away (see TOMBSTONES).
+  *                             The CURRENT state is the highest N
+  *                             (readers resolve ONLY through it — the
+  *                             file layout is the contract, not who
+  *                             wrote it). [[gcOrphans]] trims old
+  *                             versions past a retention floor.
+  *   appends/<id>/.INFLIGHT    staging marker: present from [[stage]]
+  *                             until the id's [[commit]] publishes —
+  *                             [[gcOrphans]] must not sweep a marked
+  *                             dir younger than its grace age.
   *   appends/<id>/sets/        (did, sset)      one row per doc
   *   appends/<id>/bands/       (did, band, key) the LSH banding index
   *   appends/<id>/digests/     (h)              DISTINCT exact md5 DELTA
   *   appends/<id>/fps/         (fp)             DISTINCT fingerprint DELTA
+  *   appends/<id>/docs/        (did, lang, text) the CURATED CORPUS
+  *                             increment itself (optional — written
+  *                             when the caller passes `persistDocs`,
+  *                             as [[Curation.cycleAppend]] does): the
+  *                             store then holds the shipped corpus,
+  *                             not just its indexes.
   *
   * CRASH ATOMICITY — the Publish.scala write-audit-publish discipline
-  * at append granularity: [[stage]] writes all four component deltas
-  * under a fresh `appends/<id>/` directory that no reader resolves
-  * (readers union only manifest-listed appends), [[commit]] AUDITS the
-  * staged bytes as they exist on disk (the distinct-digest invariant:
-  * staged digest/fp deltas must be disjoint from the committed store —
-  * exactly the property the probe joins rely on), and only then
-  * publishes a NEW manifest version. A crash at ANY point before the
-  * publish leaves the store readable at the previous manifest; the
-  * orphaned staging directory is invisible and can be GC'd by id at
-  * leisure. A crash AFTER the publish is equally safe to retry:
-  * [[commit]] is idempotent — an id already in the manifest
-  * early-returns without re-auditing (re-auditing would see the id's
-  * own committed rows as overlap and must never be allowed to touch a
-  * published directory — ADVICE r17).
+  * at append granularity: [[stage]] writes all component deltas under
+  * a fresh `appends/<id>/` directory that no reader resolves (readers
+  * union only manifest-listed appends), [[commit]] AUDITS the staged
+  * bytes as they exist on disk (the distinct-digest invariant: staged
+  * digest/fp deltas must be disjoint from the committed store —
+  * exactly the property the probe joins rely on — and the staged doc
+  * ids must be disjoint from the committed sets: the distinct-doc-ids
+  * caller contract, enforced), and only then publishes a NEW manifest
+  * version. A crash at ANY point before the publish leaves the store
+  * readable at the previous manifest; the orphaned staging directory
+  * is invisible and is GC'd once its `.INFLIGHT` marker ages out. A
+  * crash AFTER the publish is equally safe to retry: [[commit]] is
+  * idempotent — an id already in the manifest (or tombstoned by a
+  * later compaction) early-returns without re-auditing (re-auditing
+  * would see the id's own committed rows as overlap and must never be
+  * allowed to touch a published directory — ADVICE r17).
   *
-  * OPTIMISTIC CONCURRENCY (r17's top ask — the versioned-manifest
-  * protocol every real manifest-based table format uses): a commit
-  * never overwrites the manifest. It reads the current version N,
-  * audits against exactly that state, and publishes MANIFEST.v{N+1}
-  * with a CREATE-IF-ABSENT rename ([[publishOnce]] — atomic on HDFS;
-  * an object-store deployment swaps in its conditional put, the same
-  * trade [[Publish]] documents). Only one writer can claim a given
-  * version, so a commit that lands is provably derived from the state
-  * it audited against; a losing racer's rename fails, and it RETRIES —
-  * re-reads the new state, re-checks idempotence, re-audits its staged
-  * bytes against the winner's rows — so two racing non-overlapping
-  * appends BOTH commit (no lost append id, the overwrite-rename race
-  * of r17), while a racing append whose staged delta now overlaps the
-  * winner's content fails its re-audit and is rejected instead of
-  * silently breaking one-row-per-distinct-value.
+  * OPTIMISTIC CONCURRENCY (the versioned-manifest protocol every real
+  * manifest-based table format uses): a commit never overwrites the
+  * manifest. It reads the current version N, audits against exactly
+  * that state, and publishes MANIFEST.v{N+1} with a CREATE-IF-ABSENT
+  * rename ([[publishOnce]] — atomic on HDFS; an object-store
+  * deployment swaps in its conditional put, the same trade [[Publish]]
+  * documents). Only one writer can claim a given version, so a commit
+  * that lands is provably derived from the state it audited against; a
+  * losing racer's rename fails, and it RETRIES — re-reads the new
+  * state, re-checks idempotence, re-audits its staged bytes against
+  * the winner's rows — so two racing non-overlapping appends BOTH
+  * commit (no lost append id), while a racing append whose staged
+  * delta now overlaps the winner's content fails its re-audit and is
+  * rejected instead of silently breaking one-row-per-distinct-value.
   *
   * COMPACTION ([[compact]]): reads pay O(appends) manifest+listing
   * metadata per component scan, so after many crawl-cycle appends the
@@ -68,49 +82,93 @@ import graft.functions.Text
   * Superseded append directories become unlisted and [[gcOrphans]]
   * reclaims them.
   *
-  * APPEND == REBUILD (SnapshotStoreSpec proves it across 3 chunks):
-  * sets/bands rows are per-doc and banding is per-row deterministic
-  * (the shared [[MinHashLsh.bandKeysFromSig]] kernel), so appending N
-  * snapshots yields exactly the rebuild's row multiset; the digest
-  * components keep their one-row-per-distinct-value invariant by
-  * anti-joining each snapshot's digests against the COMMITTED store
-  * before the staged write — and because the write lands in the
-  * staging directory, the job never scans a path it is writing into
-  * (no localCheckpoint pinning executor block storage — the r16 trade,
-  * resolved by the staging itself).
+  * TOMBSTONES (the replay guard [[appendAs]] needs): [[compact]]
+  * records every id it supersedes as a `#tombstone <id>` manifest line,
+  * carried forward by every later publish. A REPLAYED keyed append
+  * ([[appendAs]] — s42's per-micro-batch (increment, batch-id) key)
+  * whose id was compacted out of the manifest therefore still
+  * recognizes itself as committed and NO-OPS, instead of re-staging
+  * and double-appending its sets/bands rows — the r18 "do not compact
+  * while a keyed stream is live" scaladoc rule, now an enforced
+  * property (a compaction during a live increment remains
+  * NOT recommended purely for snapshot-pinning hygiene, but it no
+  * longer corrupts the store on replay). Tombstones are one manifest
+  * line per ever-compacted id — bytes, not data; a deployment may drop
+  * tombstones older than its streaming-checkpoint retention, since a
+  * replay can only reach back as far as a checkpoint exists.
   *
-  * Scale: each append is one scan of the NEW snapshot (sets + bands
-  * map-side; digests two map-side-combined distincts + an anti-join
-  * against the committed store, hash-partitioned on the digest) plus
-  * an O(delta) semi-join audit of the staged bytes; serving is
-  * stateless equi-joins against (multi-path) file scans — no
-  * corpus-sized state, no broadcast assumption anywhere. */
+  * APPEND == REBUILD (SnapshotStoreSpec proves it across 3 chunks):
+  * sets/bands/docs rows are per-doc and banding is per-row
+  * deterministic (the shared [[MinHashLsh.bandKeysFromSig]] kernel),
+  * so appending N snapshots yields exactly the rebuild's row multiset;
+  * the digest components keep their one-row-per-distinct-value
+  * invariant by anti-joining each snapshot's digests against the
+  * COMMITTED store before the staged write — and because the write
+  * lands in the staging directory, the job never scans a path it is
+  * writing into (no localCheckpoint pinning executor block storage —
+  * the r16 trade, resolved by the staging itself).
+  *
+  * READER STALENESS (ADVICE r18): a pinned [[Snapshot]] that outlives
+  * a [[gcOrphans]] sweep of its superseded dirs fails LOUDLY — a
+  * referenced append dir that no longer exists throws a stale-snapshot
+  * error instead of silently serving partial rows (dir present but
+  * empty stays a legal, invisible empty delta). The no-GC-while-pinned
+  * rule is still the operational discipline; violating it is now an
+  * error, not a wrong answer.
+  *
+  * Scale: each append is one scan of the NEW snapshot (sets + bands +
+  * docs map-side; digests two map-side-combined distincts + an
+  * anti-join against the committed store, hash-partitioned on the
+  * digest) plus an O(delta) semi-join audit of the staged bytes;
+  * serving is stateless equi-joins against (multi-path) file scans —
+  * no corpus-sized state, no broadcast assumption anywhere. */
 object SnapshotStore {
 
   private def hfs(spark: SparkSession, p: HPath) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val ManifestRe = """MANIFEST\.v(\d+)""".r
+  private val TombstoneRe = """#tombstone (.+)""".r
 
-  /** (version, committed append ids) of the CURRENT manifest — the
-    * highest MANIFEST.v{N} present; (0, empty) before the first
-    * successful commit. Readers resolve ONLY these ids. */
+  /** The staging marker [[gcOrphans]]'s grace rule keys on. */
+  private val InflightMarker = ".INFLIGHT"
+
+  /** Grace age for marked (in-flight) staging dirs — [[gcOrphans]]
+    * refuses to sweep a younger marked dir, so a sweep racing a live
+    * [[stage]] can no longer eat it (VERDICT r18 #2a). A crashed stage
+    * is reclaimed once its marker ages past this. */
+  val DefaultGcGraceMs: Long = 15L * 60 * 1000
+
+  /** Manifest versions kept by [[gcOrphans]]'s history trim — the
+    * retention floor a pinned reader (or a replayed keyed append
+    * resolving tombstones) can rely on. */
+  val DefaultKeepManifests: Int = 10
+
+  /** One parsed manifest version: committed ids in commit order plus
+    * the tombstoned (compacted-away) ids every publish carries
+    * forward. (version 0, empty, empty) before the first commit. */
+  final case class Manifest(version: Long, ids: Seq[String],
+      tombstones: Set[String])
+
+  /** Parse the CURRENT manifest — the highest MANIFEST.v{N} present.
+    * Readers resolve ONLY its ids. */
   private[graft] def currentManifest(spark: SparkSession,
-      dir: String): (Long, Seq[String]) = {
+      dir: String): Manifest = {
     val d = new HPath(dir)
     val fs = hfs(spark, d)
-    if (!fs.exists(d)) (0L, Seq.empty)
+    if (!fs.exists(d)) Manifest(0L, Seq.empty, Set.empty)
     else {
       val versions = fs.listStatus(d).toSeq.map(_.getPath.getName)
         .collect { case ManifestRe(n) => n.toLong }
-      if (versions.isEmpty) (0L, Seq.empty)
+      if (versions.isEmpty) Manifest(0L, Seq.empty, Set.empty)
       else {
         val v = versions.max
         val in = fs.open(new HPath(s"$dir/MANIFEST.v$v"))
-        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().map(_.trim).filter(_.nonEmpty).toVector
         finally in.close()
-        (v, ids)
+        Manifest(v, lines.filterNot(_.startsWith("#")),
+          lines.collect { case TombstoneRe(id) => id }.toSet)
       }
     }
   }
@@ -118,7 +176,7 @@ object SnapshotStore {
   /** Committed append ids, in commit order (empty before the first
     * successful commit). */
   def committedIds(spark: SparkSession, dir: String): Seq[String] =
-    currentManifest(spark, dir)._2
+    currentManifest(spark, dir).ids
 
   /** True once at least one append has committed. */
   def nonEmpty(spark: SparkSession, dir: String): Boolean =
@@ -126,7 +184,8 @@ object SnapshotStore {
 
   /** A component dir contributes to a scan only if a task actually
     * wrote a part file there (an all-rows-deduped digest delta writes
-    * none — the empty delta is a legal, invisible component). */
+    * none — the empty delta is a legal, invisible component; so is an
+    * append staged without the optional docs component). */
   private def hasParquet(spark: SparkSession, p: String): Boolean = {
     val hp = new HPath(p)
     val fs = hfs(spark, hp)
@@ -134,9 +193,23 @@ object SnapshotStore {
       fs.listStatus(hp).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Resolve `ids`' component dirs, distinguishing the two absence
+    * modes (ADVICE r18): a missing APPEND dir means the manifest view
+    * references a reclaimed append — a stale pinned snapshot, a LOUD
+    * error, never a silent partial read — while a present append whose
+    * COMPONENT dir is missing or holds no part file is a legal empty
+    * delta and is skipped. */
   private def componentPaths(spark: SparkSession, dir: String,
       ids: Seq[String], comp: String): Seq[String] =
-    ids.map(id => s"$dir/appends/$id/$comp").filter(hasParquet(spark, _))
+    ids.map { id =>
+      val adir = s"$dir/appends/$id"
+      if (!hfs(spark, new HPath(adir)).exists(new HPath(adir)))
+        throw new IllegalStateException(
+          s"SnapshotStore view of $dir is STALE: committed append dir " +
+            s"$adir no longer exists (reclaimed by gcOrphans while this " +
+            "snapshot was pinned?) — re-resolve a current snapshot")
+      s"$adir/$comp"
+    }.filter(hasParquet(spark, _))
 
   /** READER SNAPSHOT ISOLATION — an immutable view of the store at ONE
     * manifest version. Every multi-component consumer ([[serveNearDup]]
@@ -149,12 +222,12 @@ object SnapshotStore {
     * torn store (digests at version N, fps at N+1 — or, after a
     * compaction, paths from two generations of the same rows). The
     * append dirs a snapshot references are immutable once committed
-    * and never deleted by publishing alone, so a pinned snapshot stays
-    * readable under any number of later commits/compactions — until
-    * [[gcOrphans]] reclaims superseded dirs, which is why GC (like the
-    * in-flight-append rule) must only run with no pinned reader alive:
-    * the grace-period discipline every manifest-based table format
-    * pairs with optimistic concurrency. */
+    * and only [[gcOrphans]] deletes them, so a pinned snapshot stays
+    * readable under any number of later commits/compactions; if GC
+    * does reclaim a referenced dir, the next component read throws a
+    * stale-snapshot error instead of silently returning partial rows
+    * (the grace-period discipline every manifest-based table format
+    * pairs with optimistic concurrency — now failure-checked). */
   final case class Snapshot(dir: String, version: Long, ids: Seq[String]) {
     private[operators] def component(spark: SparkSession,
         comp: String): DataFrame = {
@@ -167,41 +240,52 @@ object SnapshotStore {
     def bands(spark: SparkSession): DataFrame = component(spark, "bands")
     def digests(spark: SparkSession): DataFrame = component(spark, "digests")
     def fps(spark: SparkSession): DataFrame = component(spark, "fps")
+    def docs(spark: SparkSession): DataFrame = component(spark, "docs")
   }
 
   /** Resolve the CURRENT manifest once into an immutable [[Snapshot]]
     * view — the version every component read of one logical query
     * should share. */
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
-    val (v, ids) = currentManifest(spark, dir)
-    Snapshot(dir, v, ids)
+    val m = currentManifest(spark, dir)
+    Snapshot(dir, m.version, m.ids)
   }
 
   private def readComponent(spark: SparkSession, dir: String,
       comp: String): DataFrame =
     snapshot(spark, dir).component(spark, comp)
 
-  /** STAGE one snapshot's index rows: all four component deltas are
-    * written under `appends/<id>/`, which no reader resolves until
-    * [[commit]] publishes the id. Doc ids must be distinct across
-    * appended snapshots (caller contract, as in
-    * [[MinHashLsh.snapshotNearDupPairs]]). Returns the append id. */
+  /** STAGE one snapshot's index rows: every component delta is written
+    * under `appends/<id>/`, which no reader resolves until [[commit]]
+    * publishes the id. Doc ids must be distinct across appended
+    * snapshots (caller contract, as in
+    * [[MinHashLsh.snapshotNearDupPairs]] — enforced by the commit
+    * audit's doc-id check). `persistDocs` additionally writes the
+    * snapshot rows themselves (id column renamed `did`) as the `docs`
+    * component — the curated-corpus payload. Returns the append id. */
   private[graft] def stage(spark: SparkSession, dir: String,
       snapshot: DataFrame, id: String = "doc_id", text: String = "text",
-      k: Int = 32, r: Int = 2): String =
+      k: Int = 32, r: Int = 2, persistDocs: Boolean = false): String =
     stageAs(spark, dir, s"append-${java.util.UUID.randomUUID()}",
-      snapshot, id, text, k, r)
+      snapshot, id, text, k, r, persistDocs)
 
   private[graft] def stageAs(spark: SparkSession, dir: String, aid: String,
       snapshotDf: DataFrame, id: String = "doc_id", text: String = "text",
-      k: Int = 32, r: Int = 2): String = {
+      k: Int = 32, r: Int = 2, persistDocs: Boolean = false): String = {
     val base = s"$dir/appends/$aid"
+    // in-flight marker FIRST: from here until commit's publish, a
+    // gcOrphans sweep must leave this dir alone (grace rule)
+    val fs = hfs(spark, new HPath(base))
+    fs.create(new HPath(s"$base/$InflightMarker"), true).close()
     val sets = snapshotDf
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0)
     sets.write.mode("error").parquet(s"$base/sets")
     MinHashLsh.banded(sets, k, r).write.mode("error")
       .parquet(s"$base/bands")
+    if (persistDocs)
+      snapshotDf.withColumnRenamed(id, "did")
+        .write.mode("error").parquet(s"$base/docs")
     // BOTH digest anti-join baselines read the same pinned store
     // version (the commit-time audit is the safety backstop against
     // anything that lands after this resolution)
@@ -228,19 +312,20 @@ object SnapshotStore {
     delta.write.mode("error").parquet(s"${pinned.dir}/appends/$aid/$comp")
   }
 
-  /** Atomically publish `ids` as manifest version `version` —
-    * CREATE-IF-ABSENT: the content is written to a uuid'd dot-temp
-    * (invisible to [[currentManifest]]'s pattern) and renamed WITHOUT
-    * overwrite, so exactly one writer can claim a given version.
-    * Returns false when a racer already claimed it — the caller
-    * re-reads the new state and retries. */
+  /** Atomically publish `ids` (+ carried `tombstones`) as manifest
+    * version `version` — CREATE-IF-ABSENT: the content is written to a
+    * uuid'd dot-temp (invisible to [[currentManifest]]'s pattern) and
+    * renamed WITHOUT overwrite, so exactly one writer can claim a
+    * given version. Returns false when a racer already claimed it —
+    * the caller re-reads the new state and retries. */
   private[graft] def publishOnce(spark: SparkSession, dir: String,
-      ids: Seq[String], version: Long): Boolean = {
+      ids: Seq[String], tombstones: Set[String], version: Long): Boolean = {
     val mf = new HPath(s"$dir/MANIFEST.v$version")
     val fs = hfs(spark, mf)
     val tmp = new HPath(s"$dir/.MANIFEST.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write((ids.mkString("\n") + "\n").getBytes("UTF-8"))
+    val lines = ids ++ tombstones.toSeq.sorted.map(t => s"#tombstone $t")
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     try {
       FileContext.getFileContext(fs.getUri,
@@ -259,59 +344,78 @@ object SnapshotStore {
 
   /** AUDIT the staged append as it exists on disk, then atomically
     * publish it into the next manifest version. The audit re-reads the
-    * staged digest/fp deltas (the bytes a consumer would scan, not the
-    * producing plan) and requires them disjoint from the committed
-    * store — the invariant every probe join relies on. The
-    * audit+publish pair is atomic with respect to the version chain:
-    * [[publishOnce]] claims v+1 only if nothing committed since the
-    * state v the audit ran against; a losing racer loops — re-reads,
-    * re-checks idempotence, re-audits — so non-overlapping racers all
-    * land, and a staged append whose delta overlaps a racer's
-    * committed rows is REJECTED (staging deleted, manifest untouched)
-    * instead of duplicating an index row. Re-committing an
-    * already-committed id is a no-op (crash-after-publish recovery),
-    * and committing an id that was never staged (or already GC'd)
-    * refuses rather than publishing a dangling id. */
+    * staged deltas (the bytes a consumer would scan, not the producing
+    * plan) and requires (a) the digest/fp deltas disjoint from the
+    * committed store — the invariant every probe join relies on — and
+    * (b) the staged doc ids disjoint from the committed sets — the
+    * distinct-doc-ids caller contract, enforced as a rejected conflict
+    * (VERDICT r18: two racing appends of overlapping doc_ids must not
+    * both land their sets/bands rows). The audit+publish pair is
+    * atomic with respect to the version chain: [[publishOnce]] claims
+    * v+1 only if nothing committed since the state v the audit ran
+    * against; a losing racer loops — re-reads, re-checks idempotence,
+    * re-audits — so non-overlapping racers all land, and a staged
+    * append whose delta overlaps a racer's committed rows is REJECTED
+    * (staging deleted, manifest untouched) instead of duplicating an
+    * index row. Re-committing an already-committed (or tombstoned) id
+    * is a no-op (crash-after-publish recovery), and committing an id
+    * that was never staged (or already GC'd) refuses rather than
+    * publishing a dangling id. */
   private[graft] def commit(spark: SparkSession, dir: String,
       aid: String): Unit = {
     val base = s"$dir/appends/$aid"
     val fs = hfs(spark, new HPath(base))
     var published = false
     while (!published) {
-      val (v, ids) = currentManifest(spark, dir)
-      if (ids.contains(aid)) return // idempotent: already published
+      val m = currentManifest(spark, dir)
+      if (m.ids.contains(aid) || m.tombstones.contains(aid)) {
+        // idempotent: already published (possibly compacted since)
+        fs.delete(new HPath(s"$base/$InflightMarker"), false)
+        return
+      }
       require(fs.exists(new HPath(base)),
         s"SnapshotStore commit of $aid at $dir: no staged directory " +
           "(never staged, or GC'd) — refusing to publish a dangling id")
-      val conflict = Seq("digests", "fps").exists { comp =>
+      // (component, audit key): digests/fps conflict on full rows (the
+      // one-row-per-distinct-value invariant), sets on the doc id (the
+      // distinct-doc-ids contract) — each one O(delta) left-semi
+      val audits: Seq[(String, Option[Seq[String]])] =
+        Seq("digests" -> None, "fps" -> None, "sets" -> Some(Seq("did")))
+      val conflict = audits.find { case (comp, keyCols) =>
         hasParquet(spark, s"$base/$comp") && {
-          val committed = componentPaths(spark, dir, ids, comp)
+          val committed = componentPaths(spark, dir, m.ids, comp)
           committed.nonEmpty && {
-            val staged = spark.read.parquet(s"$base/$comp")
-            staged.join(spark.read.parquet(committed: _*),
+            def keyed(df: DataFrame) =
+              keyCols.fold(df)(ks => df.select(ks.map(col): _*))
+            val staged = keyed(spark.read.parquet(s"$base/$comp"))
+            staged.join(keyed(spark.read.parquet(committed: _*)),
               staged.columns.toSeq, "left_semi").limit(1).count() > 0
           }
         }
       }
-      if (conflict) {
+      conflict.foreach { case (comp, _) =>
         fs.delete(new HPath(base), true)
         throw new IllegalStateException(
           s"SnapshotStore commit rejected: staged append $aid overlaps the " +
-            s"committed digest components of $dir (concurrent append?); " +
-            "staging deleted, manifest untouched")
+            s"committed $comp component of $dir (concurrent append? " +
+            "duplicate doc ids?); staging deleted, manifest untouched")
       }
-      published = publishOnce(spark, dir, ids :+ aid, v + 1)
+      published = publishOnce(spark, dir, m.ids :+ aid, m.tombstones,
+        m.version + 1)
     }
+    fs.delete(new HPath(s"$base/$InflightMarker"), false)
   }
 
   /** Append one snapshot's index rows to the store at `dir`:
     * [[stage]] → [[commit]] (audit + versioned publish). Returns the
     * committed append id. Concurrent appends are safe: each commit
-    * retries through the optimistic-concurrency protocol. */
+    * retries through the optimistic-concurrency protocol.
+    * `persistDocs` also stores the snapshot rows as the `docs`
+    * component (the curated corpus itself). */
   def append(spark: SparkSession, dir: String, snapshot: DataFrame,
       id: String = "doc_id", text: String = "text",
-      k: Int = 32, r: Int = 2): String = {
-    val aid = stage(spark, dir, snapshot, id, text, k, r)
+      k: Int = 32, r: Int = 2, persistDocs: Boolean = false): String = {
+    val aid = stage(spark, dir, snapshot, id, text, k, r, persistDocs)
     commit(spark, dir, aid)
     aid
   }
@@ -319,28 +423,27 @@ object SnapshotStore {
   /** [[append]] under a CALLER-SUPPLIED append id — the exactly-once
     * REPLAY KEY for streaming commits (s42's foreachBatch derives it
     * from (increment id, micro-batch id)): re-appending an id that is
-    * already in the manifest is a NO-OP (the replayed batch already
-    * committed — its content must be the committed content, which is
-    * the caller's uniqueness contract: one id ⇔ one logical append,
-    * stable across restarts), and a leftover staging directory under
-    * the same id is REPLACED before re-staging (an uncommitted dir
-    * under a caller-keyed id can only be a torn earlier attempt of
-    * this same logical append — the crash-between-stage-and-commit
-    * recovery, per id instead of via gcOrphans). Do not run
-    * [[compact]] over a store while a keyed append's stream is live:
-    * compacting a committed id out of the manifest would make its
-    * replay look uncommitted (same in-flight rule as [[gcOrphans]]).
-    * Returns true iff this call committed the append (false = replay
-    * no-op). */
+    * already in the manifest — or TOMBSTONED there, because a
+    * compaction superseded it after it committed — is a NO-OP (the
+    * replayed batch already committed — its content must be the
+    * committed content, which is the caller's uniqueness contract: one
+    * id ⇔ one logical append, stable across restarts), and a leftover
+    * staging directory under the same id is REPLACED before re-staging
+    * (an uncommitted dir under a caller-keyed id can only be a torn
+    * earlier attempt of this same logical append — the
+    * crash-between-stage-and-commit recovery, per id instead of via
+    * gcOrphans). Returns true iff this call committed the append
+    * (false = replay no-op). */
   def appendAs(spark: SparkSession, dir: String, aid: String,
       snapshot: DataFrame, id: String = "doc_id", text: String = "text",
-      k: Int = 32, r: Int = 2): Boolean = {
-    if (committedIds(spark, dir).contains(aid)) false
+      k: Int = 32, r: Int = 2, persistDocs: Boolean = false): Boolean = {
+    val m = currentManifest(spark, dir)
+    if (m.ids.contains(aid) || m.tombstones.contains(aid)) false
     else {
       val base = new HPath(s"$dir/appends/$aid")
       val fs = hfs(spark, base)
       if (fs.exists(base)) fs.delete(base, true)
-      stageAs(spark, dir, aid, snapshot, id, text, k, r)
+      stageAs(spark, dir, aid, snapshot, id, text, k, r, persistDocs)
       commit(spark, dir, aid)
       true
     }
@@ -360,12 +463,14 @@ object SnapshotStore {
     *
     * PUBLISH: the new manifest is the compacted id plus every
     * committed id NOT compacted — so appends that raced in after the
-    * compactor captured its sources survive. If a source id vanishes
-    * from the manifest mid-compaction (a concurrent compactor), the
-    * publish refuses rather than duplicate the rows it rewrote:
-    * appends may race a compaction freely, compactions must not race
-    * each other. Superseded append directories become unlisted;
-    * [[gcOrphans]] reclaims them. Returns the compacted append id. */
+    * compactor captured its sources survive — plus a `#tombstone` line
+    * per superseded id, so a replayed keyed append of a compacted id
+    * still no-ops ([[appendAs]]). If a source id vanishes from the
+    * manifest mid-compaction (a concurrent compactor), the publish
+    * refuses rather than duplicate the rows it rewrote: appends may
+    * race a compaction freely, compactions must not race each other.
+    * Superseded append directories become unlisted; [[gcOrphans]]
+    * reclaims them. Returns the compacted append id. */
   def compact(spark: SparkSession, dir: String,
       only: Option[Seq[String]] = None): String = {
     val idsNow = committedIds(spark, dir)
@@ -378,7 +483,8 @@ object SnapshotStore {
     val aid = s"compact-${java.util.UUID.randomUUID()}"
     val base = s"$dir/appends/$aid"
     val fs = hfs(spark, new HPath(base))
-    val comps = Seq("sets", "bands", "digests", "fps")
+    fs.create(new HPath(s"$base/$InflightMarker"), true).close()
+    val comps = Seq("sets", "bands", "digests", "fps", "docs")
     val srcPaths = comps.map { c =>
       c -> componentPaths(spark, dir, ids0, c)
     }.toMap
@@ -401,8 +507,8 @@ object SnapshotStore {
     }
     var published = false
     while (!published) {
-      val (v, ids) = currentManifest(spark, dir)
-      if (!ids0.forall(ids.contains)) {
+      val m = currentManifest(spark, dir)
+      if (!ids0.forall(m.ids.contains)) {
         fs.delete(new HPath(base), true)
         throw new IllegalStateException(
           s"SnapshotStore.compact at $dir: a source append left the " +
@@ -410,34 +516,67 @@ object SnapshotStore {
             "deleted, manifest untouched")
       }
       val compacted = ids0.toSet
-      published =
-        publishOnce(spark, dir, aid +: ids.filterNot(compacted), v + 1)
+      published = publishOnce(spark, dir,
+        aid +: m.ids.filterNot(compacted), m.tombstones ++ ids0,
+        m.version + 1)
     }
+    fs.delete(new HPath(s"$base/$InflightMarker"), false)
     aid
   }
 
   /** Delete staging directories not listed in the manifest — the
     * recovery sweep for appends that crashed between stage and commit,
     * and the reclaimer for appends superseded by [[compact]] (CURRENT
-    * readers never resolve either, so this is pure space reclamation;
-    * run it only with no append in flight — an in-flight STAGED id is
-    * not yet listed and would be swept — and no pinned [[Snapshot]]
-    * reader alive, since a pre-compaction snapshot still references
-    * the superseded dirs: the GC grace period every manifest-based
-    * table format pairs with snapshot-isolated reads). Torn publish
-    * temporaries are swept too. Returns the deleted append ids. */
-  def gcOrphans(spark: SparkSession, dir: String): Seq[String] = {
+    * readers never resolve either, so this is pure space reclamation).
+    * The r18 operational contracts are now enforced mechanics:
+    *  - an IN-FLIGHT stage is protected by its `.INFLIGHT` marker — an
+    *    unlisted dir whose marker is younger than `graceMs` is SKIPPED,
+    *    so a sweep racing a live stage can no longer eat it (a crashed
+    *    stage's marker ages out and the dir is reclaimed);
+    *  - superseded compacted dirs carry no marker (commit/compact
+    *    remove it at publish) and are reclaimed immediately;
+    *  - a pinned [[Snapshot]] that still references a swept dir fails
+    *    LOUDLY on its next read (stale-snapshot error) instead of
+    *    serving partial rows — run GC on the grace cadence, not under
+    *    live pinned readers.
+    * Manifest HISTORY is trimmed too: versions below
+    * current − `keepManifests` are deleted (the retention floor for
+    * pinned readers), so the dir listing stays flat over thousands of
+    * commits instead of accumulating one file per commit forever.
+    * Torn publish temporaries are swept as well. Returns the deleted
+    * append ids. */
+  def gcOrphans(spark: SparkSession, dir: String,
+      graceMs: Long = DefaultGcGraceMs,
+      keepManifests: Int = DefaultKeepManifests): Seq[String] = {
     val root = new HPath(s"$dir/appends")
     val fs = hfs(spark, root)
-    if (fs.exists(new HPath(dir)))
+    if (fs.exists(new HPath(dir))) {
       fs.listStatus(new HPath(dir)).toSeq.map(_.getPath)
         .filter(_.getName.startsWith(".MANIFEST.tmp-"))
         .foreach(fs.delete(_, false))
+      val versions = fs.listStatus(new HPath(dir)).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case ManifestRe(n) => Some(n.toLong -> p); case _ => None
+        })
+      if (versions.nonEmpty) {
+        val cur = versions.map(_._1).max
+        versions.filter(_._1 <= cur - math.max(1, keepManifests))
+          .foreach { case (_, p) => fs.delete(p, false) }
+      }
+    }
     if (!fs.exists(root)) Seq.empty
     else {
       val live = committedIds(spark, dir).toSet
+      val now = System.currentTimeMillis()
       fs.listStatus(root).toSeq.map(_.getPath)
         .filter(p => !live(p.getName))
+        .filterNot { p =>
+          // grace rule: a marked (in-flight) stage younger than
+          // graceMs is not an orphan yet
+          val marker = new HPath(p, InflightMarker)
+          fs.exists(marker) &&
+            now - fs.getFileStatus(marker).getModificationTime <= graceMs
+        }
         .map { p => fs.delete(p, true); p.getName }
     }
   }
@@ -450,6 +589,15 @@ object SnapshotStore {
     readComponent(spark, dir, "digests")
   def fps(spark: SparkSession, dir: String): DataFrame =
     readComponent(spark, dir, "fps")
+
+  /** The accumulated CURATED CORPUS itself — the union of every
+    * committed append's `docs` component (present when appends were
+    * written with `persistDocs`, as [[Curation.cycleAppend]] and the
+    * s42 streaming increment do): (did, lang, text), the training-data
+    * increments a production run ships, served from the same
+    * manifest-resolved file scans as the indexes. */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    readComponent(spark, dir, "docs")
 
   /** Near-dup delta of `arriving` docs against the STORED snapshot
     * index — [[MinHashLsh.probeIndex]] over the store's file scans;

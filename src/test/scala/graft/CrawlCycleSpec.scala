@@ -21,6 +21,17 @@ class CrawlCycleSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  // every store component, INCLUDING the persisted curated corpus
+  // (docs) that cycleAppend now ships alongside the indexes
+  private val components = Seq("sets", "bands", "digests", "fps", "docs")
+  private def readComp(d: String, comp: String): DataFrame = comp match {
+    case "sets" => SnapshotStore.sets(spark, d)
+    case "bands" => SnapshotStore.bands(spark, d)
+    case "digests" => SnapshotStore.digests(spark, d)
+    case "fps" => SnapshotStore.fps(spark, d)
+    case "docs" => SnapshotStore.docs(spark, d)
+  }
+
   // budgets above the chunk token volume: stage 5 keeps every stage-4
   // survivor, maximizing cross-cycle duplicate coverage (the declared
   // n91 query exercises LIVE budgets; this spec proves composition)
@@ -50,16 +61,11 @@ class CrawlCycleSpec extends AnyFunSuite {
     assert(rows(c1) == rows(cur1) && rows(c2) == rows(cur2))
 
     val dir2 = TempDirs.create("crawl-cycle-rebuild")
-    SnapshotStore.append(spark, dir2, cur1.unionByName(cur2))
-    for (comp <- Seq("sets", "bands", "digests", "fps")) {
-      def read(d: String) = comp match {
-        case "sets" => SnapshotStore.sets(spark, d)
-        case "bands" => SnapshotStore.bands(spark, d)
-        case "digests" => SnapshotStore.digests(spark, d)
-        case "fps" => SnapshotStore.fps(spark, d)
-      }
-      assert(rows(read(dir)) == rows(read(dir2)), s"component $comp differs")
-    }
+    SnapshotStore.append(spark, dir2, cur1.unionByName(cur2),
+      persistDocs = true)
+    for (comp <- components)
+      assert(rows(readComp(dir, comp)) == rows(readComp(dir2, comp)),
+        s"component $comp differs")
 
     // ...and the NEXT probe sees the accumulated curated corpus: the
     // store-served classification of snapshot 2 equals the inline
@@ -83,19 +89,47 @@ class CrawlCycleSpec extends AnyFunSuite {
     assert(SnapshotStore.gcOrphans(spark, dirA).nonEmpty)
     for (d <- Seq(dirA, dirB))
       Curation.cycleAppend(spark, d, snap(1), bEn, bOther)
-    for (comp <- Seq("sets", "bands", "digests", "fps")) {
-      def read(d: String) = comp match {
-        case "sets" => SnapshotStore.sets(spark, d)
-        case "bands" => SnapshotStore.bands(spark, d)
-        case "digests" => SnapshotStore.digests(spark, d)
-        case "fps" => SnapshotStore.fps(spark, d)
-      }
-      assert(rows(read(dirA)) == rows(read(dirB)),
+    for (comp <- components)
+      assert(rows(readComp(dirA, comp)) == rows(readComp(dirB, comp)),
         s"component $comp differs after a mid-cycle compaction")
-    }
     assert(rows(SnapshotStore.serveDelta(spark, dirA, snap(2),
         col("text"), col("source"))) ==
       rows(SnapshotStore.serveDelta(spark, dirB, snap(2),
+        col("text"), col("source"))))
+  }
+
+  test("a LIVE cycleAppend racing a compaction: both land, probe equals serial") {
+    // the r18 ask beyond SnapshotStoreSpec's subset-compact arithmetic:
+    // an actual cycleAppend commits WHILE compact runs against the
+    // pre-race ids — the compactor's publish loop must preserve the
+    // racer's append, the racer's commit must retry past the
+    // compactor's version claim, and the next probe must equal a
+    // store built serially with no compaction at all
+    val dir = TempDirs.create("crawl-race")
+    Curation.cycleAppend(spark, dir, snap(0), bEn, bOther)
+    val ids0 = SnapshotStore.committedIds(spark, dir)
+    @volatile var err: Throwable = null
+    def guarded(body: => Unit): Thread =
+      new Thread(() => try body catch { case t: Throwable => err = t })
+    val tAppend = guarded(
+      Curation.cycleAppend(spark, dir, snap(1), bEn, bOther))
+    val tCompact = guarded(SnapshotStore.compact(spark, dir, Some(ids0)))
+    tAppend.start(); tCompact.start()
+    tAppend.join(); tCompact.join()
+    assert(err == null, s"racer failed: $err")
+    // both landed: one compacted id + the cycle's append id
+    val ids = SnapshotStore.committedIds(spark, dir)
+    assert(ids.size == 2 && ids.exists(_.startsWith("compact-")), ids)
+    assert(ids0.forall(id => !ids.contains(id)))
+    val ref = TempDirs.create("crawl-race-ref")
+    Curation.cycleAppend(spark, ref, snap(0), bEn, bOther)
+    Curation.cycleAppend(spark, ref, snap(1), bEn, bOther)
+    for (comp <- components)
+      assert(rows(readComp(dir, comp)) == rows(readComp(ref, comp)),
+        s"component $comp differs from the serial build after the race")
+    assert(rows(SnapshotStore.serveDelta(spark, dir, snap(2),
+        col("text"), col("source"))) ==
+      rows(SnapshotStore.serveDelta(spark, ref, snap(2),
         col("text"), col("source"))))
   }
 }

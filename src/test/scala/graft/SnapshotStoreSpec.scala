@@ -89,17 +89,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 3)
   }
 
-  test("gcOrphans deletes only unlisted staging dirs") {
+  test("gcOrphans: the grace rule protects an in-flight stage; aged orphans sweep") {
     import spark.implicits._
     val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
     val b = Seq((1L, "x", "kk ll mm nn oo")).toDF("doc_id", "source", "text")
+    val c = Seq((2L, "x", "pp qq rr ss tt")).toDF("doc_id", "source", "text")
     val dir = TempDirs.create("snapstore-gc")
     SnapshotStore.append(spark, dir, a)
-    val orphan = SnapshotStore.stage(spark, dir, b) // crashed append
-    assert(SnapshotStore.gcOrphans(spark, dir) == Seq(orphan))
-    assert(SnapshotStore.gcOrphans(spark, dir).isEmpty) // idempotent
-    // the committed append is untouched and still serves
-    assert(SnapshotStore.sets(spark, dir).count() == 1)
+    // an IN-FLIGHT stage (fresh .INFLIGHT marker) survives a racing
+    // sweep at the default grace — the r18 contract, now enforced —
+    // and its commit still lands afterwards
+    val inflight = SnapshotStore.stage(spark, dir, b)
+    assert(SnapshotStore.gcOrphans(spark, dir).isEmpty)
+    SnapshotStore.commit(spark, dir, inflight)
+    assert(SnapshotStore.sets(spark, dir).count() == 2)
+    // a CRASHED stage (marker aged past grace — grace 0 here) is
+    // reclaimed, and only it
+    val orphan = SnapshotStore.stage(spark, dir, c)
+    assert(SnapshotStore.gcOrphans(spark, dir, graceMs = 0) == Seq(orphan))
+    assert(SnapshotStore.gcOrphans(spark, dir, graceMs = 0).isEmpty) // idempotent
+    // the committed appends are untouched and still serve
+    assert(SnapshotStore.sets(spark, dir).count() == 2)
   }
 
   test("commit audit rejects a stale-staged overlapping append") {
@@ -138,7 +148,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val aidB = SnapshotStore.stage(spark, dir, b)
     SnapshotStore.commit(spark, dir, aidB) // B wins v1
     // A's stale publish attempt (derived from version 0) loses cleanly
-    assert(!SnapshotStore.publishOnce(spark, dir, Seq(aidA), 1L))
+    assert(!SnapshotStore.publishOnce(spark, dir, Seq(aidA), Set.empty, 1L))
     SnapshotStore.commit(spark, dir, aidA) // the retry path: v2 = B, A
     assert(SnapshotStore.committedIds(spark, dir).toSet == Set(aidA, aidB))
     assert(SnapshotStore.sets(spark, dir).count() == 2)
@@ -283,5 +293,124 @@ class SnapshotStoreSpec extends AnyFunSuite {
       col("text"), col("source"))
     val inline = Dedup.snapshotDelta(a, b, col("text"), col("source"))
     assert(rows(served) == rows(inline))
+  }
+
+  private def allComponents(dir: String): Seq[Seq[String]] =
+    Seq(SnapshotStore.sets(spark, dir), SnapshotStore.bands(spark, dir),
+      SnapshotStore.digests(spark, dir), SnapshotStore.fps(spark, dir))
+      .map(rows)
+
+  test("a replayed keyed append that was compacted away no-ops (tombstone)") {
+    import spark.implicits._
+    // the r18 data-corruption hazard: keyed append → compact → gc →
+    // replay. Without the tombstone the replayed id looks uncommitted
+    // and appendAs would double-append its sets/bands rows.
+    val b0 = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val b1 = Seq((1L, "x", "ff gg hh ii jj")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-tombstone")
+    assert(SnapshotStore.appendAs(spark, dir, "append-d1-b0", b0))
+    assert(SnapshotStore.appendAs(spark, dir, "append-d1-b1", b1))
+    val cid = SnapshotStore.compact(spark, dir)
+    assert(SnapshotStore.gcOrphans(spark, dir).toSet ==
+      Set("append-d1-b0", "append-d1-b1"))
+    val before = allComponents(dir)
+    // the replay (crash between store commit and checkpoint commit,
+    // then a compaction before the restart) must change NOTHING
+    assert(!SnapshotStore.appendAs(spark, dir, "append-d1-b1", b1))
+    assert(SnapshotStore.committedIds(spark, dir) == Seq(cid))
+    assert(allComponents(dir) == before)
+    // ...and a replayed COMMIT of the tombstoned id is a no-op too
+    SnapshotStore.commit(spark, dir, "append-d1-b1")
+    assert(allComponents(dir) == before)
+  }
+
+  test("commit audit rejects an overlapping doc id (distinct-dids contract enforced)") {
+    import spark.implicits._
+    // same doc id, DIFFERENT text: the digest/fp audits are blind to
+    // it, but two sets/bands rows for one did would fan out every
+    // probe join — r18 demanded the left-semi on did; here it bites
+    val x = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val y = Seq((0L, "x", "ff gg hh ii jj")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-didclash")
+    val stale = SnapshotStore.stage(spark, dir, y)
+    SnapshotStore.append(spark, dir, x)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.commit(spark, dir, stale)
+    }
+    assert(e.getMessage.contains("rejected") && e.getMessage.contains("sets"))
+    assert(SnapshotStore.committedIds(spark, dir).size == 1)
+    assert(SnapshotStore.sets(spark, dir).count() == 1)
+  }
+
+  test("a pinned snapshot over reclaimed dirs fails LOUDLY, never partially") {
+    import spark.implicits._
+    // ADVICE r18: GC racing a pinned reader used to silently drop the
+    // reclaimed dirs from the scan (partial rows). Now: dir absent ⇒
+    // stale-snapshot error; dir present but empty stays a legal delta.
+    val a = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val b = Seq((1L, "x", "ff gg hh ii jj")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-stale")
+    SnapshotStore.append(spark, dir, a)
+    SnapshotStore.append(spark, dir, b)
+    val pinned = SnapshotStore.snapshot(spark, dir)
+    SnapshotStore.compact(spark, dir)
+    SnapshotStore.gcOrphans(spark, dir) // reclaims the dirs pinned references
+    val e = intercept[IllegalStateException] { pinned.digests(spark) }
+    assert(e.getMessage.contains("STALE"))
+    // the CURRENT snapshot still serves everything
+    assert(SnapshotStore.digests(spark, dir).count() == 2)
+  }
+
+  test("gcOrphans trims manifest history; tombstones survive the trim") {
+    import spark.implicits._
+    val dir = TempDirs.create("snapstore-manifests")
+    (0 until 5).foreach { i =>
+      SnapshotStore.appendAs(spark, dir, s"append-d1-b$i",
+        Seq((i.toLong, "x", s"t$i u$i v$i w$i z$i"))
+          .toDF("doc_id", "source", "text"))
+    }
+    def manifestFiles(): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().count(_.getName.matches("""MANIFEST\.v\d+"""))
+    }
+    assert(manifestFiles() == 5) // one per commit, unbounded before gc
+    SnapshotStore.compact(spark, dir)
+    SnapshotStore.gcOrphans(spark, dir, keepManifests = 2)
+    assert(manifestFiles() == 2)
+    // the surviving current manifest still carries ids AND tombstones:
+    // the store serves, and a replayed keyed id still no-ops
+    assert(SnapshotStore.sets(spark, dir).count() == 5)
+    assert(!SnapshotStore.appendAs(spark, dir, "append-d1-b3",
+      Seq((3L, "x", "t3 u3 v3 w3 z3")).toDF("doc_id", "source", "text")))
+    assert(SnapshotStore.sets(spark, dir).count() == 5)
+  }
+
+  test("persistDocs stores the corpus increment; append==rebuild; compact keeps it") {
+    val d = docs(sf).where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val chunks = Seq(d.where(col("doc_id") % 8 === 0),
+      d.where(col("doc_id") % 8 === 4))
+    val incDir = TempDirs.create("snapstore-docs-inc")
+    chunks.foreach(c =>
+      SnapshotStore.append(spark, incDir, c, persistDocs = true))
+    val allDir = TempDirs.create("snapstore-docs-all")
+    SnapshotStore.append(spark, allDir, d, persistDocs = true)
+    // the docs component IS the input corpus (id renamed did), and
+    // appending chunks equals the one-shot rebuild
+    assert(rows(SnapshotStore.docs(spark, incDir)) ==
+      rows(d.withColumnRenamed("doc_id", "did")))
+    assert(rows(SnapshotStore.docs(spark, incDir)) ==
+      rows(SnapshotStore.docs(spark, allDir)))
+    // compaction rewrites docs with the other components, row-equal
+    val before = rows(SnapshotStore.docs(spark, incDir))
+    SnapshotStore.compact(spark, incDir)
+    SnapshotStore.gcOrphans(spark, incDir)
+    assert(rows(SnapshotStore.docs(spark, incDir)) == before)
+    // appends WITHOUT persistDocs stay legal alongside (absent docs
+    // component dirs are skipped, not stale)
+    SnapshotStore.append(spark, incDir,
+      docs(sf).where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("lang"), col("text")))
+    assert(rows(SnapshotStore.docs(spark, incDir)) == before)
   }
 }
