@@ -1133,8 +1133,10 @@ object StreamQueries {
     *   snapshot-gated cascade
     *   ([[graft.operators.Curation.snapshotFlagsFull]] — stream-static
     *   equi-joins, no state store), and `foreachBatch` APPENDS the
-    *   batch's pass5 survivors' index rows back into the store through
-    *   the crash-atomic versioned-manifest commit
+    *   batch's pass5 survivors back into the store — index rows AND
+    *   the curated docs themselves (persistDocs, matching the batch
+    *   twin's store) — through the crash-atomic versioned-manifest
+    *   commit
     *   ([[graft.operators.SnapshotStore.appendAs]]) — so a crash mid-
     *   stream leaves the store readable at its last committed version
     *   and the restarted query re-flags only unprocessed files.
@@ -1154,27 +1156,54 @@ object StreamQueries {
     * DETERMINISTIC (incrementId, micro-batch id) key, committed via
     * [[graft.operators.SnapshotStore.appendAs]] — a batch replayed
     * after a crash between its store commit and the checkpoint commit
-    * finds its id already in the manifest and no-ops, and a crash
-    * between stage and commit is recovered by the keyed re-stage. The
-    * caller's `incrementId` must be unique per increment and STABLE
-    * across restarts (a crawl-dump label — the FineWeb dump id — not
-    * a random token; a re-minted id would double-append sets/bands on
-    * replay). Do not compact the store while the increment is live
-    * (appendAs's in-flight rule). */
+    * finds its id already in the manifest (or tombstoned by a later
+    * compaction) and no-ops, and a crash between stage and commit is
+    * recovered by the keyed re-stage. The caller's `incrementId` must
+    * be unique per increment and STABLE across restarts (a crawl-dump
+    * label — the FineWeb dump id — not a random token; a re-minted id
+    * would double-append sets/bands on replay).
+    *
+    * RESTART DETERMINISM (ADVICE r18): on a restart — or a second
+    * session draining late-arriving files of the same increment — the
+    * CURRENT manifest already lists this increment's own earlier
+    * micro-batch appends. Gate state built from it would differ from
+    * the first session's: `kept` would drop the already-committed
+    * survivors against their own digests, inflating the mixture rates
+    * (smaller actual → larger rate_ppm) and shrinking the LSH loser
+    * set (pairs whose winner is already committed vanish), so replayed
+    * and late batches would commit DIFFERENT survivors than the batch
+    * twin. The pre-increment store is the deterministic training
+    * state: the pinned snapshot EXCLUDES this increment's own keyed
+    * appends (the `append-$incrementId-` id prefix) before building
+    * aMd5/aFp/kept, so every session of the increment trains identical
+    * gates. (A compaction folding the increment's own appends into a
+    * `compact-*` id would defeat the prefix filter — one more reason
+    * the no-compaction-while-live rule stands for gate state, even
+    * though the tombstone protocol already makes replays append-safe.)
+    *
+    * `checkpoint`: a STABLE path makes the increment resumable across
+    * sessions (restart semantics above — StreamCrawlIncrementSpec
+    * drives a two-session drain through it); None = a bounded one-shot
+    * drain on a temp checkpoint. */
   def streamCrawlIncrement(spark: SparkSession, storeDir: String,
       incrementId: String, incrementStream: DataFrame,
       incrementBatch: DataFrame,
-      budgetEn: Long, budgetOther: Long): Unit = {
+      budgetEn: Long, budgetOther: Long,
+      checkpoint: Option[String] = None): Unit = {
     import graft.operators.{Curation, Dedup, SnapshotStore}
-    require(SnapshotStore.nonEmpty(spark, storeDir),
-      s"streamCrawlIncrement needs a non-empty store at $storeDir " +
-        "(the first crawl is Curation.cycleAppend, batch)")
     // the PRE-increment gate state, severed from every micro-batch:
     // the policy (and n91's batch twin) classifies against the store
-    // as of increment start — per-batch re-reads would let earlier
-    // micro-batches' own appends gate later ones; both components
-    // from ONE pinned store version (SnapshotStore.Snapshot)
-    val store = SnapshotStore.snapshot(spark, storeDir)
+    // as of increment START — per-batch re-reads would let earlier
+    // micro-batches' own appends gate later ones, and a restart's
+    // manifest already lists them, so the pinned snapshot filters the
+    // increment's own keyed ids out; both components from that ONE
+    // pinned pre-increment version (SnapshotStore.Snapshot)
+    val store0 = SnapshotStore.snapshot(spark, storeDir)
+    val store = store0.copy(ids =
+      store0.ids.filterNot(_.startsWith(s"append-$incrementId-")))
+    require(store.ids.nonEmpty,
+      s"streamCrawlIncrement needs a non-empty pre-increment store at " +
+        s"$storeDir (the first crawl is Curation.cycleAppend, batch)")
     val aMd5 = store.digests(spark)
       .withColumn("in_a", lit(1L)).localCheckpoint()
     val aFp = store.fps(spark)
@@ -1191,25 +1220,28 @@ object StreamQueries {
       .select(col("doc_id"), col("lang"), col("text"))
     def appendBatch(batch: DataFrame, batchId: Long): Unit = {
       val aid = s"append-$incrementId-b$batchId"
-      // replay fast-path: a committed id no-ops before computing the
-      // batch (appendAs re-checks under the commit loop either way)
-      if (!SnapshotStore.committedIds(spark, storeDir).contains(aid)) {
-        // computed once: the append stages four component writes plus
-        // the audit over this frame
-        val b = batch.localCheckpoint()
-        if (b.limit(1).count() > 0)
-          SnapshotStore.appendAs(batch.sparkSession, storeDir, aid, b)
-      }
+      // computed once: the append stages the component writes plus the
+      // audit over this frame; appendAs itself is the replay guard
+      // (committed OR tombstoned id ⇒ no-op — one manifest read, not a
+      // second per-batch fast-path read on top, the r18 micro note)
+      val b = batch.localCheckpoint()
+      if (b.limit(1).count() > 0)
+        SnapshotStore.appendAs(batch.sparkSession, storeDir, aid, b,
+          persistDocs = true)
       ()
     }
-    withStreamPartitions(spark, 4) { withTempCheckpoint { ckpt =>
+    def run(ckpt: String): Unit = withStreamPartitions(spark, 4) {
       val q = survivors.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch(appendBatch _)
         .start()
       drain(q)
-    } }
+    }
+    checkpoint match {
+      case Some(ckpt) => run(ckpt)
+      case None => withTempCheckpoint(run)
+    }
   }
 
   def streamCurationServe(spark: SparkSession, docsStream: DataFrame,

@@ -23,6 +23,17 @@ class StreamCrawlIncrementSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  // every component the increment commits — including the curated
+  // docs payload the streaming path persists to match the batch twin
+  private val components = Seq("sets", "bands", "digests", "fps", "docs")
+  private def readComp(d: String, comp: String): DataFrame = comp match {
+    case "sets" => SnapshotStore.sets(spark, d)
+    case "bands" => SnapshotStore.bands(spark, d)
+    case "digests" => SnapshotStore.digests(spark, d)
+    case "fps" => SnapshotStore.fps(spark, d)
+    case "docs" => SnapshotStore.docs(spark, d)
+  }
+
   // budgets above the chunk token volume, as in CrawlCycleSpec: stage 5
   // keeps every stage-4 survivor, maximizing cross-chunk dup coverage
   // (the declared s42 query exercises LIVE budgets)
@@ -59,16 +70,9 @@ class StreamCrawlIncrementSpec extends AnyFunSuite {
       s"expected >= 2 micro-batch appends beyond the bootstrap, got " +
         s"${nAppends - 1}")
 
-    for (comp <- Seq("sets", "bands", "digests", "fps")) {
-      def read(d: String) = comp match {
-        case "sets" => SnapshotStore.sets(spark, d)
-        case "bands" => SnapshotStore.bands(spark, d)
-        case "digests" => SnapshotStore.digests(spark, d)
-        case "fps" => SnapshotStore.fps(spark, d)
-      }
-      assert(rows(read(dirStream)) == rows(read(dirBatch)),
+    for (comp <- components)
+      assert(rows(readComp(dirStream, comp)) == rows(readComp(dirBatch, comp)),
         s"component $comp differs between streamed and batch increment")
-    }
 
     // ...and the next probe answers identically from either store
     assert(rows(SnapshotStore.serveDelta(spark, dirStream, snap(2),
@@ -87,7 +91,50 @@ class StreamCrawlIncrementSpec extends AnyFunSuite {
       StreamQueries.streamCrawlIncrement(spark, dir, "dump-x", stream,
         snap(1), bEn, bOther)
     }
-    assert(e.getMessage.contains("non-empty store"))
+    assert(e.getMessage.contains("non-empty pre-increment store"))
+  }
+
+  test("a RESTARTED increment (own appends already committed) == batch twin") {
+    // ADVICE r18: a restart resolves a manifest that already lists the
+    // increment's own earlier appends. Gate state built from it drifts
+    // (kept drops the committed survivors -> rates inflate, the LSH
+    // loser set shrinks) and later batches would commit different
+    // survivors than the batch twin. The pre-increment pin (filter the
+    // increment's keyed ids out of the snapshot) makes both sessions
+    // train IDENTICAL gates — proven here by a two-session drain over
+    // a stable checkpoint with LIVE budgets (saturated rates would
+    // mask the rate-inflation failure mode).
+    val dirStream = TempDirs.create("s42-restart-store")
+    val dirBatch = TempDirs.create("s42-restart-batch")
+    val (rEn, rOther) = (2000L, 1000L)
+    Curation.cycleAppend(spark, dirStream, snap(0), rEn, rOther)
+    Curation.cycleAppend(spark, dirBatch, snap(0), rEn, rOther)
+    val src = TempDirs.create("s42-restart-src")
+    val ckpt = TempDirs.create("s42-restart-ckpt")
+    def streamOf = spark.readStream.schema(snap(1).schema).parquet(src)
+    // SESSION 1: only part of the increment's files have arrived
+    snap(1).where(col("doc_id") % 6 === 1).write.mode("append").parquet(src)
+    StreamQueries.streamCrawlIncrement(spark, dirStream, "dump-2",
+      streamOf, snap(1), rEn, rOther, checkpoint = Some(ckpt))
+    val idsAfter1 = SnapshotStore.committedIds(spark, dirStream)
+    assert(idsAfter1.exists(_.startsWith("append-dump-2-")),
+      "session 1 committed nothing — the restart scenario is vacuous")
+    // SESSION 2 (the restart): the rest arrives; the manifest now
+    // lists the increment's own appends, the exact hazard state
+    snap(1).where(col("doc_id") % 6 === 4).write.mode("append").parquet(src)
+    StreamQueries.streamCrawlIncrement(spark, dirStream, "dump-2",
+      streamOf, snap(1), rEn, rOther, checkpoint = Some(ckpt))
+    assert(SnapshotStore.committedIds(spark, dirStream).size > idsAfter1.size,
+      "session 2 committed nothing — the restart scenario is vacuous")
+    // == ONE uninterrupted batch increment, every component
+    Curation.cycleAppend(spark, dirBatch, snap(1), rEn, rOther)
+    for (comp <- components)
+      assert(rows(readComp(dirStream, comp)) == rows(readComp(dirBatch, comp)),
+        s"component $comp differs after the restarted increment")
+    assert(rows(SnapshotStore.serveDelta(spark, dirStream, snap(2),
+        col("text"), col("source"))) ==
+      rows(SnapshotStore.serveDelta(spark, dirBatch, snap(2),
+        col("text"), col("source"))))
   }
 
   test("a replayed keyed append is a no-op (exactly-once by replay key)") {
