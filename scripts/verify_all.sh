@@ -6,10 +6,10 @@
 #
 # Usage: scripts/verify_all.sh [sfdir] [outdir] [artifact.json]
 #   GRAFT_PAIR_SAMPLE   (default 20) md5-bucket keep percentage applied
-#                       identically to BOTH engines' inputs for the 25
+#                       identically to BOTH engines' inputs for the 28
 #                       O(n²) pair queries (n02/n03/n13/n16/n23/n24/
 #                       n25/n26/n52/n61/n80/n81/n85/n87/n89/n91/n92/
-#                       n93/s19/s34/s37/s38/s40/s41/s42) — bounds the
+#                       n93/n94/n95/n96/s19/s34/s37/s38/s40/s41/s42) — bounds the
 #                       DuckDB oracle, never the Spark plans. Export
 #                       empty to disable.
 set -euo pipefail

@@ -723,9 +723,18 @@ object SparkEntry {
     * shape over n91's store state. The curation cascade appears twice
     * via [[curationCtesBody]]'s c1/c2 suffixes; budgets third with the
     * mod-3 chunks so the mixture stage stays live. */
-  private lazy val crawlCycleSql: String = {
-    val fpT = // n10's fingerprint over the raw text column
-      s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
+  /** n10's fingerprint over the raw text column (oracle side). */
+  private lazy val fpToksSql: String =
+    s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
+
+  /** The shared TWO-CYCLE CTE prefix: cycle 1's cascade (c1 suffix),
+    * the curated-store digest CTEs sh1/sfp1, and cycle 2's
+    * snapshot-gated cascade (c2) over the policy survivors — n91/s42
+    * extend it with the probe rollup, n94 with the curated-union
+    * per-lang aggregate over f5c1/f5c2's pass5 survivors (the docs
+    * component the store now persists). */
+  private lazy val twoCycleCtes: String = {
+    val fpT = fpToksSql
     val b1 = curationCtesBody(
       s"dc1 AS (SELECT doc_id, lang, text, $toksSql AS toks FROM $docsT WHERE doc_id % 3 = 0)",
       CurBudgetEn / 3, CurBudgetOther / 3, "c1")
@@ -736,14 +745,19 @@ object SparkEntry {
             WHERE h NOT IN (SELECT h FROM sh1)
               AND fp NOT IN (SELECT fp FROM sfp1))""",
       CurBudgetEn / 3, CurBudgetOther / 3, "c2")
-    s"""
-      WITH $b1,
+    s"""$b1,
       sh1 AS (SELECT DISTINCT md5(text) AS h FROM f5c1 WHERE pass5),
       sfp1 AS (SELECT DISTINCT
                  md5(array_to_string(list_sort(list_distinct(toks)), ' '))
                    AS fp
                FROM f5c1 WHERE pass5),
-      $b2,
+      $b2"""
+  }
+
+  private lazy val crawlCycleSql: String = {
+    val fpT = fpToksSql
+    s"""
+      WITH $twoCycleCtes,
       sh AS (SELECT h FROM sh1 UNION
              SELECT DISTINCT md5(text) AS h FROM f5c2 WHERE pass5),
       sfp AS (SELECT fp FROM sfp1 UNION
@@ -765,6 +779,57 @@ object SparkEntry {
           AS n_new
       FROM jprobe GROUP BY source"""
   }
+
+  /** n94: the accumulated CURATED CORPUS served from the store's docs
+    * component after two crawl cycles — per-language doc/token counts
+    * plus the order-independent corpus signature (n80's hv/bit_xor
+    * idiom). Oracle = the shared two-cycle chain's pass5 survivors
+    * (f5c1 ∪ f5c2): exactly the rows cycleAppend persisted, so a
+    * dropped or duplicated docs row shifts a count or the xor and
+    * fails the hash. */
+  private lazy val storeDocsSql: String = s"""
+      WITH $twoCycleCtes,
+      u AS (SELECT doc_id, lang, tok FROM f5c1 WHERE pass5
+            UNION ALL SELECT doc_id, lang, tok FROM f5c2 WHERE pass5)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(bit_xor(
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT),
+          0) AS BIGINT) AS corpus_xor
+      FROM u GROUP BY lang"""
+
+  /** n96: n81's pack arithmetic over the STORE-SERVED curated corpus —
+    * the two-cycle chain's pass5 survivors laid end-to-end per
+    * language and chopped into PackTokens-token training sequences
+    * (n28's CTEs over the union, hugeint casts as in n81's oracle). */
+  private lazy val storePackSql: String = s"""
+      WITH $twoCycleCtes,
+      u AS (SELECT doc_id, lang, tok FROM f5c1 WHERE pass5
+            UNION ALL SELECT doc_id, lang, tok FROM f5c2 WHERE pass5),
+      cum AS (SELECT lang, tok, sum(tok) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM u)
+      SELECT lang, CAST((cum - tok) // ${graft.operators.Curation.PackTokens} AS BIGINT) AS pack_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS pack_tokens
+      FROM cum GROUP BY 1, 2"""
+
+  /** The exact-Jaccard pair oracle n92/n93/n95 share: every stored
+    * snapshot (mod-3 chunks 0,1) against the probe chunk (2) — the
+    * store-served LSH probe must equal it at the verified t=0.8
+    * operating point regardless of how many appends/compactions/
+    * replays produced the store. */
+  private lazy val storeChainNearDupSql: String = s"""
+      WITH s AS (
+        SELECT doc_id, $ssetSql AS sset
+        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2)
+      SELECT * FROM pairs WHERE jaccard >= 0.8"""
 
   private lazy val curationPipelineSql: String = {
     val stageRows = graft.operators.Curation.Stages.map { case (nm, f) =>
@@ -4943,16 +5008,7 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 === 1))
       graft.operators.SnapshotStore.serveNearDup(s, dir,
         docs.where(col("doc_id") % 3 === 2))
-    }, Some(s"""
-      WITH s AS (
-        SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
-        FROM s a JOIN s b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2)
-      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+    }, Some(storeChainNearDupSql))),
 
     // n92 served from a COMPACTED store (the r17 metadata-cost ask,
     // declared): the two appends rewrite into ONE through the same
@@ -4976,16 +5032,90 @@ object SparkEntry {
       graft.operators.SnapshotStore.gcOrphans(s, dir)
       graft.operators.SnapshotStore.serveNearDup(s, dir,
         docs.where(col("doc_id") % 3 === 2))
-    }, Some(s"""
-      WITH s AS (
-        SELECT doc_id, $ssetSql AS sset
-        FROM (SELECT doc_id, $toksSql AS toks FROM $docsT)),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
-        FROM s a JOIN s b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2)
-      SELECT * FROM pairs WHERE jaccard >= 0.8"""))),
+    }, Some(storeChainNearDupSql))),
+
+    // n93's lifecycle extended by the REPLAY hazard the tombstone
+    // protocol guards (the r18 top ask, DECLARED): both appends commit
+    // under KEYED ids (s42's (dump, batch) replay key), compact
+    // rewrites them into one, gcOrphans reclaims the superseded dirs
+    // AND trims the manifest history to a single version — then one
+    // keyed append REPLAYS (the crash-recovery path arriving after a
+    // compaction) and must NO-OP via its tombstone line: without it
+    // the replay would re-stage and double-append every sets/bands
+    // row, fanning out the pair table and failing the hash. Same
+    // probeIndex kernel and exact-Jaccard oracle as n92/n93; rides
+    // the pair sample at sf0.1.
+    "n95_compacted_replay_serve" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-compact-replay-nd")
+      graft.operators.SnapshotStore.appendAs(s, dir, "append-dump-1-b0",
+        docs.where(col("doc_id") % 3 === 0))
+      graft.operators.SnapshotStore.appendAs(s, dir, "append-dump-2-b0",
+        docs.where(col("doc_id") % 3 === 1))
+      graft.operators.SnapshotStore.compact(s, dir)
+      graft.operators.SnapshotStore.gcOrphans(s, dir, keepManifests = 1)
+      graft.operators.SnapshotStore.appendAs(s, dir, "append-dump-2-b0",
+        docs.where(col("doc_id") % 3 === 1)) // replay -> tombstone no-op
+      graft.operators.SnapshotStore.serveNearDup(s, dir,
+        docs.where(col("doc_id") % 3 === 2))
+    }, Some(storeChainNearDupSql))),
+
+    // The accumulated curated corpus SERVED from the store's new docs
+    // component (VERDICT r18 #3, declared): two crawl cycles commit
+    // their curated increments — indexes AND the (did, lang, text)
+    // rows themselves — and a training run then reads the corpus from
+    // the store alone, never re-deriving the curation lineage:
+    // per-language doc/token counts + the order-independent bit_xor
+    // corpus signature over the served rows, hash-checked against the
+    // two-cycle curation CTE chain's pass5 survivors. tok recomputes
+    // through the same TextStats kernel the cascade used, so a
+    // text-mangling docs write would also shift n_tokens. Rides the
+    // pair sample at sf0.1 (two LSH train stages, like n91).
+    "n94_store_docs_corpus" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-store-docs")
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 0),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 1),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.SnapshotStore.docs(s, dir)
+        .select(col("lang"),
+          graft.functions.TextStats.textStats(col("text"))
+            .getField("n_tokens").cast("long").as("tok"),
+          conv(substring(md5(col("did").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("tok")), lit(0L)).as("n_tokens"),
+          coalesce(expr("bit_xor(hv)"), lit(0L)).as("corpus_xor"))
+    }, Some(storeDocsSql))),
+
+    // ...and the store-served corpus consumed by the PACKER (n81's
+    // arithmetic over SnapshotStore.docs): training sequences come
+    // straight from the accumulated store — per-language
+    // concat-then-chop over the persisted (did, lang, text) rows,
+    // no curation lineage re-derived. A docs row lost or duplicated
+    // by the two commits would shift every downstream pack offset in
+    // its language and fail the hash. Oracle = the two-cycle chain +
+    // n28's pack CTEs over the survivor union; rides the pair sample
+    // at sf0.1.
+    "n96_store_pack" -> (((s: SparkSession, d: String) => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-store-pack")
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 0),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 1),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.Curation.packCorpus(
+        graft.operators.SnapshotStore.docs(s, dir)
+          .select(col("lang"), col("did").as("doc_id"),
+            graft.functions.TextStats.textStats(col("text"))
+              .getField("n_tokens").cast("long").as("tok")))
+    }, Some(storePackSql))),
 
     // Multimodal plumbing: binary payload + typed metadata, decoded
     // per-partition via mapPartitions (decode itself is a deterministic

@@ -55,16 +55,25 @@ object StoreMetaBench {
         col("text"), col("source")).count()
     }
 
+    // manifest history: one MANIFEST.v{N} per commit accumulates until
+    // gcOrphans trims it to the retention floor — the r18 flat-listing
+    // claim, measured alongside the append-dir collapse
+    def manifestFiles(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.matches("""MANIFEST\.v\d+"""))
+
     val (planBefore, probeBefore) = (planMs(), probeMs())
     val nBefore = SnapshotStore.committedIds(spark, dir).size
+    val mfBefore = manifestFiles()
     SnapshotStore.compact(spark, dir)
     SnapshotStore.gcOrphans(spark, dir)
     val nAfter = SnapshotStore.committedIds(spark, dir).size
+    val mfAfter = manifestFiles()
     val (planAfter, probeAfter) = (planMs(), probeMs())
 
     def ms(v: Double): Double = math.rint(v * 10) / 10
     println(s"""{"metric":"store_meta_bench","sf":"$sfDir"""" +
       s""","appends_before":$nBefore,"appends_after":$nAfter""" +
+      s""","manifest_files_before":$mfBefore,"manifest_files_after":$mfAfter""" +
       s""","plan_ms_before":${ms(planBefore)},"plan_ms_after":${ms(planAfter)}""" +
       s""","probe_ms_before":${ms(probeBefore)},"probe_ms_after":${ms(probeAfter)}""" +
       s""","iters":$iters}""")

@@ -494,10 +494,24 @@ object Curation {
       packTokens: Int = PackTokens): DataFrame = {
     val flagged = flagsFull(docs, trainGates(docs, budgetEn, budgetOther,
       (df, _) => df.localCheckpoint()))
+    packCorpus(flagged.where(col("pass5"))
+      .select(col("lang"), col("doc_id"), col("tok")), packTokens)
+  }
+
+  /** The pack arithmetic alone, over an ALREADY-CURATED corpus frame
+    * (lang, doc_id, tok) — n28's concat-then-chop in deterministic
+    * per-language doc_id order: a doc's pack = its starting offset div
+    * the budget. [[packPipeline]] feeds it the stage-5 survivors; n96
+    * feeds it the snapshot store's persisted docs component, so
+    * training sequences come straight from the accumulated store
+    * without re-deriving any curation lineage. Same per-language
+    * window + partial agg shape (and the same (lang, shard) sharding
+    * story at 100 TB) as [[packPipeline]]. */
+  def packCorpus(corpus: DataFrame,
+      packTokens: Int = PackTokens): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged.where(col("pass5"))
-      .select(col("lang"), col("doc_id"), col("tok"))
+    corpus
       .withColumn("cum", sum(col("tok")).over(w))
       .select(col("lang"), col("tok"),
         expr(s"(cum - tok) div $packTokens").as("pack_id"))
