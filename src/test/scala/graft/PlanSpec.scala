@@ -150,6 +150,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("store-served corpus queries aggregate file scans — no pairing, no corpus broadcast") {
+    // n94/n96 consume the store's docs component: the corpus side is a
+    // plain multi-path parquet scan feeding per-row expressions and a
+    // map-side-combined aggregate (n94) or the one-window pack (n96) —
+    // at 100 TB the docs component is the full curated corpus, so
+    // nothing may broadcast or pair it
+    val p94 = plan("n94_store_docs_corpus")
+    assert(!p94.contains("CartesianProduct") && !p94.contains("Broadcast"), p94)
+    assert(p94.contains("HashAggregate"), p94)
+    val p96 = plan("n96_store_pack")
+    assert(!p96.contains("CartesianProduct") && !p96.contains("Broadcast"), p96)
+    // n81's chop contract over the served corpus: one per-language
+    // running-sum window + partial agg, never an offsets self-join
+    assert(p96.contains("Window"), p96)
+    assert(p96.contains("HashAggregate"), p96)
+  }
+
   test("column pruning reaches the scan (unused lineitem columns never read)") {
     val p = plan("a01_tpch_q1")
     assert(!p.contains("l_comment") && !p.contains("l_partkey"))
