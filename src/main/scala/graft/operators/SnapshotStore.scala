@@ -376,29 +376,44 @@ object SnapshotStore {
       require(fs.exists(new HPath(base)),
         s"SnapshotStore commit of $aid at $dir: no staged directory " +
           "(never staged, or GC'd) — refusing to publish a dangling id")
-      // (component, audit key): digests/fps conflict on full rows (the
-      // one-row-per-distinct-value invariant), sets on the doc id (the
-      // distinct-doc-ids contract) — each one O(delta) left-semi
-      val audits: Seq[(String, Option[Seq[String]])] =
-        Seq("digests" -> None, "fps" -> None, "sets" -> Some(Seq("did")))
-      val conflict = audits.find { case (comp, keyCols) =>
-        hasParquet(spark, s"$base/$comp") && {
+      // the three conflict classes — digest rows, fp rows, doc ids
+      // (digests/fps on full rows: the one-row-per-distinct-value
+      // invariant; sets on did: the distinct-doc-ids contract) — audit
+      // as ONE tagged-union left-semi: each side projects to a
+      // component-tagged key, so one O(delta) semi-join job replaces
+      // three driver round-trips per commit (the commit is every
+      // append's — and every s42 micro-batch's — hot path)
+      def auditKey(comp: String, df: DataFrame): DataFrame = {
+        val v = comp match {
+          case "sets" => col("did")
+          case _ => col(df.columns.head)
+        }
+        df.select(concat(lit(comp), lit(":"), v.cast("string")).as("k"))
+      }
+      val parts = Seq("digests", "fps", "sets").flatMap { comp =>
+        if (!hasParquet(spark, s"$base/$comp")) None
+        else {
           val committed = componentPaths(spark, dir, m.ids, comp)
-          committed.nonEmpty && {
-            def keyed(df: DataFrame) =
-              keyCols.fold(df)(ks => df.select(ks.map(col): _*))
-            val staged = keyed(spark.read.parquet(s"$base/$comp"))
-            staged.join(keyed(spark.read.parquet(committed: _*)),
-              staged.columns.toSeq, "left_semi").limit(1).count() > 0
-          }
+          if (committed.isEmpty) None
+          else Some((
+            auditKey(comp, spark.read.parquet(s"$base/$comp"))
+              .withColumn("comp", lit(comp)),
+            auditKey(comp, spark.read.parquet(committed: _*))))
         }
       }
-      conflict.foreach { case (comp, _) =>
-        fs.delete(new HPath(base), true)
-        throw new IllegalStateException(
-          s"SnapshotStore commit rejected: staged append $aid overlaps the " +
-            s"committed $comp component of $dir (concurrent append? " +
-            "duplicate doc ids?); staging deleted, manifest untouched")
+      if (parts.nonEmpty) {
+        val hit = parts.map(_._1).reduce(_ unionByName _)
+          .join(parts.map(_._2).reduce(_ unionByName _),
+            Seq("k"), "left_semi")
+          .select(col("comp")).limit(1).collect()
+        hit.headOption.foreach { row =>
+          fs.delete(new HPath(base), true)
+          throw new IllegalStateException(
+            s"SnapshotStore commit rejected: staged append $aid overlaps " +
+              s"the committed ${row.getString(0)} component of $dir " +
+              "(concurrent append? duplicate doc ids?); staging deleted, " +
+              "manifest untouched")
+        }
       }
       published = publishOnce(spark, dir, m.ids :+ aid, m.tombstones,
         m.version + 1)
