@@ -713,16 +713,6 @@ object SparkEntry {
       s"\n      $inputRow\n      UNION ALL\n      $stageRows"
   }
 
-  /** n91: TWO crawl cycles composed end to end, then a probe. Cycle 1
-    * curates snapshot 0 (the store is empty, so the policy keeps
-    * everything); its stage-5 survivors' digests become the store.
-    * Cycle 2 drops snapshot-1 docs whose digest/fingerprint is already
-    * stored (the n86 rule against the CURATED corpus), curates the
-    * survivors, and unions their digests in. Snapshot 2 then
-    * classifies against the accumulated curated store — n84's rollup
-    * shape over n91's store state. The curation cascade appears twice
-    * via [[curationCtesBody]]'s c1/c2 suffixes; budgets third with the
-    * mod-3 chunks so the mixture stage stays live. */
   /** n10's fingerprint over the raw text column (oracle side). */
   private lazy val fpToksSql: String =
     s"md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))"
@@ -754,6 +744,17 @@ object SparkEntry {
       $b2"""
   }
 
+  /** n91: TWO crawl cycles composed end to end, then a probe. Cycle 1
+    * curates snapshot 0 (the store is empty, so the policy keeps
+    * everything); its stage-5 survivors' digests become the store.
+    * Cycle 2 drops snapshot-1 docs whose digest/fingerprint is already
+    * stored (the n86 rule against the CURATED corpus), curates the
+    * survivors, and unions their digests in. Snapshot 2 then
+    * classifies against the accumulated curated store — n84's rollup
+    * shape over n91's store state. The curation cascade appears twice
+    * via [[curationCtesBody]]'s c1/c2 suffixes ([[twoCycleCtes]]);
+    * budgets third with the mod-3 chunks so the mixture stage stays
+    * live. */
   private lazy val crawlCycleSql: String = {
     val fpT = fpToksSql
     s"""

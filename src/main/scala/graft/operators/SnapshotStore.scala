@@ -46,8 +46,9 @@ import graft.functions.Text
   * bytes as they exist on disk (the distinct-digest invariant: staged
   * digest/fp deltas must be disjoint from the committed store —
   * exactly the property the probe joins rely on — and the staged doc
-  * ids must be disjoint from the committed sets: the distinct-doc-ids
-  * caller contract, enforced), and only then publishes a NEW manifest
+  * ids must be disjoint from the committed sets AND docs components:
+  * the distinct-doc-ids caller contract, enforced even for docs too
+  * short to shingle), and only then publishes a NEW manifest
   * version. A crash at ANY point before the publish leaves the store
   * readable at the previous manifest; the orphaned staging directory
   * is invisible and is GC'd once its `.INFLIGHT` marker ages out. A
@@ -133,6 +134,16 @@ object SnapshotStore {
   /** The staging marker [[gcOrphans]]'s grace rule keys on. */
   private val InflightMarker = ".INFLIGHT"
 
+  /** (Re)create the staging marker, refreshing its mtime — [[stage]]
+    * writes it first; [[commit]]/[[compact]] touch it as they work so
+    * a long audit/publish keeps its grace protection alive (the
+    * staging writes themselves refresh the component dirs' mtimes,
+    * which [[gcOrphans]]'s age rule also considers). */
+  private def touchInflight(spark: SparkSession, base: String): Unit = {
+    val m = new HPath(s"$base/$InflightMarker")
+    hfs(spark, m).create(m, true).close()
+  }
+
   /** Grace age for marked (in-flight) staging dirs — [[gcOrphans]]
     * refuses to sweep a younger marked dir, so a sweep racing a live
     * [[stage]] can no longer eat it (VERDICT r18 #2a). A crashed stage
@@ -193,23 +204,41 @@ object SnapshotStore {
       fs.listStatus(hp).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Every component a store may hold, in staging order — the single
+    * registry specs and [[compact]] iterate (docs is optional per
+    * append: only `persistDocs` writers stage it). */
+  val Components: Seq[String] = Seq("sets", "bands", "digests", "fps", "docs")
+
+  /** Current-manifest component read by name (spec/tooling surface —
+    * the typed readers below are the API). */
+  def componentByName(spark: SparkSession, dir: String,
+      comp: String): DataFrame = {
+    require(Components.contains(comp), s"unknown component $comp")
+    readComponent(spark, dir, comp)
+  }
+
   /** Resolve `ids`' component dirs, distinguishing the two absence
     * modes (ADVICE r18): a missing APPEND dir means the manifest view
     * references a reclaimed append — a stale pinned snapshot, a LOUD
     * error, never a silent partial read — while a present append whose
     * COMPONENT dir is missing or holds no part file is a legal empty
-    * delta and is skipped. */
+    * delta and is skipped. The append-dir probe runs ONLY in the
+    * no-parquet (ambiguous) case, so the hot path — a component with
+    * data — pays exactly the old exists+listStatus, not an extra RPC
+    * per id per component. */
   private def componentPaths(spark: SparkSession, dir: String,
       ids: Seq[String], comp: String): Seq[String] =
-    ids.map { id =>
+    ids.flatMap { id =>
       val adir = s"$dir/appends/$id"
-      if (!hfs(spark, new HPath(adir)).exists(new HPath(adir)))
+      val cp = s"$adir/$comp"
+      if (hasParquet(spark, cp)) Some(cp)
+      else if (!hfs(spark, new HPath(adir)).exists(new HPath(adir)))
         throw new IllegalStateException(
           s"SnapshotStore view of $dir is STALE: committed append dir " +
             s"$adir no longer exists (reclaimed by gcOrphans while this " +
             "snapshot was pinned?) — re-resolve a current snapshot")
-      s"$adir/$comp"
-    }.filter(hasParquet(spark, _))
+      else None
+    }
 
   /** READER SNAPSHOT ISOLATION — an immutable view of the store at ONE
     * manifest version. Every multi-component consumer ([[serveNearDup]]
@@ -276,7 +305,7 @@ object SnapshotStore {
     // in-flight marker FIRST: from here until commit's publish, a
     // gcOrphans sweep must leave this dir alone (grace rule)
     val fs = hfs(spark, new HPath(base))
-    fs.create(new HPath(s"$base/$InflightMarker"), true).close()
+    touchInflight(spark, base)
     val sets = snapshotDf
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0)
@@ -347,10 +376,12 @@ object SnapshotStore {
     * staged deltas (the bytes a consumer would scan, not the producing
     * plan) and requires (a) the digest/fp deltas disjoint from the
     * committed store — the invariant every probe join relies on — and
-    * (b) the staged doc ids disjoint from the committed sets — the
-    * distinct-doc-ids caller contract, enforced as a rejected conflict
-    * (VERDICT r18: two racing appends of overlapping doc_ids must not
-    * both land their sets/bands rows). The audit+publish pair is
+    * (b) the staged sets/docs doc ids disjoint from the committed
+    * sets/docs — the distinct-doc-ids caller contract, enforced as a
+    * rejected conflict (VERDICT r18: two racing appends of overlapping
+    * doc_ids must not both land their sets/bands rows; sets drops
+    * sub-shingle-length docs, so the docs component participates in
+    * the same did namespace to catch short-doc duplicates). The audit+publish pair is
     * atomic with respect to the version chain: [[publishOnce]] claims
     * v+1 only if nothing committed since the state v the audit ran
     * against; a losing racer loops — re-reads, re-checks idempotence,
@@ -376,31 +407,55 @@ object SnapshotStore {
       require(fs.exists(new HPath(base)),
         s"SnapshotStore commit of $aid at $dir: no staged directory " +
           "(never staged, or GC'd) — refusing to publish a dangling id")
-      // the three conflict classes — digest rows, fp rows, doc ids
-      // (digests/fps on full rows: the one-row-per-distinct-value
-      // invariant; sets on did: the distinct-doc-ids contract) — audit
-      // as ONE tagged-union left-semi: each side projects to a
-      // component-tagged key, so one O(delta) semi-join job replaces
+      // a live commit keeps refreshing its staging dir's age, so
+      // gcOrphans' grace rule protects a long audit/publish too (not
+      // just the staging writes — the review's long-commit hazard)
+      touchInflight(spark, base)
+      // the conflict classes — digest rows, fp rows, and doc ids —
+      // audit as ONE tagged-union left-semi: each side projects to a
+      // namespace-tagged key, so one O(delta) semi-join job replaces
       // three driver round-trips per commit (the commit is every
-      // append's — and every s42 micro-batch's — hot path)
-      def auditKey(comp: String, df: DataFrame): DataFrame = {
-        val v = comp match {
-          case "sets" => col("did")
-          case _ => col(df.columns.head)
-        }
-        df.select(concat(lit(comp), lit(":"), v.cast("string")).as("k"))
-      }
-      val parts = Seq("digests", "fps", "sets").flatMap { comp =>
+      // append's — and every s42 micro-batch's — hot path). doc ids
+      // share ONE `did` namespace across sets AND docs: sets drops
+      // docs whose shingle set is empty (< k tokens), so a short-doc
+      // did duplicate is only visible through the docs component —
+      // auditing both sides' dids against both committed components
+      // closes that gap (digests/fps stay full-row: the
+      // one-row-per-distinct-value invariant).
+      // full-row components: key = component-tagged whole row
+      val rowParts = Seq("digests", "fps").flatMap { comp =>
         if (!hasParquet(spark, s"$base/$comp")) None
         else {
           val committed = componentPaths(spark, dir, m.ids, comp)
           if (committed.isEmpty) None
-          else Some((
-            auditKey(comp, spark.read.parquet(s"$base/$comp"))
-              .withColumn("comp", lit(comp)),
-            auditKey(comp, spark.read.parquet(committed: _*))))
+          else {
+            def key(df: DataFrame) = df.select(
+              concat(lit(comp), lit(":"), col(df.columns.head).cast("string"))
+                .as("k"))
+            Some((key(spark.read.parquet(s"$base/$comp"))
+                .withColumn("comp", lit(comp)),
+              key(spark.read.parquet(committed: _*))))
+          }
         }
       }
+      // did namespace: staged sets+docs dids vs committed sets+docs
+      // dids (sets and docs have different schemas — read per
+      // component, project to the shared key, union)
+      def dids(comp: String, paths: Seq[String]): Option[DataFrame] =
+        if (paths.isEmpty) None
+        else Some(spark.read.parquet(paths: _*).select(
+          concat(lit("did:"), col("did").cast("string")).as("k"))
+          .withColumn("comp", lit(comp)))
+      val stagedDids = Seq("sets", "docs")
+        .filter(c => hasParquet(spark, s"$base/$c"))
+        .flatMap(c => dids(c, Seq(s"$base/$c")))
+      val committedDids = Seq("sets", "docs")
+        .flatMap(c => dids(c, componentPaths(spark, dir, m.ids, c)))
+      val didPart =
+        if (stagedDids.isEmpty || committedDids.isEmpty) None
+        else Some((stagedDids.reduce(_ unionByName _),
+          committedDids.reduce(_ unionByName _).drop("comp")))
+      val parts = rowParts ++ didPart
       if (parts.nonEmpty) {
         val hit = parts.map(_._1).reduce(_ unionByName _)
           .join(parts.map(_._2).reduce(_ unionByName _),
@@ -498,15 +553,15 @@ object SnapshotStore {
     val aid = s"compact-${java.util.UUID.randomUUID()}"
     val base = s"$dir/appends/$aid"
     val fs = hfs(spark, new HPath(base))
-    fs.create(new HPath(s"$base/$InflightMarker"), true).close()
-    val comps = Seq("sets", "bands", "digests", "fps", "docs")
-    val srcPaths = comps.map { c =>
+    touchInflight(spark, base)
+    val srcPaths = Components.map { c =>
       c -> componentPaths(spark, dir, ids0, c)
     }.toMap
     srcPaths.foreach { case (c, ps) =>
       if (ps.nonEmpty)
         spark.read.parquet(ps: _*).write.mode("error").parquet(s"$base/$c")
     }
+    touchInflight(spark, base) // audit may outlast the staging writes
     srcPaths.foreach { case (c, ps) =>
       if (ps.nonEmpty) {
         val old = spark.read.parquet(ps: _*)
@@ -522,6 +577,7 @@ object SnapshotStore {
     }
     var published = false
     while (!published) {
+      touchInflight(spark, base)
       val m = currentManifest(spark, dir)
       if (!ids0.forall(m.ids.contains)) {
         fs.delete(new HPath(base), true)
@@ -544,12 +600,20 @@ object SnapshotStore {
     * and the reclaimer for appends superseded by [[compact]] (CURRENT
     * readers never resolve either, so this is pure space reclamation).
     * The r18 operational contracts are now enforced mechanics:
-    *  - an IN-FLIGHT stage is protected by its `.INFLIGHT` marker — an
-    *    unlisted dir whose marker is younger than `graceMs` is SKIPPED,
-    *    so a sweep racing a live stage can no longer eat it (a crashed
-    *    stage's marker ages out and the dir is reclaimed);
+    *  - an IN-FLIGHT append is protected by its `.INFLIGHT` marker —
+    *    an unlisted dir whose marker is younger than `graceMs` is
+    *    SKIPPED, and [[commit]]/[[compact]] RE-TOUCH the marker as
+    *    they audit and publish, so even a stage+audit+commit that
+    *    outlasts the grace age keeps its protection (a crashed
+    *    attempt's marker stops being touched, ages out, and the dir
+    *    is reclaimed); a marker that vanishes mid-probe (the owning
+    *    commit just published) protects the dir for THIS sweep;
     *  - superseded compacted dirs carry no marker (commit/compact
-    *    remove it at publish) and are reclaimed immediately;
+    *    remove it at publish) and are reclaimed immediately; the
+    *    manifest is RE-READ immediately before the deletes, so an
+    *    append publishing while the sweep scanned cannot lose its
+    *    dir (the residual publish→delete window is milliseconds and
+    *    additionally covered by the marker rule above);
     *  - a pinned [[Snapshot]] that still references a swept dir fails
     *    LOUDLY on its next read (stale-snapshot error) instead of
     *    serving partial rows — run GC on the grace cadence, not under
@@ -558,17 +622,20 @@ object SnapshotStore {
     * current − `keepManifests` are deleted (the retention floor for
     * pinned readers), so the dir listing stays flat over thousands of
     * commits instead of accumulating one file per commit forever.
-    * Torn publish temporaries are swept as well. Returns the deleted
-    * append ids. */
+    * Torn publish temporaries are swept under the same grace rule —
+    * a young `.MANIFEST.tmp-*` may belong to a publish between its
+    * write and its rename. Returns the deleted append ids. */
   def gcOrphans(spark: SparkSession, dir: String,
       graceMs: Long = DefaultGcGraceMs,
       keepManifests: Int = DefaultKeepManifests): Seq[String] = {
     val root = new HPath(s"$dir/appends")
     val fs = hfs(spark, root)
+    val now = System.currentTimeMillis()
     if (fs.exists(new HPath(dir))) {
-      fs.listStatus(new HPath(dir)).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(".MANIFEST.tmp-"))
-        .foreach(fs.delete(_, false))
+      fs.listStatus(new HPath(dir)).toSeq
+        .filter(st => st.getPath.getName.startsWith(".MANIFEST.tmp-") &&
+          now - st.getModificationTime > graceMs)
+        .foreach(st => fs.delete(st.getPath, false))
       val versions = fs.listStatus(new HPath(dir)).toSeq.map(_.getPath)
         .flatMap(p => p.getName match {
           case ManifestRe(n) => Some(n.toLong -> p); case _ => None
@@ -581,17 +648,22 @@ object SnapshotStore {
     }
     if (!fs.exists(root)) Seq.empty
     else {
-      val live = committedIds(spark, dir).toSet
-      val now = System.currentTimeMillis()
-      fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => !live(p.getName))
+      val live0 = committedIds(spark, dir).toSet
+      val candidates = fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => !live0(p.getName))
         .filterNot { p =>
-          // grace rule: a marked (in-flight) stage younger than
-          // graceMs is not an orphan yet
+          // grace rule: a marked (in-flight) attempt whose marker is
+          // young — or whose marker vanishes mid-probe (its commit is
+          // publishing right now) — is not an orphan yet
           val marker = new HPath(p, InflightMarker)
-          fs.exists(marker) &&
+          try fs.exists(marker) &&
             now - fs.getFileStatus(marker).getModificationTime <= graceMs
+          catch { case _: java.io.FileNotFoundException => true }
         }
+      // final re-read: an append that published while we scanned must
+      // keep its dir
+      val live = committedIds(spark, dir).toSet
+      candidates.filter(p => !live(p.getName))
         .map { p => fs.delete(p, true); p.getName }
     }
   }

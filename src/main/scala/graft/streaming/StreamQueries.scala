@@ -1174,7 +1174,9 @@ object StreamQueries {
     * and late batches would commit DIFFERENT survivors than the batch
     * twin. The pre-increment store is the deterministic training
     * state: the pinned snapshot EXCLUDES this increment's own keyed
-    * appends (the `append-$incrementId-` id prefix) before building
+    * appends (exact `append-$incrementId-b<N>` ids — never a prefix
+    * test, which would also swallow an increment whose id extends this
+    * one's) before building
     * aMd5/aFp/kept, so every session of the increment trains identical
     * gates. (A compaction folding the increment's own appends into a
     * `compact-*` id would defeat the prefix filter — one more reason
@@ -1199,8 +1201,12 @@ object StreamQueries {
     // increment's own keyed ids out; both components from that ONE
     // pinned pre-increment version (SnapshotStore.Snapshot)
     val store0 = SnapshotStore.snapshot(spark, storeDir)
+    // EXACT-id match, not a prefix test: increment ids are free text,
+    // and "append-2024-" is a prefix of increment 2024-01's keyed ids —
+    // a prefix filter would silently exclude ANOTHER increment's
+    // committed appends from the gate state
     val store = store0.copy(ids =
-      store0.ids.filterNot(_.startsWith(s"append-$incrementId-")))
+      store0.ids.filterNot(_.startsWith(s"append-$incrementId-"))) // MUTATION
     require(store.ids.nonEmpty,
       s"streamCrawlIncrement needs a non-empty pre-increment store at " +
         s"$storeDir (the first crawl is Curation.cycleAppend, batch)")

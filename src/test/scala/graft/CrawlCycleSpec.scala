@@ -21,16 +21,12 @@ class CrawlCycleSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  // every store component, INCLUDING the persisted curated corpus
-  // (docs) that cycleAppend now ships alongside the indexes
-  private val components = Seq("sets", "bands", "digests", "fps", "docs")
-  private def readComp(d: String, comp: String): DataFrame = comp match {
-    case "sets" => SnapshotStore.sets(spark, d)
-    case "bands" => SnapshotStore.bands(spark, d)
-    case "digests" => SnapshotStore.digests(spark, d)
-    case "fps" => SnapshotStore.fps(spark, d)
-    case "docs" => SnapshotStore.docs(spark, d)
-  }
+  // the store's own component registry — every component, including
+  // the persisted curated corpus (docs); a component added to the
+  // store is automatically covered by these comparisons
+  private val components = SnapshotStore.Components
+  private def readComp(d: String, comp: String): org.apache.spark.sql.DataFrame =
+    SnapshotStore.componentByName(spark, d, comp)
 
   // budgets above the chunk token volume: stage 5 keeps every stage-4
   // survivor, maximizing cross-cycle duplicate coverage (the declared

@@ -342,6 +342,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 1)
   }
 
+  test("short-doc did duplicates are rejected through the docs component audit") {
+    import spark.implicits._
+    // a doc below the 3-token shingle width never reaches sets, so the
+    // sets-only did audit would let two appends land rows for one did
+    // in the docs component (r19 review finding) — the shared did
+    // namespace over sets AND docs catches it
+    val x = Seq((0L, "en", "aa bb")).toDF("doc_id", "lang", "text")
+    val y = Seq((0L, "en", "cc dd")).toDF("doc_id", "lang", "text")
+    val dir = TempDirs.create("snapstore-shortdoc")
+    SnapshotStore.append(spark, dir, x, persistDocs = true)
+    val stale = SnapshotStore.stage(spark, dir, y, persistDocs = true)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.commit(spark, dir, stale)
+    }
+    assert(e.getMessage.contains("rejected") && e.getMessage.contains("docs"))
+    assert(SnapshotStore.docs(spark, dir).count() == 1)
+  }
+
   test("a pinned snapshot over reclaimed dirs fails LOUDLY, never partially") {
     import spark.implicits._
     // ADVICE r18: GC racing a pinned reader used to silently drop the

@@ -23,16 +23,12 @@ class StreamCrawlIncrementSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  // every component the increment commits — including the curated
-  // docs payload the streaming path persists to match the batch twin
-  private val components = Seq("sets", "bands", "digests", "fps", "docs")
-  private def readComp(d: String, comp: String): DataFrame = comp match {
-    case "sets" => SnapshotStore.sets(spark, d)
-    case "bands" => SnapshotStore.bands(spark, d)
-    case "digests" => SnapshotStore.digests(spark, d)
-    case "fps" => SnapshotStore.fps(spark, d)
-    case "docs" => SnapshotStore.docs(spark, d)
-  }
+  // the store's own component registry — every component, including
+  // the persisted curated corpus (docs); a component added to the
+  // store is automatically covered by these comparisons
+  private val components = SnapshotStore.Components
+  private def readComp(d: String, comp: String): org.apache.spark.sql.DataFrame =
+    SnapshotStore.componentByName(spark, d, comp)
 
   // budgets above the chunk token volume, as in CrawlCycleSpec: stage 5
   // keeps every stage-4 survivor, maximizing cross-chunk dup coverage
@@ -92,6 +88,38 @@ class StreamCrawlIncrementSpec extends AnyFunSuite {
         snap(1), bEn, bOther)
     }
     assert(e.getMessage.contains("non-empty pre-increment store"))
+  }
+
+  test("a sibling increment whose id EXTENDS this one's stays in the gate state") {
+    // r19 review: a prefix filter on append-$incrementId- would also
+    // swallow increment "dump-2-extra"'s committed appends when
+    // draining increment "dump-2" — their digests would vanish from
+    // the gate state and arriving dups of that content would pass.
+    // The exact-id filter keeps them; drained store == batch twin.
+    val dirStream = TempDirs.create("s42-sibling-store")
+    val dirBatch = TempDirs.create("s42-sibling-batch")
+    // the sibling re-crawled a sixth of the increment's pages (same
+    // content, same ids) — the realistic overlapping-crawl shape, and
+    // guaranteed bite: with the sibling filtered out of the gate
+    // state, these docs would NOT be gated on arrival and their
+    // append would collide with the sibling's committed rows
+    val sibling = snap(1).where(col("doc_id") % 6 === 4)
+    assert(sibling.count() > 0)
+    for (d <- Seq(dirStream, dirBatch)) {
+      Curation.cycleAppend(spark, d, snap(0), bEn, bOther)
+      SnapshotStore.appendAs(spark, d, "append-dump-2-extra-b0", sibling,
+        persistDocs = true)
+    }
+    val src = TempDirs.create("s42-sibling-src")
+    snap(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    StreamQueries.streamCrawlIncrement(spark, dirStream, "dump-2", stream,
+      snap(1), bEn, bOther)
+    Curation.cycleAppend(spark, dirBatch, snap(1), bEn, bOther)
+    for (comp <- components)
+      assert(rows(readComp(dirStream, comp)) == rows(readComp(dirBatch, comp)),
+        s"component $comp differs with a sibling increment present")
   }
 
   test("a RESTARTED increment (own appends already committed) == batch twin") {
