@@ -24,6 +24,15 @@ export GRAFT_PAIR_SAMPLE="${GRAFT_PAIR_SAMPLE-20}"
 if [ -z "$GRAFT_PAIR_SAMPLE" ]; then unset GRAFT_PAIR_SAMPLE; fi
 
 echo "[verify_all] sfdir=$SFDIR outdir=$OUTDIR artifact=$ARTIFACT GRAFT_PAIR_SAMPLE=${GRAFT_PAIR_SAMPLE:-<unset>}"
+
+# Mutation-experiment guard (round-19 lesson): a deliberately-broken line
+# left in main source to prove a spec bites must NEVER reach a stamped
+# artifact. Any `MUTATION` marker in src/main fails the run outright.
+if grep -rn "MUTATION" src/main --include='*.scala'; then
+  echo "[verify_all] FATAL: MUTATION marker(s) found in src/main — revert the experiment before stamping artifacts" >&2
+  exit 1
+fi
+
 rm -rf "$OUTDIR"
 
 # fresh JVM per run: --batch bypasses any warm daemon so the exported env

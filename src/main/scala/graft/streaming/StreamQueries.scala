@@ -1179,9 +1179,10 @@ object StreamQueries {
     * one's) before building
     * aMd5/aFp/kept, so every session of the increment trains identical
     * gates. (A compaction folding the increment's own appends into a
-    * `compact-*` id would defeat the prefix filter — one more reason
-    * the no-compaction-while-live rule stands for gate state, even
-    * though the tombstone protocol already makes replays append-safe.)
+    * `compact-*` id would defeat the exact keyed-id filter — one more
+    * reason the no-compaction-while-live rule stands for gate state,
+    * even though the tombstone protocol already makes replays
+    * append-safe.)
     *
     * `checkpoint`: a STABLE path makes the increment resumable across
     * sessions (restart semantics above — StreamCrawlIncrementSpec
@@ -1205,8 +1206,10 @@ object StreamQueries {
     // and "append-2024-" is a prefix of increment 2024-01's keyed ids —
     // a prefix filter would silently exclude ANOTHER increment's
     // committed appends from the gate state
+    val ownId =
+      raw"append-${java.util.regex.Pattern.quote(incrementId)}-b\d+".r
     val store = store0.copy(ids =
-      store0.ids.filterNot(_.startsWith(s"append-$incrementId-"))) // MUTATION
+      store0.ids.filterNot(id => ownId.pattern.matcher(id).matches()))
     require(store.ids.nonEmpty,
       s"streamCrawlIncrement needs a non-empty pre-increment store at " +
         s"$storeDir (the first crawl is Curation.cycleAppend, batch)")
