@@ -971,6 +971,32 @@ object SparkEntry {
   /** n39 source-node id offset (doc_ids stay far below this). */
   private val SrcNodeBase = 2000000000L
 
+  /** The TWO-CYCLE CRAWL STORE n91/n94/n96 all serve from, built ONCE
+    * per (JVM, sf dir) and shared (VERDICT r19 #4: each of the three
+    * queries used to rebuild the same two-cycle bootstrap in-query,
+    * ~9 s apiece at every SF). Sound to share because the store
+    * CONTENT is a deterministic function of the fixture: the two
+    * [[graft.operators.Curation.cycleAppend]] calls curate fixed
+    * doc_id-mod chunks under fixed budgets, and all three consumers
+    * only READ the committed components (serveDelta / docs) — nothing
+    * mutates the cached dir. The sample setting is JVM-frozen
+    * ([[pairSampleKeep]]), so the sf-dir key is complete. computeIfAbsent
+    * serializes a racing first build; later callers reuse the dir. */
+  private val twoCycleStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def twoCycleStore(s: SparkSession, d: String): String =
+    twoCycleStoreCache.computeIfAbsent(d, _ => {
+      val docs = pairDocs(s, d)
+      val dir = graft.TempDirs.create("graft-two-cycle-store")
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 0),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      graft.operators.Curation.cycleAppend(s, dir,
+        docs.where(col("doc_id") % 3 === 1),
+        CurBudgetEn / 3, CurBudgetOther / 3)
+      dir
+    })
+
   /** DuckDB twin of the n34/s14 k-means plans. Long-format centroid
     * sums (exact BIGINT), unrolled 64-term dot-product folds in the
     * same ascending order as the native kernel, the same argmax
@@ -4978,16 +5004,13 @@ object SparkEntry {
     // (c1/c2 suffixes) + the store-union CTEs + n84's rollup; the
     // corpus-scale generalization of the reference's sink-side dedup
     // loop (kafka_s.py:614-630). Rides the pair sample at sf0.1 (two
-    // LSH stages). Budgets third with the mod-3 chunks.
+    // LSH stages). Budgets third with the mod-3 chunks. The two
+    // increments build ONCE per JVM in [[twoCycleStore]] and are
+    // shared read-only with n94/n96 (r19 ask #4 — the three queries
+    // used to rebuild the same ~9 s bootstrap each).
     "n91_crawl_cycle" -> (((s: SparkSession, d: String) => {
       val docs = pairDocs(s, d)
-      val dir = graft.TempDirs.create("graft-crawl-cycle")
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 0),
-        CurBudgetEn / 3, CurBudgetOther / 3)
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 1),
-        CurBudgetEn / 3, CurBudgetOther / 3)
+      val dir = twoCycleStore(s, d) // shared with n94/n96 (read-only)
       graft.operators.SnapshotStore.serveDelta(s, dir,
         docs.where(col("doc_id") % 3 === 2), col("text"), col("source"))
     }, Some(crawlCycleSql))),
@@ -5073,14 +5096,7 @@ object SparkEntry {
     // text-mangling docs write would also shift n_tokens. Rides the
     // pair sample at sf0.1 (two LSH train stages, like n91).
     "n94_store_docs_corpus" -> (((s: SparkSession, d: String) => {
-      val docs = pairDocs(s, d)
-      val dir = graft.TempDirs.create("graft-store-docs")
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 0),
-        CurBudgetEn / 3, CurBudgetOther / 3)
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 1),
-        CurBudgetEn / 3, CurBudgetOther / 3)
+      val dir = twoCycleStore(s, d) // shared with n91/n96 (read-only)
       graft.operators.SnapshotStore.docs(s, dir)
         .select(col("lang"),
           graft.functions.TextStats.textStats(col("text"))
@@ -5103,14 +5119,7 @@ object SparkEntry {
     // n28's pack CTEs over the survivor union; rides the pair sample
     // at sf0.1.
     "n96_store_pack" -> (((s: SparkSession, d: String) => {
-      val docs = pairDocs(s, d)
-      val dir = graft.TempDirs.create("graft-store-pack")
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 0),
-        CurBudgetEn / 3, CurBudgetOther / 3)
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 1),
-        CurBudgetEn / 3, CurBudgetOther / 3)
+      val dir = twoCycleStore(s, d) // shared with n91/n94 (read-only)
       graft.operators.Curation.packCorpus(
         graft.operators.SnapshotStore.docs(s, dir)
           .select(col("lang"), col("did").as("doc_id"),

@@ -19,7 +19,10 @@ import graft.operators.SnapshotStore
   *   plan_ms  — constructing the four component DataFrames (manifest +
   *              listings + footer reads; no job run);
   *   probe_ms — one full store-served delta classification
-  *              ([[SnapshotStore.serveDelta]], executed to a count).
+  *              ([[SnapshotStore.serveDelta]], executed to a count);
+  *   append_ms — one full stage+audit+publish of a tiny novel delta
+  *              (the s42 per-micro-batch hot path — the r20 pruned
+  *              commit audit keeps this flat in committed appends).
   * before and after compact+gcOrphans, printing one JSON line.
   *
   * Usage: runMain graft.StoreMetaBench [sfDir] [nAppends] [iters]
@@ -54,6 +57,23 @@ object StoreMetaBench {
       SnapshotStore.serveDelta(spark, dir, probe,
         col("text"), col("source")).count()
     }
+    // append_ms — one full stage+audit+publish of a TINY novel delta
+    // into the accumulated store: the s42 per-micro-batch hot path.
+    // The r20 pruned audit (baseline racers + did blooms) should keep
+    // this flat in the number of committed appends — before r20 every
+    // commit's audit re-scanned every committed component. Each timed
+    // append uses fresh doc ids/text so the audit never rejects; the
+    // store grows by `iters` one-row appends per measurement, which is
+    // noise in the metadata regime this bench isolates.
+    var freshId = 10_000_000L
+    def appendMs(): Double = minOf(iters) {
+      import spark.implicits._
+      freshId += 1
+      val one = Seq((freshId, "bench",
+        s"novel $freshId content ${freshId * 31} row ${freshId * 17}"))
+        .toDF("doc_id", "source", "text")
+      SnapshotStore.append(spark, dir, one)
+    }
 
     // manifest history: one MANIFEST.v{N} per commit accumulates until
     // gcOrphans trims it to the retention floor — the r18 flat-listing
@@ -62,6 +82,7 @@ object StoreMetaBench {
       .count(_.getName.matches("""MANIFEST\.v\d+"""))
 
     val (planBefore, probeBefore) = (planMs(), probeMs())
+    val appendBefore = appendMs()
     val nBefore = SnapshotStore.committedIds(spark, dir).size
     val mfBefore = manifestFiles()
     SnapshotStore.compact(spark, dir)
@@ -69,6 +90,7 @@ object StoreMetaBench {
     val nAfter = SnapshotStore.committedIds(spark, dir).size
     val mfAfter = manifestFiles()
     val (planAfter, probeAfter) = (planMs(), probeMs())
+    val appendAfter = appendMs()
 
     def ms(v: Double): Double = math.rint(v * 10) / 10
     println(s"""{"metric":"store_meta_bench","sf":"$sfDir"""" +
@@ -76,6 +98,7 @@ object StoreMetaBench {
       s""","manifest_files_before":$mfBefore,"manifest_files_after":$mfAfter""" +
       s""","plan_ms_before":${ms(planBefore)},"plan_ms_after":${ms(planAfter)}""" +
       s""","probe_ms_before":${ms(probeBefore)},"probe_ms_after":${ms(probeAfter)}""" +
+      s""","append_ms_before":${ms(appendBefore)},"append_ms_after":${ms(appendAfter)}""" +
       s""","iters":$iters}""")
     spark.stop()
   }

@@ -148,7 +148,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val aidB = SnapshotStore.stage(spark, dir, b)
     SnapshotStore.commit(spark, dir, aidB) // B wins v1
     // A's stale publish attempt (derived from version 0) loses cleanly
-    assert(!SnapshotStore.publishOnce(spark, dir, Seq(aidA), Set.empty, 1L))
+    assert(!SnapshotStore.publishOnce(spark, dir, Seq(aidA), Map.empty, 1L))
     SnapshotStore.commit(spark, dir, aidA) // the retry path: v2 = B, A
     assert(SnapshotStore.committedIds(spark, dir).toSet == Set(aidA, aidB))
     assert(SnapshotStore.sets(spark, dir).count() == 2)
@@ -401,6 +401,103 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(!SnapshotStore.appendAs(spark, dir, "append-d1-b3",
       Seq((3L, "x", "t3 u3 v3 w3 z3")).toDF("doc_id", "source", "text")))
     assert(SnapshotStore.sets(spark, dir).count() == 5)
+  }
+
+  test("invalid append ids refuse at staging time (manifest-format safety)") {
+    import spark.implicits._
+    // ADVICE r19: a '#'-leading id would commit, then silently vanish
+    // from Manifest.ids on the next read (parsed as a tombstone or
+    // comment line), orphaning its committed rows; newlines corrupt
+    // the manifest; path separators nest the dir outside gc's listing
+    val d = Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text")
+    val dir = TempDirs.create("snapstore-badid")
+    Seq("#tombstone x", "a\nb", "a\rb", ".hidden", "a/b", "a\\b", "",
+      " padded", "MANIFEST.v3").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        SnapshotStore.appendAs(spark, dir, bad, d)
+      }
+    }
+    assert(SnapshotStore.committedIds(spark, dir).isEmpty)
+    // a plain free-text id (spaces inside are fine) still works
+    assert(SnapshotStore.appendAs(spark, dir, "dump 2024 01", d))
+    assert(SnapshotStore.committedIds(spark, dir) == Seq("dump 2024 01"))
+  }
+
+  test("tombstone retention drops aged tombstones; in-horizon replays still no-op") {
+    import spark.implicits._
+    val dir = TempDirs.create("snapstore-tsretention")
+    (0 until 3).foreach { i =>
+      SnapshotStore.appendAs(spark, dir, s"append-d1-b$i",
+        Seq((i.toLong, "x", s"t$i u$i v$i w$i z$i"))
+          .toDF("doc_id", "source", "text"))
+    }
+    SnapshotStore.compact(spark, dir) // v4: tombstones @4 for b0..b2
+    val before = allComponents(dir)
+    // retention window still covers the tombstones' creation version:
+    // nothing is dropped, and a replayed keyed append still no-ops
+    SnapshotStore.gcOrphans(spark, dir, tombstoneRetention = Some(100L))
+    assert(!SnapshotStore.appendAs(spark, dir, "append-d1-b1",
+      Seq((1L, "x", "t1 u1 v1 w1 z1")).toDF("doc_id", "source", "text")))
+    assert(allComponents(dir) == before)
+    // age the chain past the horizon with fresh commits, then trim:
+    // the tombstone lines leave the manifest (bounded manifest growth)
+    (3 until 6).foreach { i =>
+      SnapshotStore.appendAs(spark, dir, s"append-d2-b$i",
+        Seq((i.toLong, "x", s"t$i u$i v$i w$i z$i"))
+          .toDF("doc_id", "source", "text"))
+    }
+    SnapshotStore.gcOrphans(spark, dir, tombstoneRetention = Some(3L))
+    val m = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("""MANIFEST\.v\d+"""))
+      .maxBy(_.getName.drop(10).toLong)
+    val lines = scala.io.Source.fromFile(m, "UTF-8").getLines().toVector
+    assert(!lines.exists(_.startsWith("#tombstone")),
+      s"aged tombstones should be trimmed, manifest still has: $lines")
+    // the store still serves every committed row
+    assert(SnapshotStore.sets(spark, dir).count() == 6)
+  }
+
+  test("audit pruning: duplicate did vs an OLD append is still rejected (bloom path)") {
+    import spark.implicits._
+    // the r20 pruned audit must keep FULL detection power against
+    // appends far older than the staging baseline: the did contract
+    // has no staging anti-join, so it audits against every committed
+    // append through its did bloom — a duplicate did three appends
+    // back must still scan-confirm and reject
+    val dir = TempDirs.create("snapstore-prune-did")
+    (0 until 3).foreach { i =>
+      SnapshotStore.append(spark, dir,
+        Seq((i.toLong, "x", s"t$i u$i v$i w$i z$i"))
+          .toDF("doc_id", "source", "text"))
+    }
+    val dup = Seq((0L, "x", "qq rr ss tt uu")) // did 0 = oldest append's
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.append(spark, dir, dup)
+    }
+    assert(e.getMessage.contains("rejected") && e.getMessage.contains("sets"))
+    assert(SnapshotStore.sets(spark, dir).count() == 3)
+  }
+
+  test("audit pruning: a sketch-less committed append falls back to a full did scan") {
+    import spark.implicits._
+    // appends committed before the .summary sidecar existed have no
+    // did bloom — the audit must scan them unconditionally rather
+    // than assume no conflict
+    val dir = TempDirs.create("snapstore-prune-legacy")
+    SnapshotStore.append(spark, dir,
+      Seq((0L, "x", "aa bb cc dd ee")).toDF("doc_id", "source", "text"))
+    val aid = SnapshotStore.committedIds(spark, dir).head
+    // simulate a pre-summary append: delete its sidecar
+    val summary = new java.io.File(s"$dir/appends/$aid/.summary")
+    summary.listFiles().foreach(_.delete()); summary.delete()
+    val dup = Seq((0L, "x", "ff gg hh ii jj"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.append(spark, dir, dup)
+    }
+    assert(e.getMessage.contains("rejected"))
+    assert(SnapshotStore.sets(spark, dir).count() == 1)
   }
 
   test("persistDocs stores the corpus increment; append==rebuild; compact keeps it") {
