@@ -980,21 +980,30 @@ object SparkEntry {
     * doc_id-mod chunks under fixed budgets, and all three consumers
     * only READ the committed components (serveDelta / docs) — nothing
     * mutates the cached dir. The sample setting is JVM-frozen
-    * ([[pairSampleKeep]]), so the sf-dir key is complete. computeIfAbsent
+    * ([[pairSampleKeep]]), so the sf-dir key is complete. The dir is a
+    * PURGE-EXEMPT temp ([[graft.TempDirs.createPersistent]]): the
+    * bench's between-query `TempDirs.purge()` must not delete it while
+    * this cache still points at it (it is reclaimed by the JVM exit
+    * hook); `compute` revalidates the manifest anyway and rebuilds a
+    * vanished dir instead of serving a dangling path. `compute`
     * serializes a racing first build; later callers reuse the dir. */
   private val twoCycleStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def twoCycleStore(s: SparkSession, d: String): String =
-    twoCycleStoreCache.computeIfAbsent(d, _ => {
-      val docs = pairDocs(s, d)
-      val dir = graft.TempDirs.create("graft-two-cycle-store")
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 0),
-        CurBudgetEn / 3, CurBudgetOther / 3)
-      graft.operators.Curation.cycleAppend(s, dir,
-        docs.where(col("doc_id") % 3 === 1),
-        CurBudgetEn / 3, CurBudgetOther / 3)
-      dir
+    twoCycleStoreCache.compute(d, (_, cached) => {
+      if (cached != null &&
+          graft.operators.SnapshotStore.nonEmpty(s, cached)) cached
+      else {
+        val docs = pairDocs(s, d)
+        val dir = graft.TempDirs.createPersistent("graft-two-cycle-store")
+        graft.operators.Curation.cycleAppend(s, dir,
+          docs.where(col("doc_id") % 3 === 0),
+          CurBudgetEn / 3, CurBudgetOther / 3)
+        graft.operators.Curation.cycleAppend(s, dir,
+          docs.where(col("doc_id") % 3 === 1),
+          CurBudgetEn / 3, CurBudgetOther / 3)
+        dir
+      }
     })
 
   /** DuckDB twin of the n34/s14 k-means plans. Long-format centroid

@@ -10,11 +10,14 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * at iters=2 ran each such query twice). */
 object TempDirs {
   private val registered = new ConcurrentLinkedQueue[Path]()
+  private val persistent = new ConcurrentLinkedQueue[Path]()
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var p = registered.poll()
       while (p != null) { deleteRecursively(p); p = registered.poll() }
+      var q = persistent.poll()
+      while (q != null) { deleteRecursively(q); q = persistent.poll() }
     }))
 
   /** Create a temp dir cleaned up at JVM exit; returns its path. */
@@ -22,6 +25,17 @@ object TempDirs {
     hookInstalled
     val d = Files.createTempDirectory(prefix)
     registered.add(d)
+    d.toString
+  }
+
+  /** Like [[create]], but EXEMPT from [[purge]]: for JVM-lifetime
+    * memoized fixtures (SparkEntry's shared two-cycle store) that the
+    * bench's between-query purge must not delete while a cache still
+    * points at them. Still reclaimed by the exit hook. */
+  def createPersistent(prefix: String): String = {
+    hookInstalled
+    val d = Files.createTempDirectory(prefix)
+    persistent.add(d)
     d.toString
   }
 

@@ -389,11 +389,13 @@ object SnapshotStore {
     val srcs = Seq("sets", "docs").map(c => s"$base/$c")
       .filter(hasParquet(spark, _))
     if (srcs.nonEmpty) {
-      val dfs = srcs.map(p => spark.read.parquet(p)
+      val dids = srcs.map(p => spark.read.parquet(p)
         .select(col("did").cast("string").as("did")))
-      val n = math.max(1L, dfs.map(_.count()).sum) // parquet metadata count
-      val bloom = dfs.reduce(_ unionByName _)
-        .stat.bloomFilter("did", n, optimalBloomBits(n))
+        .reduce(_ unionByName _)
+      // one metadata-cheap count job to size the sketch, one aggregate
+      // to build it — the per-append (and per-s42-micro-batch) price
+      val n = math.max(1L, dids.count())
+      val bloom = dids.stat.bloomFilter("did", n, optimalBloomBits(n))
       val p = new HPath(s"$base/$SummaryDir/did.bloom")
       val out = hfs(spark, p).create(p, true)
       try bloom.writeTo(out) finally out.close()
@@ -411,6 +413,24 @@ object SnapshotStore {
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
     }
+  }
+
+  /** JVM cache of COMMITTED appends' did sketches — sound because an
+    * append dir is immutable once committed (only [[gcOrphans]] ever
+    * deletes it, and the audit consults sketches only for ids in the
+    * CURRENT manifest). Without it, a keyed stream (s42) re-reads
+    * every committed sketch on every micro-batch commit — O(batches ×
+    * appends) sidecar reads instead of O(appends). Absence (a legacy
+    * pre-summary append) is cached too: it can never become present
+    * after commit. Bounded: cleared wholesale past a size cap (sketch
+    * bytes are capped, post-compaction stores hold few appends). */
+  private val didBloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]()
+  private def cachedDidBloom(spark: SparkSession, dir: String,
+      id: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (didBloomCache.size > 256) didBloomCache.clear()
+    didBloomCache.computeIfAbsent((dir, id),
+      _ => readDidBloom(spark, dir, id))
   }
 
   /** STAGE one snapshot's index rows: every component delta is written
@@ -607,17 +627,19 @@ object SnapshotStore {
       val didScanIds: Seq[String] =
         if (stagedDidComps.isEmpty) Seq.empty
         else {
-          val didBearing = m.ids.filter { cid =>
-            Seq("sets", "docs").exists(c =>
-              hasParquet(spark, s"$dir/appends/$cid/$c"))
-          }
-          val (withBloom, mustScan) = didBearing
-            .map(cid => cid -> readDidBloom(spark, dir, cid))
-            .partition(_._2.isDefined)
+          // sketch first (cached — one sidecar read per append per
+          // JVM): a sketch implies did-bearing, so only SKETCH-LESS
+          // (legacy) appends pay the per-component listing probe
+          val entries = m.ids.map(cid =>
+            cid -> cachedDidBloom(spark, dir, cid))
+          val withBloom = entries.collect { case (cid, Some(b)) => (cid, b) }
+          val mustScan = entries.collect { case (cid, None) => cid }
+            .filter(cid => Seq("sets", "docs").exists(c =>
+              hasParquet(spark, s"$dir/appends/$cid/$c")))
           val hits: Set[String] =
             if (withBloom.isEmpty) Set.empty
             else {
-              val blooms = withBloom.map { case (cid, b) => (cid, b.get) }
+              val blooms = withBloom
               val bc = spark.sparkContext.broadcast(blooms)
               import spark.implicits._
               val stagedDidStrs = stagedDidComps
@@ -641,8 +663,7 @@ object SnapshotStore {
               bc.unpersist()
               hit
             }
-          didBearing.filter(cid =>
-            hits(cid) || mustScan.exists(_._1 == cid))
+          m.ids.filter(cid => hits(cid) || mustScan.contains(cid))
         }
       def dids(comp: String, paths: Seq[String]): Option[DataFrame] =
         if (paths.isEmpty) None

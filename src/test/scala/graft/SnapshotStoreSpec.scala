@@ -500,6 +500,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.sets(spark, dir).count() == 1)
   }
 
+  test("pruned audit: no-race commit reads O(delta) bytes, flat in committed appends") {
+    import spark.implicits._
+    // the r20 scale property itself, observed at the task-metrics
+    // level: a no-race COMMIT against a store of N committed appends
+    // must read the same bytes as against a store of 2 — the digest/fp
+    // audit scans racers (none: the baseline covers every committed
+    // id) and the did audit scans bloom-hit appends (none for novel
+    // dids), so the only read is the staged delta the sketch-test job
+    // consumes. Before r20 the audit's build side unioned EVERY
+    // committed component, so commit bytes grew with the store.
+    // (The STAGE anti-join still reads the committed digest/fp
+    // components by design — stage is measured out of scope here.)
+    def bytesRead(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            n.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      // the public API has no listener-bus drain; task-end events for
+      // the synchronous jobs inside `body` land within the post-sleep
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def freshDoc(i: Long) =
+      Seq((i, "x", s"novel $i alpha ${i * 31} beta ${i * 17} gamma"))
+        .toDF("doc_id", "source", "text")
+    def build(nAppends: Int): String = {
+      val dir = TempDirs.create(s"snapstore-flatbytes-$nAppends")
+      (0 until nAppends).foreach(i =>
+        SnapshotStore.append(spark, dir, freshDoc(i.toLong)))
+      dir
+    }
+    val small = build(2)
+    val large = build(8)
+    val aidS = SnapshotStore.stageAs(spark, small, "probe-append",
+      freshDoc(1000L))
+    val aidL = SnapshotStore.stageAs(spark, large, "probe-append",
+      freshDoc(1000L))
+    val bytesSmall = bytesRead(SnapshotStore.commit(spark, small, aidS))
+    val bytesLarge = bytesRead(SnapshotStore.commit(spark, large, aidL))
+    // identical staged payloads ⇒ identical delta-sized reads; allow
+    // slack for footer/metadata jitter, never for a per-append scan
+    // (each committed one-row append adds multiple KB of components)
+    assert(bytesLarge <= bytesSmall + 2048,
+      s"no-race commit bytes grew with committed appends: " +
+        s"$bytesSmall -> $bytesLarge")
+  }
+
   test("persistDocs stores the corpus increment; append==rebuild; compact keeps it") {
     val d = docs(sf).where(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("lang"), col("text"))
