@@ -552,6 +552,35 @@ class SnapshotStoreSpec extends AnyFunSuite {
         s"$bytesSmall -> $bytesLarge")
   }
 
+  test("manifest publish -> parse roundtrips ids and versioned tombstones exactly") {
+    // the manifest IS the store's commit log: any id or tombstone that
+    // fails to roundtrip through publishOnce -> currentManifest either
+    // orphans committed rows (id lost) or re-appends on replay
+    // (tombstone lost). Exercise the valid-id space the r20 validation
+    // admits — free text incl. interior spaces, '@', unicode — plus
+    // legacy UNVERSIONED tombstone lines written by a pre-r20 store.
+    val ids = Seq("append-d1-b0", "dump 2024 01", "a@b@7", "Ünïcodé-ид",
+      "x" * 64, "trailing-at @5") // '@5' inside an ID line is literal
+    val tombs = Map("compacted-old" -> 3L, "w eird @t" -> 12L)
+    val dir = TempDirs.create("snapstore-roundtrip")
+    assert(SnapshotStore.publishOnce(spark, dir, ids, tombs, 1L))
+    val m1 = SnapshotStore.currentManifest(spark, dir)
+    assert(m1.version == 1L && m1.ids == ids && m1.tombstones == tombs)
+    // a later publish carries everything forward verbatim
+    assert(SnapshotStore.publishOnce(spark, dir, m1.ids :+ "next",
+      m1.tombstones + ("late" -> 2L), 2L))
+    val m2 = SnapshotStore.currentManifest(spark, dir)
+    assert(m2.ids == ids :+ "next" &&
+      m2.tombstones == tombs + ("late" -> 2L))
+    // legacy unversioned tombstone lines parse as version 0
+    val legacy = new java.io.FileWriter(s"$dir/MANIFEST.v3")
+    legacy.write("id-a\n#tombstone legacy-id with spaces\n")
+    legacy.close()
+    val m3 = SnapshotStore.currentManifest(spark, dir)
+    assert(m3.ids == Seq("id-a") &&
+      m3.tombstones == Map("legacy-id with spaces" -> 0L))
+  }
+
   test("persistDocs stores the corpus increment; append==rebuild; compact keeps it") {
     val d = docs(sf).where(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("lang"), col("text"))
