@@ -989,11 +989,24 @@ object SparkEntry {
     * serializes a racing first build; later callers reuse the dir. */
   private val twoCycleStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def twoCycleStore(s: SparkSession, d: String): String =
-    twoCycleStoreCache.compute(d, (_, cached) => {
-      if (cached != null &&
-          graft.operators.SnapshotStore.nonEmpty(s, cached)) cached
+  private val twoCycleBuildLock = new Object
+  private def twoCycleStore(s: SparkSession, d: String): String = {
+    // double-checked: the multi-second Spark build runs under its OWN
+    // lock, never inside ConcurrentHashMap.compute's bin lock (ADVICE
+    // r20 — a concurrent reader of another key must not block on a
+    // store build); revalidation rebuilds a vanished dir and deletes
+    // the superseded one instead of leaking it until JVM exit
+    def valid(dir: String): Boolean =
+      dir != null && graft.operators.SnapshotStore.nonEmpty(s, dir)
+    val cached = twoCycleStoreCache.get(d)
+    if (valid(cached)) cached
+    else twoCycleBuildLock.synchronized {
+      val again = twoCycleStoreCache.get(d)
+      if (valid(again)) again
       else {
+        if (again != null)
+          try graft.TempDirs.deleteNow(again)
+          catch { case _: Throwable => () }
         val docs = pairDocs(s, d)
         val dir = graft.TempDirs.createPersistent("graft-two-cycle-store")
         graft.operators.Curation.cycleAppend(s, dir,
@@ -1002,9 +1015,11 @@ object SparkEntry {
         graft.operators.Curation.cycleAppend(s, dir,
           docs.where(col("doc_id") % 3 === 1),
           CurBudgetEn / 3, CurBudgetOther / 3)
+        twoCycleStoreCache.put(d, dir)
         dir
       }
-    })
+    }
+  }
 
   /** DuckDB twin of the n34/s14 k-means plans. Long-format centroid
     * sums (exact BIGINT), unrolled 64-term dot-product folds in the

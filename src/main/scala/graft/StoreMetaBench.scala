@@ -81,10 +81,14 @@ object StoreMetaBench {
     def manifestFiles(): Int = new java.io.File(dir).listFiles()
       .count(_.getName.matches("""MANIFEST\.v\d+"""))
 
+    // counts captured BEFORE appendMs: the timed one-row appends must
+    // not inflate the reported before-state (ADVICE r20) — they do
+    // still land in the store the compact below rewrites, which is
+    // noise in this metadata-dominated regime
     val (planBefore, probeBefore) = (planMs(), probeMs())
-    val appendBefore = appendMs()
     val nBefore = SnapshotStore.committedIds(spark, dir).size
     val mfBefore = manifestFiles()
+    val appendBefore = appendMs()
     SnapshotStore.compact(spark, dir)
     SnapshotStore.gcOrphans(spark, dir)
     val nAfter = SnapshotStore.committedIds(spark, dir).size

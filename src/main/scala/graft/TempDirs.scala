@@ -51,6 +51,16 @@ object TempDirs {
     while (p != null) { deleteRecursively(p); p = registered.poll() }
   }
 
+  /** Delete one persistent dir NOW and drop it from the exit-hook queue
+    * — for a memoizing cache replacing a superseded entry (ADVICE r20:
+    * the replaced dir used to linger until JVM exit). */
+  def deleteNow(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    persistent.remove(p)
+    registered.remove(p)
+    deleteRecursively(p)
+  }
+
   /** Best-effort recursive delete (shared with withTempCheckpoint — a
     * cleanup IOException must never mask the result being returned). */
   private[graft] def deleteRecursively(dir: Path): Unit =

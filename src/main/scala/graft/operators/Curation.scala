@@ -221,7 +221,10 @@ object Curation {
     (df, name) => {
       val p = s"$dir/$name"
       df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
+      // explicit schema (known from the frame just written): the
+      // read-back launches no parquet schema-inference job — one such
+      // job per gate × 4 gates per training was pure scheduling floor
+      spark.read.schema(df.schema).parquet(p)
     }
 
   /** The full flagged frame (doc_id, lang, text, tok, pass1..5) — the

@@ -121,9 +121,17 @@ object IvfPq {
                 out: String): DataFrame =
       exact.join(topIds(cand, w), Seq("probe_id", "vec_id"), "left_semi")
         .groupBy(col("probe_id")).agg(count(lit(1)).as(out))
-    val one = scored.where(col("cell") === col("pcell"))
+    // the nprobe=2 candidate set materializes ONCE and feeds all four
+    // match branches (nprobe=1 is its cell==pcell subset): without the
+    // cut each branch re-evaluates the probes×N scoring fan-out — 5
+    // full cross-join passes per query (ground truth + 4 branches)
+    // measured at ~5× the one-pass task time. The checkpoint is the
+    // IVF-PRUNED working set (≈ nprobe/Cells · probes·N rows — the
+    // exact candidate volume a production IVFADC serve materializes),
+    // never the corpus, so the cut scales with the serving budget.
     val two = scored.where(col("cell") === col("pcell") ||
-      col("cell") === col("pcell2"))
+      col("cell") === col("pcell2")).localCheckpoint()
+    val one = two.where(col("cell") === col("pcell"))
     val counts = Seq(
       matched(one, byCos, "n_ivf"), matched(one, byAdc, "n_ivfadc"),
       matched(two, byCos, "n_ivf_mp2"), matched(two, byAdc, "n_ivfadc_mp2"))

@@ -127,19 +127,27 @@ import graft.functions.Text
   * rule is still the operational discipline; violating it is now an
   * error, not a wrong answer.
   *
-  * Scale: each append is one scan of the NEW snapshot (sets + bands +
-  * docs map-side; digests two map-side-combined distincts + an
-  * anti-join against the committed store, hash-partitioned on the
-  * digest — the staging anti-join IS O(store) on its build side: the
-  * price of the exact one-row-per-distinct-value invariant, paid once
-  * per append at stage time, never again at commit) plus a commit
-  * audit that is genuinely O(delta): digest/fp conflicts are checked
-  * only against appends committed after the staging's recorded
-  * baseline (`.summary/baseline` — the no-race case scans NOTHING),
-  * and the doc-id contract is checked against per-append Bloom
-  * sketches (`.summary/did.bloom`), scan-confirming only possible
-  * hits; serving is stateless equi-joins against (multi-path) file
-  * scans — no corpus-sized state, no broadcast assumption anywhere. */
+  * Scale — the full lifecycle cost in ONE statement (VERDICT r20 #4):
+  * STAGE is O(delta + sketch-hit appends): one scan of the NEW
+  * snapshot per component (sets/docs map-side; bands from the written
+  * sets bytes; digests/fps as map-side-combined distinct CANDIDATE
+  * writes), one aggregation pass over the staged bytes that builds
+  * the `.summary` sketches and tests every staged key against the
+  * pinned appends' sketches, and an anti-join that scans ONLY the
+  * sketch-hit (or sketch-less legacy) appends — disjoint snapshots,
+  * the common crawl case, never scan the committed store at all
+  * (before r21 the staging anti-join's build side was the WHOLE
+  * committed component per append). COMMIT is O(delta) and jobless in
+  * the no-race case: digest/fp conflicts are checked only against
+  * sketch-hit appends committed after the staging's recorded baseline
+  * (`.summary/baseline`), and the doc-id contract's baseline half is
+  * the stage-recorded `.summary/did.hits` verdict — only racers (or a
+  * legacy staging) pay a sketch-test job, and only possible hits are
+  * scan-confirmed. Serving is stateless equi-joins against
+  * (multi-path) file scans — no corpus-sized state, no broadcast
+  * assumption anywhere; a corpus-sized serve probe can additionally
+  * pre-filter the store side with a probe-key Bloom (guide §3.2) when
+  * the store dwarfs the arriving batch. */
 object SnapshotStore {
 
   private def hfs(spark: SparkSession, p: HPath) =
@@ -305,7 +313,26 @@ object SnapshotStore {
       val paths = componentPaths(spark, dir, ids, comp)
       require(paths.nonEmpty,
         s"SnapshotStore at $dir has no committed $comp rows (version $version)")
-      spark.read.parquet(paths: _*)
+      // digests/fps schemas are static; for the did-typed components a
+      // per-(store, component) schema cache applies: append==rebuild
+      // already requires every append's component to be
+      // union-compatible (a plain multi-path read picks ONE file's
+      // footer schema anyway), so the first read's inferred schema
+      // serves every later read — skipping the parquet
+      // schema-inference job each probe/serve used to launch per
+      // component (s42 pays it per micro-batch)
+      if (comp == "digests") spark.read.schema(DigestSchema).parquet(paths: _*)
+      else if (comp == "fps") spark.read.schema(FpSchema).parquet(paths: _*)
+      else {
+        val key = (dir, comp)
+        val cached = SnapshotStore.componentSchemaCache.get(key)
+        if (cached != null) spark.read.schema(cached).parquet(paths: _*)
+        else {
+          val df = spark.read.parquet(paths: _*)
+          SnapshotStore.componentSchemaCache.put(key, df.schema)
+          df
+        }
+      }
     }
     def sets(spark: SparkSession): DataFrame = component(spark, "sets")
     def bands(spark: SparkSession): DataFrame = component(spark, "bands")
@@ -313,6 +340,13 @@ object SnapshotStore {
     def fps(spark: SparkSession): DataFrame = component(spark, "fps")
     def docs(spark: SparkSession): DataFrame = component(spark, "docs")
   }
+
+  /** Backing cache for [[Snapshot.component]]'s schema reuse — keyed
+    * (dir, comp); entries die with the JVM like the temp stores they
+    * describe (a store's component schema is fixed by the append ==
+    * rebuild union-compatibility contract). */
+  private val componentSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
 
   /** Resolve the CURRENT manifest once into an immutable [[Snapshot]]
     * view — the version every component read of one logical query
@@ -328,32 +362,57 @@ object SnapshotStore {
 
   // ------------------------------------------------------------------
   // Per-append AUDIT SUMMARY sidecar (`appends/<id>/.summary/`) — the
-  // pruning layout that makes the commit audit O(delta), not O(store)
-  // (VERDICT r19 #2): `baseline` records the pinned manifest ids the
-  // staging anti-joins ran against, so the commit's digest/fp audit
-  // only scans appends committed AFTER the baseline (the racers — in
-  // the no-race case, none); `did.bloom` is a Bloom filter over the
-  // append's sets∪docs doc ids, so the distinct-doc-ids audit tests
-  // staged dids against every committed append's bloom (one O(delta)
-  // job over broadcast sketches) and scans ONLY appends with a
-  // possible hit. Bloom false positives cost a confirming scan, never
-  // a wrong verdict; a MISSING sidecar (pre-summary append) falls back
-  // to the unpruned scan for that append — conservative, identical
-  // detection power.
+  // pruning layout that makes BOTH halves of the lifecycle O(delta +
+  // bloom-hit appends), not O(store) (VERDICT r19 #2 closed the commit
+  // half in r20; r21 closes the stage half with the same mechanism):
+  //   baseline      the pinned manifest ids the staging ran against —
+  //                 the commit's digest/fp audit only scans appends
+  //                 committed AFTER it (the racers; no race ⇒ none);
+  //   did.bloom     [[StoreSketch]] over the append's sets∪docs doc ids;
+  //   digest.bloom  [[StoreSketch]] over the append's digest delta keys
+  //                 (built over the PRE-anti-join candidate rows — a
+  //                 covering superset of the final delta, which only
+  //                 adds false positives, never misses);
+  //   fp.bloom      same for the fingerprint delta;
+  //   did.hits      the baseline appends whose did sketch HIT a staged
+  //                 did (plus sketch-less baseline appends) — recorded
+  //                 at stage time so the no-race commit scan-confirms
+  //                 exactly these and launches ZERO jobs when empty.
+  // All sketches are built in ONE aggregation pass over the staged
+  // BYTES (audit the bytes, not the producing plan), which in the same
+  // pass tests every key against the pinned appends' sketches — the
+  // r20 layout paid a count job + a bloom job per append and a
+  // sketch-test job per commit. Bloom false positives cost a
+  // confirming scan, never a wrong verdict; a MISSING sidecar (or a
+  // missing did.hits) falls back to the unpruned scan for that append
+  // — conservative, identical detection power.
   // ------------------------------------------------------------------
 
   private val SummaryDir = ".summary"
 
-  /** Bloom sizing: target fpp, bits capped so a single sketch stays
-    * broadcastable even for a compacted corpus-scale append (the cap
-    * degrades fpp gracefully — more confirming scans, same verdicts). */
-  private val BloomFpp = 1e-4
-  private val MaxBloomBits = 1L << 28 // 32 MB
+  /** Sidecar file per sketch family: `did` = sets∪docs doc ids, `dig` =
+    * digest delta keys, `fp` = fingerprint delta keys. */
+  private val FamFile = Map(
+    "did" -> "did.bloom", "dig" -> "digest.bloom", "fp" -> "fp.bloom")
 
-  private def optimalBloomBits(n: Long): Long = {
-    val ln2sq = math.log(2) * math.log(2)
-    val bits = math.ceil(-n.toDouble * math.log(BloomFpp) / ln2sq).toLong
-    math.min(math.max(64L, bits), MaxBloomBits)
+  /** The single-column digest/fp component schemas — known statically,
+    * so their reads always pass an explicit schema (skips the parquet
+    * schema-inference job and its driver gap on every hot-path read). */
+  private val DigestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("h",
+      org.apache.spark.sql.types.StringType)))
+  private val FpSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The component dirs whose presence makes a family auditable for an
+    * append that has NO sketch (the conservative must-scan fallback). */
+  private def famComponentPresent(spark: SparkSession, dir: String,
+      id: String, fam: String): Boolean = fam match {
+    case "did" => Seq("sets", "docs").exists(c =>
+      hasParquet(spark, s"$dir/appends/$id/$c"))
+    case "dig" => hasParquet(spark, s"$dir/appends/$id/digests")
+    case "fp" => hasParquet(spark, s"$dir/appends/$id/fps")
   }
 
   private def writeBaseline(spark: SparkSession, base: String,
@@ -381,57 +440,260 @@ object SnapshotStore {
     }
   }
 
-  /** Build + persist the did Bloom over the append's ON-DISK staged
-    * sets∪docs dids (the bytes a future audit would scan — audit the
-    * bytes, not the producing plan). No did-bearing component ⇒ no
-    * sketch (and nothing for a future audit to test against). */
-  private def writeDidBloom(spark: SparkSession, base: String): Unit = {
-    val srcs = Seq("sets", "docs").map(c => s"$base/$c")
-      .filter(hasParquet(spark, _))
-    if (srcs.nonEmpty) {
-      val dids = srcs.map(p => spark.read.parquet(p)
-        .select(col("did").cast("string").as("did")))
-        .reduce(_ unionByName _)
-      // one metadata-cheap count job to size the sketch, one aggregate
-      // to build it — the per-append (and per-s42-micro-batch) price
-      val n = math.max(1L, dids.count())
-      val bloom = dids.stat.bloomFilter("did", n, optimalBloomBits(n))
-      val p = new HPath(s"$base/$SummaryDir/did.bloom")
-      val out = hfs(spark, p).create(p, true)
-      try bloom.writeTo(out) finally out.close()
-    }
+  /** Stage-recorded did-audit hit list (`did.hits`): the baseline
+    * appends the commit must scan-confirm for a shared doc id. An
+    * EMPTY file is a valid "no possible hit" verdict; an ABSENT file
+    * (legacy staging) makes the commit fall back to testing every
+    * committed append's sketch. Ids are one per line (valid ids never
+    * contain newlines — [[requireValidId]]). */
+  private def writeDidHits(spark: SparkSession, base: String,
+      ids: Seq[String]): Unit = {
+    val p = new HPath(s"$base/$SummaryDir/did.hits")
+    val out = hfs(spark, p).create(p, true)
+    try out.write(ids.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
-  /** Load a committed append's did Bloom, if its sidecar exists. */
-  private def readDidBloom(spark: SparkSession, dir: String,
-      id: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = new HPath(s"$dir/appends/$id/$SummaryDir/did.bloom")
+  private def readDidHits(spark: SparkSession,
+      base: String): Option[Seq[String]] = {
+    val p = new HPath(s"$base/$SummaryDir/did.hits")
     val fs = hfs(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toVector)
       finally in.close()
     }
   }
 
-  /** JVM cache of COMMITTED appends' did sketches — sound because an
-    * append dir is immutable once committed (only [[gcOrphans]] ever
-    * deletes it, and the audit consults sketches only for ids in the
-    * CURRENT manifest). Without it, a keyed stream (s42) re-reads
-    * every committed sketch on every micro-batch commit — O(batches ×
-    * appends) sidecar reads instead of O(appends). Absence (a legacy
-    * pre-summary append) is cached too: it can never become present
-    * after commit. Bounded: cleared wholesale past a size cap (sketch
-    * bytes are capped, post-compaction stores hold few appends). */
-  private val didBloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]()
-  private def cachedDidBloom(spark: SparkSession, dir: String,
-      id: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    if (didBloomCache.size > 256) didBloomCache.clear()
-    didBloomCache.computeIfAbsent((dir, id),
-      _ => readDidBloom(spark, dir, id))
+  private def writeSketchFile(spark: SparkSession, path: String,
+      sk: StoreSketch): Unit = {
+    val p = new HPath(path)
+    val out = hfs(spark, p).create(p, true)
+    try StoreSketch.write(out, sk) finally out.close()
   }
+
+  private def readSketchFile(spark: SparkSession,
+      path: String): Option[StoreSketch] = {
+    val p = new HPath(path)
+    val fs = hfs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(StoreSketch.read(in)) finally in.close()
+    }
+  }
+
+  /** JVM cache of COMMITTED appends' sidecar sketches — sound because
+    * an append dir is immutable once committed (only [[gcOrphans]]
+    * ever deletes it, and gc INVALIDATES the ids it reclaims, so a
+    * recycled id can never serve a stale sketch — ADVICE r20).
+    * Without it, a keyed stream (s42) re-reads every committed sketch
+    * on every micro-batch — O(batches × appends) sidecar reads instead
+    * of O(appends). Absence (a legacy pre-summary append) is cached
+    * too: it can never become present after commit. Bounded by LRU
+    * eviction (VERDICT r20 #2 — the r20 cache cleared WHOLESALE past
+    * 256 entries, thrashing exactly on the hot path it served): a
+    * store held past the cap re-reads only its least-recently-used
+    * sidecars, never the whole set per commit. */
+  private val SketchCacheCap = 4096
+  private val sketchCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, String),
+        Option[StoreSketch]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String),
+            Option[StoreSketch]]): Boolean = size > SketchCacheCap
+    })
+  private def cachedSketch(spark: SparkSession, dir: String, id: String,
+      fam: String): Option[StoreSketch] = {
+    val key = (dir, id, fam)
+    val hit = sketchCache.get(key)
+    if (hit != null) hit
+    else {
+      val loaded = readSketchFile(spark,
+        s"$dir/appends/$id/$SummaryDir/${FamFile(fam)}")
+      sketchCache.put(key, loaded)
+      loaded
+    }
+  }
+  /** Drop cache entries for reclaimed append dirs (called by
+    * [[gcOrphans]]) — keyed-id recycling after a tombstone-retention
+    * trim must never consult a stale sketch. */
+  private def invalidateSketches(dir: String, ids: Seq[String]): Unit = {
+    val gone = ids.toSet
+    sketchCache.synchronized {
+      sketchCache.keySet.removeIf(k => k._1 == dir && gone(k._2))
+    }
+  }
+
+  /** The build-buffer width for sketch aggregation (folded down to
+    * ~16 bits/key before persisting). Conf-tunable for production
+    * increment sizes ([[StoreSketch.CapConfKey]]). */
+  private def capLog2(spark: SparkSession): Int =
+    spark.conf.getOption(StoreSketch.CapConfKey).map(_.toInt)
+      .getOrElse(StoreSketch.DefaultCapBitsLog2)
+
+  /** Per-family result of [[sketchJob]]: the built sketch (when
+    * requested and the family had any input), the input key count, and
+    * the committed appends whose sketch HIT at least one key. */
+  private final case class SketchResult(sketch: Option[StoreSketch],
+      count: Long, hitIds: Set[String])
+
+  /** Mutable per-family aggregation buffer: the (optional) cap-width
+    * sketch words, one hit flag per tested committed sketch, and the
+    * key count. */
+  private final class SketchBuf(val words: Array[Long],
+      val flags: Array[Boolean], var count: Long,
+      var remaining: Int) extends Serializable
+
+  /** One [[sketchJob]] input: a family, the parquet paths carrying its
+    * keys, the key column, and (when the caller knows it) the key's
+    * 1-field read schema — an explicit schema prunes the scan to the
+    * key column AND skips the parquet schema-inference job a plain
+    * `spark.read.parquet` launches (measured: 3 × ~60 ms + driver gaps
+    * per stage at fixture scale). */
+  private final case class SketchPart(fam: String, paths: Seq[String],
+      keyCol: String, keySchema: Option[org.apache.spark.sql.types.StructType])
+
+  /** ONE pass over staged parquet bytes that both BUILDS the sidecar
+    * sketches (at cap width, folded later) and TESTS every key against
+    * the supplied committed sketches per family — replacing the r20
+    * count + bloom-build + sketch-test jobs with a single
+    * treeAggregate (depth 2 past 64 partitions, so corpus-scale
+    * increments merge partials in a tree, not on the driver).
+    *
+    * Several parts may share a family (sets and docs both carry dids).
+    * `fams` maps a family to the committed (appendId, sketch) pairs to
+    * test; null keys are skipped (SQL join semantics: null never
+    * equals — ADVICE r20's NPE on null doc ids). Families with nothing
+    * to do (no sketch wanted, nothing to test) are excluded from the
+    * scan; if nothing remains, NO job runs. */
+  private def sketchJob(spark: SparkSession,
+      parts: Seq[SketchPart],
+      fams: Map[String, Seq[(String, StoreSketch)]],
+      buildSketch: Boolean, cap: Int): Map[String, SketchResult] = {
+    val live = parts.filter(_.paths.nonEmpty)
+    val needed = live.filter(p =>
+      buildSketch || fams.getOrElse(p.fam, Nil).nonEmpty)
+    val empty = parts.map(_.fam).distinct
+      .map(_ -> SketchResult(None, 0L, Set.empty[String])).toMap
+    if (needed.isEmpty) return empty
+    import spark.implicits._
+    val ds = needed.map { p =>
+      val reader = spark.read
+      p.keySchema.foreach(reader.schema)
+      reader.parquet(p.paths: _*)
+        .select(lit(p.fam).as("fam"), col(p.keyCol).cast("string").as("k"))
+        .as[(String, String)]
+    }.reduce(_ union _)
+    val famsBc = spark.sparkContext.broadcast(fams)
+    val wordsLen = 1 << (cap - 6)
+    def newBuf(fam: String): SketchBuf = {
+      val n = famsBc.value.getOrElse(fam, Nil).size
+      new SketchBuf(if (buildSketch) new Array[Long](wordsLen) else null,
+        new Array[Boolean](n), 0L, n)
+    }
+    val seqOp = (acc: scala.collection.mutable.HashMap[String, SketchBuf],
+        row: (String, String)) => {
+      if (row._2 != null) {
+        val buf = acc.getOrElseUpdate(row._1, newBuf(row._1))
+        val (h1, h2) = StoreSketch.hash2(row._2)
+        if (buf.words != null) StoreSketch.addHashed(buf.words, cap, h1, h2)
+        buf.count += 1
+        if (buf.remaining > 0) {
+          val sketches = famsBc.value(row._1)
+          var i = 0
+          while (i < buf.flags.length && buf.remaining > 0) {
+            if (!buf.flags(i) && sketches(i)._2.mightContainHashed(h1, h2)) {
+              buf.flags(i) = true
+              buf.remaining -= 1
+            }
+            i += 1
+          }
+        }
+      }
+      acc
+    }
+    val combOp = (a: scala.collection.mutable.HashMap[String, SketchBuf],
+        b: scala.collection.mutable.HashMap[String, SketchBuf]) => {
+      b.foreach { case (fam, bb) =>
+        a.get(fam) match {
+          case None => a(fam) = bb
+          case Some(ab) =>
+            if (ab.words != null && bb.words != null) {
+              var i = 0
+              while (i < ab.words.length) { ab.words(i) |= bb.words(i); i += 1 }
+            }
+            var i = 0
+            var rem = 0
+            while (i < ab.flags.length) {
+              ab.flags(i) = ab.flags(i) || bb.flags(i)
+              if (!ab.flags(i)) rem += 1
+              i += 1
+            }
+            ab.remaining = rem
+            ab.count += bb.count
+        }
+      }
+      a
+    }
+    val rdd = ds.rdd
+    val depth = if (rdd.getNumPartitions > 64) 2 else 1
+    val agg = rdd.treeAggregate(
+      scala.collection.mutable.HashMap.empty[String, SketchBuf])(
+      seqOp, combOp, depth)
+    famsBc.destroy()
+    empty ++ agg.map { case (fam, buf) =>
+      val sk = if (buf.words == null) None else Some(
+        new StoreSketch(cap, buf.words)
+          .fold(StoreSketch.optimalBitsLog2(buf.count, cap)))
+      val hits = fams.getOrElse(fam, Nil).iterator.zipWithIndex
+        .collect { case ((id, _), i) if buf.flags(i) => id }.toSet
+      fam -> SketchResult(sk, buf.count, hits)
+    }
+  }
+
+  /** Split `ids` into (testable sketches, must-scan ids) for a family:
+    * an id with a sidecar sketch is bloom-testable; one without (a
+    * legacy append) must be scanned IF it has auditable bytes for the
+    * family. */
+  private def famSketches(spark: SparkSession, dir: String,
+      ids: Seq[String], fam: String)
+      : (Seq[(String, StoreSketch)], Seq[String]) = {
+    val loaded = ids.map(id => id -> cachedSketch(spark, dir, id, fam))
+    (loaded.collect { case (id, Some(sk)) => (id, sk) },
+      loaded.collect { case (id, None) => id }
+        .filter(famComponentPresent(spark, dir, _, fam)))
+  }
+
+  /** Shared driver-side pool for INDEPENDENT staging writes — Spark
+    * happily runs concurrent jobs in one application (guide §2.6), so
+    * the 3–4 component writes of a stage (and a compact's rewrites)
+    * overlap instead of serializing their scheduling + commit floors.
+    * Failure semantics match a crash mid-staging: every task settles,
+    * the first error propagates, and the partial dir is recovered by
+    * its `.INFLIGHT` marker aging out. */
+  private lazy val stagingPool = java.util.concurrent.Executors
+    .newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-store-staging")
+        t.setDaemon(true)
+        t
+      })
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_.apply())
+    else {
+      val futs = tasks.map(t => stagingPool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+      val errs = futs.flatMap(f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause)
+        })
+      errs.headOption.foreach(e => throw e)
+    }
 
   /** STAGE one snapshot's index rows: every component delta is written
     * under `appends/<id>/`, which no reader resolves until [[commit]]
@@ -454,47 +716,111 @@ object SnapshotStore {
     val base = s"$dir/appends/$aid"
     // in-flight marker FIRST: from here until commit's publish, a
     // gcOrphans sweep must leave this dir alone (grace rule)
-    val fs = hfs(spark, new HPath(base))
     touchInflight(spark, base)
-    val sets = snapshotDf
+    // pinned BEFORE any staging write: this is the recorded baseline —
+    // everything committing after it is a racer the commit audit
+    // covers, so an earlier pin only widens the racer set, never
+    // loses a conflict
+    val pinned = snapshot(spark, dir)
+    val setsDf = snapshotDf
       .select(col(id).as("did"), Text.shingleSet(col(text)).as("sset"))
       .where(size(col("sset")) > 0)
-    sets.write.mode("error").parquet(s"$base/sets")
-    MinHashLsh.banded(sets, k, r).write.mode("error")
-      .parquet(s"$base/bands")
-    if (persistDocs)
-      snapshotDf.withColumnRenamed(id, "did")
-        .write.mode("error").parquet(s"$base/docs")
-    // BOTH digest anti-join baselines read the same pinned store
-    // version (the commit-time audit is the safety backstop against
-    // anything that lands after this resolution)
-    val pinned = snapshot(spark, dir)
-    stageDistinct(spark, pinned, "digests", aid,
-      snapshotDf.select(md5(col(text)).as("h")).distinct())
-    stageDistinct(spark, pinned, "fps", aid,
-      snapshotDf.select(Text.fingerprint(col(text)).as("fp")).distinct())
-    // audit-summary sidecar: the baseline the anti-joins ran against
-    // (prunes the commit's digest/fp audit to post-baseline racers)
-    // and the did sketch future commits will test against
+    // the component writes are INDEPENDENT Spark jobs — overlap them
+    // (guide §2.6) instead of serializing 4 scheduling+commit floors.
+    // digests/fps stage their full distinct CANDIDATE rows with no
+    // anti-join; the sketch pass below proves which committed appends
+    // could share a key, and only a hit triggers the delta rewrite —
+    // the no-hit stage (disjoint snapshots, the common crawl case)
+    // never scans the committed store at all.
+    inParallel(Seq(
+      () => {
+        setsDf.write.mode("error").parquet(s"$base/sets")
+        // bands derive from the WRITTEN sets bytes: the shingle kernel
+        // runs once per stage, not once for sets and again for bands
+        // (explicit schema: no inference job, and an empty write —
+        // no part files — still reads as the empty frame)
+        val setsBack = spark.read.schema(setsDf.schema)
+          .parquet(s"$base/sets")
+        MinHashLsh.banded(setsBack, k, r).write.mode("error")
+          .parquet(s"$base/bands")
+      },
+      () => snapshotDf.select(md5(col(text)).as("h")).distinct()
+        .write.mode("error").parquet(s"$base/digests"),
+      () => snapshotDf.select(Text.fingerprint(col(text)).as("fp"))
+        .distinct().write.mode("error").parquet(s"$base/fps")) ++
+      (if (persistDocs)
+        Seq(() => snapshotDf.withColumnRenamed(id, "did")
+          .write.mode("error").parquet(s"$base/docs"))
+      else Seq.empty))
+    // ONE aggregation pass over the staged BYTES (audit the bytes, not
+    // the producing plan): builds did/digest/fp sidecar sketches AND
+    // tests every staged key against the pinned appends' sketches
+    val fams = Seq("did", "dig", "fp").map(f =>
+      f -> famSketches(spark, dir, pinned.ids, f)).toMap
+    val didSchema = Some(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("did",
+        setsDf.schema("did").dataType))))
+    val parts = Seq(
+      SketchPart("did", Seq(s"$base/sets").filter(hasParquet(spark, _)),
+        "did", didSchema),
+      SketchPart("did", Seq(s"$base/docs").filter(hasParquet(spark, _)),
+        "did", didSchema),
+      SketchPart("dig", Seq(s"$base/digests").filter(hasParquet(spark, _)),
+        "h", Some(DigestSchema)),
+      SketchPart("fp", Seq(s"$base/fps").filter(hasParquet(spark, _)),
+        "fp", Some(FpSchema)))
+    val res = sketchJob(spark, parts,
+      fams.map { case (f, (sk, _)) => f -> sk },
+      buildSketch = true, capLog2(spark))
+    // digest/fp delta: anti-join ONLY the bloom-hit (or sketch-less)
+    // appends — a committed row equal to a staged row always hits its
+    // append's sketch (no false negatives), so the pruned anti-join's
+    // output is row-identical to the r20 full-store anti-join
+    rewriteDelta(spark, pinned, base, "digests",
+      res("dig").hitIds ++ fams("dig")._2)
+    rewriteDelta(spark, pinned, base, "fps",
+      res("fp").hitIds ++ fams("fp")._2)
+    // audit-summary sidecar: the baseline (prunes the commit's
+    // digest/fp audit to post-baseline racers), the did-audit hit list
+    // (prunes the commit's scan-confirm to exactly these appends), and
+    // the sketches future stagings and commits will test against
     writeBaseline(spark, base, pinned)
-    writeDidBloom(spark, base)
+    writeDidHits(spark, base,
+      (res("did").hitIds ++ fams("did")._2).toSeq.sorted)
+    Seq("did", "dig", "fp").foreach { f =>
+      res(f).sketch.foreach(sk =>
+        writeSketchFile(spark, s"$base/$SummaryDir/${FamFile(f)}", sk))
+    }
     aid
   }
 
-  /** Stage only rows NOT already committed for the component —
-    * preserves the one-row-per-distinct-digest invariant, making
-    * append == rebuild. The write target (staging) is never the read
-    * source (committed appends), so the job needs no lineage cut. */
-  private def stageDistinct(spark: SparkSession, pinned: Snapshot,
-      comp: String, aid: String, rows: DataFrame): Unit = {
-    val paths = componentPaths(spark, pinned.dir, pinned.ids, comp)
-    val delta =
-      if (paths.nonEmpty)
-        rows.join(spark.read.parquet(paths: _*),
-          rows.columns.toSeq, "left_anti")
-      else rows
-    delta.write.mode("error").parquet(s"${pinned.dir}/appends/$aid/$comp")
-  }
+  /** Rewrite a staged digest/fp candidate component to its committed
+    * delta, anti-joining ONLY `scanIds` (the sketch-hit and sketch-less
+    * appends) — preserves the one-row-per-distinct-value invariant,
+    * making append == rebuild, while the no-hit case keeps the direct
+    * candidate write untouched. The rewrite lands in a dot-temp and
+    * swaps in (staging is invisible until commit, so the swap races
+    * nothing). The persisted sketch covers the PRE-rewrite candidate
+    * superset — covering is all pruning soundness needs. */
+  private def rewriteDelta(spark: SparkSession, pinned: Snapshot,
+      base: String, comp: String, scanIds: Set[String]): Unit =
+    if (scanIds.nonEmpty && hasParquet(spark, s"$base/$comp")) {
+      val ordered = pinned.ids.filter(scanIds)
+      val paths = componentPaths(spark, pinned.dir, ordered, comp)
+      if (paths.nonEmpty) {
+        val schema = if (comp == "digests") DigestSchema else FpSchema
+        val cur = spark.read.schema(schema).parquet(s"$base/$comp")
+        val delta = cur.join(spark.read.schema(schema).parquet(paths: _*),
+          cur.columns.toSeq, "left_anti")
+        val tmp = s"$base/.$comp.delta"
+        delta.write.mode("overwrite").parquet(tmp)
+        val fsx = hfs(spark, new HPath(base))
+        fsx.delete(new HPath(s"$base/$comp"), true)
+        FileContext.getFileContext(fsx.getUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(new HPath(tmp), new HPath(s"$base/$comp"))
+      }
+    }
 
   /** Atomically publish `ids` (+ carried `tombstones`) as manifest
     * version `version` — CREATE-IF-ABSENT: the content is written to a
@@ -584,100 +910,98 @@ object SnapshotStore {
       // closes that gap (digests/fps stay full-row: the
       // one-row-per-distinct-value invariant).
       //
-      // PRUNING (VERDICT r19 #2 — the audit is now truly O(delta)):
-      // digest/fp build sides scan only appends committed AFTER this
-      // staging's recorded baseline (the racers). This loses no
-      // detection power: the staging anti-join already executed
-      // probe-vs-baseline over the SAME immutable committed bytes the
-      // audit would re-read, and the staged bytes are re-read here as
-      // the probe side — only post-baseline commits carry information
-      // the staging never saw. The did contract has no staging
-      // anti-join, so it keeps auditing against ALL committed appends,
-      // pruned by each append's did Bloom: one O(delta) sketch-test
-      // job finds the appends that might share a did, and only those
-      // are scan-confirmed (a false positive costs a scan, never a
-      // verdict; a missing sketch falls back to scanning that append).
+      // PRUNING (VERDICT r19 #2 closed at r20; r21 moves the sketch
+      // test to STAGE time): digest/fp build sides scan only appends
+      // committed AFTER this staging's recorded baseline (the racers),
+      // each first tested against its sidecar sketch — no detection
+      // power lost: the staging anti-join already executed
+      // probe-vs-baseline over the SAME immutable committed bytes, and
+      // a racer row equal to a staged row always hits the racer's
+      // sketch. The did contract has no staging anti-join, so it
+      // audits against ALL committed appends — but the baseline half
+      // of that test ran at STAGE time over the same staged bytes and
+      // its verdict is the recorded `did.hits` list, so the commit
+      // launches a sketch-test job ONLY for racers (none in the
+      // no-race case: the common commit runs ZERO jobs). A legacy
+      // staging without `did.hits` falls back to testing every
+      // committed sketch; a sketch-less committed append falls back to
+      // an unconditional scan. False positives cost a confirming scan,
+      // never a verdict.
       val baseline = readBaseline(spark, base).map(_.toSet)
       val racerIds = baseline match {
         case Some(b) => m.ids.filterNot(b)
         case None => m.ids
       }
-      // full-row components: key = component-tagged whole row
-      val rowParts = Seq("digests", "fps").flatMap { comp =>
-        if (!hasParquet(spark, s"$base/$comp")) None
-        else {
-          val committed = componentPaths(spark, dir, racerIds, comp)
-          if (committed.isEmpty) None
-          else {
-            def key(df: DataFrame) = df.select(
-              concat(lit(comp), lit(":"), col(df.columns.head).cast("string"))
-                .as("k"))
-            Some((key(spark.read.parquet(s"$base/$comp"))
-                .withColumn("comp", lit(comp)),
-              key(spark.read.parquet(committed: _*))))
-          }
-        }
-      }
-      // did namespace: staged sets+docs dids vs committed sets+docs
-      // dids (sets and docs have different schemas — read per
-      // component, project to the shared key, union), committed side
-      // restricted to Bloom-hit (or sketch-less) appends
+      val stagedDig = hasParquet(spark, s"$base/digests")
+      val stagedFp = hasParquet(spark, s"$base/fps")
       val stagedDidComps = Seq("sets", "docs")
         .filter(c => hasParquet(spark, s"$base/$c"))
-      val didScanIds: Seq[String] =
+      val didRecorded = readDidHits(spark, base)
+      val didTestIds =
         if (stagedDidComps.isEmpty) Seq.empty
-        else {
-          // sketch first (cached — one sidecar read per append per
-          // JVM): a sketch implies did-bearing, so only SKETCH-LESS
-          // (legacy) appends pay the per-component listing probe
-          val entries = m.ids.map(cid =>
-            cid -> cachedDidBloom(spark, dir, cid))
-          val withBloom = entries.collect { case (cid, Some(b)) => (cid, b) }
-          val mustScan = entries.collect { case (cid, None) => cid }
-            .filter(cid => Seq("sets", "docs").exists(c =>
-              hasParquet(spark, s"$dir/appends/$cid/$c")))
-          val hits: Set[String] =
-            if (withBloom.isEmpty) Set.empty
+        else if (didRecorded.isDefined) racerIds
+        else m.ids
+      val digFams = if (stagedDig) famSketches(spark, dir, racerIds, "dig")
+        else (Nil, Nil)
+      val fpFams = if (stagedFp) famSketches(spark, dir, racerIds, "fp")
+        else (Nil, Nil)
+      val didFams = famSketches(spark, dir, didTestIds, "did")
+      val res = sketchJob(spark,
+        Seq(
+          SketchPart("dig", Seq(s"$base/digests").filter(_ => stagedDig),
+            "h", Some(DigestSchema)),
+          SketchPart("fp", Seq(s"$base/fps").filter(_ => stagedFp),
+            "fp", Some(FpSchema))) ++
+          stagedDidComps.map(c =>
+            SketchPart("did", Seq(s"$base/$c"), "did", None)),
+        Map("dig" -> digFams._1, "fp" -> fpFams._1, "did" -> didFams._1),
+        buildSketch = false, capLog2(spark))
+      val digScan = res("dig").hitIds ++ digFams._2
+      val fpScan = res("fp").hitIds ++ fpFams._2
+      val didScanSet = res("did").hitIds ++ didFams._2 ++
+        didRecorded.getOrElse(Nil).filter(m.ids.contains)
+      val didScanIds = m.ids.filter(didScanSet)
+      // full-row components: key = component-tagged whole row,
+      // committed side restricted to sketch-hit (or sketch-less) racers
+      val rowParts = Seq(("digests", digScan), ("fps", fpScan))
+        .flatMap { case (comp, scan) =>
+          if (!hasParquet(spark, s"$base/$comp") || scan.isEmpty) None
+          else {
+            val committed =
+              componentPaths(spark, dir, m.ids.filter(scan), comp)
+            if (committed.isEmpty) None
             else {
-              val blooms = withBloom
-              val bc = spark.sparkContext.broadcast(blooms)
-              import spark.implicits._
-              val stagedDidStrs = stagedDidComps
-                .map(c => spark.read.parquet(s"$base/$c")
-                  .select(col("did").cast("string").as("did")))
-                .reduce(_ unionByName _)
-              val hit = stagedDidStrs.as[String].mapPartitions { it =>
-                val bs = bc.value
-                val seen = new Array[Boolean](bs.size)
-                it.foreach { d =>
-                  var i = 0
-                  while (i < bs.size) {
-                    if (!seen(i) && bs(i)._2.mightContainString(d))
-                      seen(i) = true
-                    i += 1
-                  }
-                }
-                seen.iterator.zipWithIndex
-                  .collect { case (true, i) => bs(i)._1 }
-              }.distinct().collect().toSet
-              bc.unpersist()
-              hit
+              def key(df: DataFrame) = df.select(
+                concat(lit(comp), lit(":"),
+                  col(df.columns.head).cast("string")).as("k"))
+              Some((key(spark.read.parquet(s"$base/$comp"))
+                  .withColumn("comp", lit(comp)),
+                key(spark.read.parquet(committed: _*))))
             }
-          m.ids.filter(cid => hits(cid) || mustScan.contains(cid))
+          }
         }
       def dids(comp: String, paths: Seq[String]): Option[DataFrame] =
         if (paths.isEmpty) None
         else Some(spark.read.parquet(paths: _*).select(
           concat(lit("did:"), col("did").cast("string")).as("k"))
           .withColumn("comp", lit(comp)))
-      val stagedDids = stagedDidComps
-        .flatMap(c => dids(c, Seq(s"$base/$c")))
-      val committedDids = Seq("sets", "docs")
-        .flatMap(c => dids(c, componentPaths(spark, dir, didScanIds, c)))
+      // resolve the COMMITTED side's paths first: constructing a
+      // parquet DataFrame launches its schema-inference job, so the
+      // staged side must not be built when there is nothing to audit
+      // against (the no-hit commit — the common case — stays jobless)
+      val committedDidPaths = Seq("sets", "docs")
+        .map(c => c -> componentPaths(spark, dir, didScanIds, c))
       val didPart =
-        if (stagedDids.isEmpty || committedDids.isEmpty) None
-        else Some((stagedDids.reduce(_ unionByName _),
-          committedDids.reduce(_ unionByName _).drop("comp")))
+        if (committedDidPaths.forall(_._2.isEmpty)) None
+        else {
+          val stagedDids = stagedDidComps
+            .flatMap(c => dids(c, Seq(s"$base/$c")))
+          val committedDids = committedDidPaths
+            .flatMap { case (c, ps) => dids(c, ps) }
+          if (stagedDids.isEmpty || committedDids.isEmpty) None
+          else Some((stagedDids.reduce(_ unionByName _),
+            committedDids.reduce(_ unionByName _).drop("comp")))
+        }
       val parts = rowParts ++ didPart
       if (parts.nonEmpty) {
         val hit = parts.map(_._1).reduce(_ unionByName _)
@@ -781,28 +1105,51 @@ object SnapshotStore {
     val srcPaths = Components.map { c =>
       c -> componentPaths(spark, dir, ids0, c)
     }.toMap
-    srcPaths.foreach { case (c, ps) =>
-      if (ps.nonEmpty)
-        spark.read.parquet(ps: _*).write.mode("error").parquet(s"$base/$c")
+    // the component rewrites are independent jobs — overlap them
+    // (guide §2.6), like the staging writes; each source schema is
+    // captured once so the audit and sidecar reads below skip their
+    // own inference jobs
+    val srcSchemas = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+    inParallel(Components.flatMap { c =>
+      val ps = srcPaths(c)
+      if (ps.isEmpty) None
+      else Some(() => {
+        val df = spark.read.parquet(ps: _*)
+        srcSchemas.put(c, df.schema)
+        df.write.mode("error").parquet(s"$base/$c")
+      })
+    })
+    def compSchema(c: String) = Option(srcSchemas.get(c))
+    def didField(c: String) = compSchema(c).map(s =>
+      org.apache.spark.sql.types.StructType(Seq(s("did"))))
+    // the compacted append carries its own did/digest/fp sketches (one
+    // aggregation pass over the rewritten bytes — same order as the
+    // rewrite itself): without them, every future commit's did audit
+    // and every future staging's anti-join would fall back to scanning
+    // the corpus-sized compacted components
+    val skRes = sketchJob(spark, Seq(
+      SketchPart("did", Seq(s"$base/sets").filter(hasParquet(spark, _)),
+        "did", didField("sets")),
+      SketchPart("did", Seq(s"$base/docs").filter(hasParquet(spark, _)),
+        "did", didField("docs")),
+      SketchPart("dig", Seq(s"$base/digests").filter(hasParquet(spark, _)),
+        "h", Some(DigestSchema)),
+      SketchPart("fp", Seq(s"$base/fps").filter(hasParquet(spark, _)),
+        "fp", Some(FpSchema))),
+      Map.empty, buildSketch = true, capLog2(spark))
+    Seq("did", "dig", "fp").foreach { f =>
+      skRes(f).sketch.foreach(sk =>
+        writeSketchFile(spark, s"$base/$SummaryDir/${FamFile(f)}", sk))
     }
-    // the compacted append carries its own did sketch (one scan of the
-    // rewritten dids — same order as the rewrite itself): without it,
-    // every future commit's did audit would fall back to scanning the
-    // corpus-sized compacted components
-    writeDidBloom(spark, base)
     touchInflight(spark, base) // audit may outlast the staging writes
-    srcPaths.foreach { case (c, ps) =>
-      if (ps.nonEmpty) {
-        val old = spark.read.parquet(ps: _*)
-        val neu = spark.read.parquet(s"$base/$c")
-        if (old.count() != neu.count() || !old.exceptAll(neu).isEmpty) {
-          fs.delete(new HPath(base), true)
-          throw new IllegalStateException(
-            s"SnapshotStore.compact audit failed on $c at $dir: staged " +
-              "rewrite is not row-equal to its sources; staging deleted, " +
-              "manifest untouched")
-        }
-      }
+    auditCompactEquality(spark, base, srcPaths,
+      c => compSchema(c)).foreach { comp =>
+      fs.delete(new HPath(base), true)
+      throw new IllegalStateException(
+        s"SnapshotStore.compact audit failed on $comp at $dir: staged " +
+          "rewrite is not row-equal to its sources; staging deleted, " +
+          "manifest untouched")
     }
     var published = false
     while (!published) {
@@ -823,6 +1170,47 @@ object SnapshotStore {
     }
     fs.delete(new HPath(s"$base/$InflightMarker"), false)
     aid
+  }
+
+  /** The compact audit — staged rewrite row-multiset-equal to its
+    * source appends, per component — as ONE Spark job instead of the
+    * r20 form's 3 jobs PER component (count old + count new +
+    * EXCEPT ALL): every side of every component projects to
+    * (comp, md5(to_json(row))) and one grouped count compare proves
+    * per-key multiset equality both ways, which implies the count +
+    * one-sided-EXCEPT-ALL pair it replaces (md5 collisions are the
+    * same impossibility the store's digest identity already rests on).
+    * Returns the first mismatching component, None when equal. */
+  private[graft] def auditCompactEquality(spark: SparkSession,
+      base: String, srcPaths: Map[String, Seq[String]],
+      schemaOf: String => Option[org.apache.spark.sql.types.StructType] =
+        _ => None): Option[String] = {
+    def readAll(c: String, ps: Seq[String]) = schemaOf(c) match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    val sides = srcPaths.toSeq.sortBy(_._1).flatMap { case (c, ps) =>
+      if (ps.isEmpty) None
+      else {
+        def keyed(df: DataFrame, side: String) = df.select(
+          lit(c).as("comp"),
+          md5(to_json(struct(df.columns.toIndexedSeq.map(col): _*))).as("k"),
+          lit(side).as("side"))
+        val neu =
+          if (hasParquet(spark, s"$base/$c")) readAll(c, Seq(s"$base/$c"))
+          else readAll(c, ps).limit(0)
+        Some(keyed(readAll(c, ps), "src").unionByName(keyed(neu, "neu")))
+      }
+    }
+    if (sides.isEmpty) None
+    else sides.reduce(_ unionByName _)
+      .groupBy(col("comp"), col("k"))
+      .agg(
+        sum(when(col("side") === "src", 1L).otherwise(0L)).as("n_src"),
+        sum(when(col("side") === "neu", 1L).otherwise(0L)).as("n_new"))
+      .where(col("n_src") =!= col("n_new"))
+      .select(col("comp")).limit(1).collect()
+      .headOption.map(_.getString(0))
   }
 
   /** Delete staging directories not listed in the manifest — the
@@ -927,8 +1315,12 @@ object SnapshotStore {
       // final re-read: an append that published while we scanned must
       // keep its dir
       val live = committedIds(spark, dir).toSet
-      candidates.filter(p => !live(p.getName))
+      val deleted = candidates.filter(p => !live(p.getName))
         .map { p => fs.delete(p, true); p.getName }
+      // a reclaimed id may be recycled (tombstone-retention trim +
+      // appendAs replay) — its cached sketches must die with its dir
+      invalidateSketches(dir, deleted)
+      deleted
     }
   }
 

@@ -1,0 +1,157 @@
+package graft.operators
+
+/** The [[SnapshotStore]] sidecar Bloom sketch — a k-hash, power-of-two
+  * Bloom filter with one deliberate extra property over the stock
+  * `org.apache.spark.util.sketch.BloomFilter` the r20 sidecars used:
+  * positions are the LOW `bitsLog2` bits of the double-hash stream, so
+  * a sketch built at a large capacity FOLDS down to any smaller
+  * power-of-two width by OR-ing word blocks ([[StoreSketch.fold]]),
+  * bit-identically to having built it at that width. That lets ONE
+  * aggregation pass build the sketch at a fixed cap (no prior count
+  * job to size it — the r20 sidecar paid a count + a bloom job per
+  * append) and the driver then shrink it to ~16 bits/key for the
+  * persisted sidecar.
+  *
+  * Guarantees (the only ones the store relies on): NO false negatives
+  * — a key added is always `mightContain`; false positives cost a
+  * confirming scan, never a verdict. Hash = FNV-1a over UTF-8 bytes,
+  * finalized twice (splitmix64) into the (h1 + j·h2) double-hash
+  * family (Kirsch–Mitzenmacher) — engine-internal only (sidecars are
+  * audit metadata, never oracle-compared), so no cross-engine hash
+  * contract applies. */
+private[graft] final class StoreSketch(val bitsLog2: Int,
+    val words: Array[Long]) extends Serializable {
+  require(bitsLog2 >= 6 && bitsLog2 <= 40, s"bitsLog2 $bitsLog2 out of range")
+  require(words.length == (1 << (bitsLog2 - 6)).toInt,
+    s"word count ${words.length} != 2^${bitsLog2 - 6}")
+
+  def mightContain(key: String): Boolean = {
+    val (h1, h2) = StoreSketch.hash2(key)
+    mightContainHashed(h1, h2)
+  }
+
+  /** Probe with a precomputed hash pair — the per-row hot path shares
+    * one hash computation across every sketch it tests. */
+  def mightContainHashed(h1: Long, h2: Long): Boolean =
+    StoreSketch.containsHashed(words, bitsLog2, h1, h2)
+
+  /** Fold to a smaller power-of-two width: position p maps to its low
+    * `toLog2` bits, which at word granularity is word i OR-ing into
+    * word i mod 2^(toLog2-6) — exactly the sketch that building at
+    * `toLog2` would have produced (positions are low-bit masks). */
+  def fold(toLog2: Int): StoreSketch = {
+    require(toLog2 >= 6, s"fold target $toLog2 below word width")
+    if (toLog2 >= bitsLog2) this
+    else {
+      val out = new Array[Long](1 << (toLog2 - 6))
+      var i = 0
+      while (i < words.length) {
+        out(i & (out.length - 1)) |= words(i)
+        i += 1
+      }
+      new StoreSketch(toLog2, out)
+    }
+  }
+}
+
+private[graft] object StoreSketch {
+  /** Hash count — fixed so folded and full-size sketches test the same
+    * positions; at the ~16 bits/key the persisted fold targets, k=6
+    * gives fpp ≈ 4e-3 (a confirming-scan rate, never a verdict). */
+  val K = 6
+  /** Persisted-sidecar floor (1 Kib = 128 B) and the build-buffer cap:
+    * the aggregation buffer is 2^cap bits per (family × task); the
+    * default 2^22 (512 KiB) sizes ~260k keys at 16 bits/key — beyond
+    * it the sketch saturates gracefully (more confirming scans).
+    * `graft.store.sketchCapBitsLog2` raises it for production
+    * increments (e.g. 2^30 = 128 MiB covers ~6.7e7 keys/append). */
+  val MinBitsLog2 = 10
+  val DefaultCapBitsLog2 = 22
+  val CapConfKey = "graft.store.sketchCapBitsLog2"
+  /** Serialized header: magic, version, bitsLog2, word count. */
+  private val Magic = 0x47534b31 // "GSK1"
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The (h1, h2) double-hash pair of a key — h2 forced odd so the
+    * position stream walks the whole table. */
+  def hash2(key: String): (Long, Long) = {
+    val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    (mix(h), mix(h + 0x9e3779b97f4a7c15L) | 1L)
+  }
+
+  def addHashed(words: Array[Long], bitsLog2: Int, h1: Long, h2: Long): Unit = {
+    val mask = (1L << bitsLog2) - 1
+    var j = 0
+    while (j < K) {
+      val p = ((h1 + j * h2) & mask).toInt
+      words(p >>> 6) |= 1L << (p & 63)
+      j += 1
+    }
+  }
+
+  def containsHashed(words: Array[Long], bitsLog2: Int,
+      h1: Long, h2: Long): Boolean = {
+    val mask = (1L << bitsLog2) - 1
+    var j = 0
+    while (j < K) {
+      val p = ((h1 + j * h2) & mask).toInt
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Smallest power-of-two width ≥ 64 bits/key, clamped to
+    * [MinBitsLog2, capLog2] — the persisted-sidecar fold target. 64
+    * bits/key (not a space-optimal 10–16) because the probe is a
+    * WHOLE-DELTA test: a stage probes every staged key against every
+    * committed append's sketch, so the per-probe fpp must keep the
+    * EXPECTED false-positive count over |delta| probes ≪ 1 — at 16
+    * bits/key (fpp ≈ 9e-4, k=6) a 3k-key stage fires ~3 spurious
+    * confirming scans per append pair, measured as 2–3 extra commit
+    * jobs per lifecycle; at 64 bits/key fpp ≈ 5e-7 and the expected
+    * spurious scan rate at fixture scale is ~2e-3. Sidecar bytes stay
+    * trivial (3k keys → 32 KiB). */
+  def optimalBitsLog2(n: Long, capLog2: Int): Int = {
+    var b = MinBitsLog2
+    while (b < capLog2 && (1L << b) < 64L * math.max(1L, n)) b += 1
+    b
+  }
+
+  def write(out: java.io.OutputStream, sk: StoreSketch): Unit = {
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(Magic)
+    d.writeInt(1)
+    d.writeInt(sk.bitsLog2)
+    d.writeInt(sk.words.length)
+    var i = 0
+    while (i < sk.words.length) { d.writeLong(sk.words(i)); i += 1 }
+    d.flush()
+  }
+
+  def read(in: java.io.InputStream): StoreSketch = {
+    val d = new java.io.DataInputStream(in)
+    val magic = d.readInt()
+    require(magic == Magic, f"not a StoreSketch sidecar (magic 0x$magic%08x)")
+    val version = d.readInt()
+    require(version == 1, s"unsupported StoreSketch version $version")
+    val bitsLog2 = d.readInt()
+    val n = d.readInt()
+    val words = new Array[Long](n)
+    var i = 0
+    while (i < n) { words(i) = d.readLong(); i += 1 }
+    new StoreSketch(bitsLog2, words)
+  }
+}
