@@ -217,8 +217,15 @@ object Dedup {
     * a_n/b_n keep full set sizes, so emitted jaccard values are LOWER
     * BOUNDS of the true similarity, and pairs near the threshold may be
     * dropped — not just "recall loss" on all-boilerplate pairs. */
-  private def sizedSets(docs: DataFrame, id: String, text: String, w: Int): DataFrame =
-    docs
+  /** `spread` floors the shingle kernel's parallelism ([[Par.spread]])
+    * — opt-in per caller: the single-reference exact-join paths win
+    * (the kernel is their dominant cost and runs once); the PREFIX
+    * variants reference the sized/inverted frames from several
+    * subtrees, where the added exchange re-evaluates per subtree and
+    * measured net-negative at fixture scale (kept unspread). */
+  private def sizedSets(docs: DataFrame, id: String, text: String, w: Int,
+      spread: Boolean = false): DataFrame =
+    (if (spread) Par.spread(docs) else docs)
       .select(col(id).as("did"), Text.shingleSet(col(text), w).as("sset"))
       .select(col("did"), col("sset"), size(col("sset")).as("n"))
       .where(col("n") > 0)
@@ -253,7 +260,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: String, text: String,
       w: Int = 3, threshold: Double = 0.55,
       maxDf: Option[Int] = None): DataFrame = {
-    val inv = invertedIndex(sizedSets(docs, id, text, w), maxDf)
+    val inv = invertedIndex(sizedSets(docs, id, text, w, spread = true), maxDf)
     val counted = candidateJoin(inv, threshold)
       .groupBy(col("a.did").as("a_id"), col("b.did").as("b_id"),
         col("a.n").as("a_n"), col("b.n").as("b_n"))
@@ -290,7 +297,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, id: String, text: String,
       w: Int = 3, num: Int = 9, den: Int = 10,
       minSet: Int = 5, maxDf: Option[Int] = None): DataFrame = {
-    val inv = invertedIndex(sizedSets(docs, id, text, w), maxDf)
+    val inv = invertedIndex(sizedSets(docs, id, text, w, spread = true), maxDf)
     val a = inv.as("a")
     val b = inv.as("b")
     // join each unordered pair ONCE (did <) — |A∩B| is direction-free,

@@ -552,6 +552,106 @@ class SnapshotStoreSpec extends AnyFunSuite {
         s"$bytesSmall -> $bytesLarge")
   }
 
+  test("pruned staging: no-race stage bytes flat in committed appends (r21)") {
+    import spark.implicits._
+    // the r21 scale property, the stage-side twin of the commit one
+    // below: STAGING a disjoint novel delta into a store of N committed
+    // appends must read the same bytes as into a store of 2 — the
+    // digest/fp anti-join runs only against sketch-hit appends (none
+    // for novel content), so the only reads are the staged delta's own
+    // bytes (sketch pass + candidate writes). Before r21 the staging
+    // anti-join's build side unioned EVERY committed digest/fp
+    // component, so stage bytes grew with the store.
+    def bytesRead(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            n.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def freshDoc(i: Long) =
+      Seq((i, "x", s"novel $i alpha ${i * 31} beta ${i * 17} gamma"))
+        .toDF("doc_id", "source", "text")
+    def build(nAppends: Int): String = {
+      val dir = TempDirs.create(s"snapstore-stageflat-$nAppends")
+      (0 until nAppends).foreach(i =>
+        SnapshotStore.append(spark, dir, freshDoc(i.toLong)))
+      dir
+    }
+    val small = build(2)
+    val large = build(8)
+    val bytesSmall = bytesRead(
+      SnapshotStore.stageAs(spark, small, "probe-append", freshDoc(2000L)))
+    val bytesLarge = bytesRead(
+      SnapshotStore.stageAs(spark, large, "probe-append", freshDoc(2000L)))
+    assert(bytesLarge <= bytesSmall + 2048,
+      s"no-hit stage bytes grew with committed appends: " +
+        s"$bytesSmall -> $bytesLarge")
+  }
+
+  test("sidecar sketches cover every on-disk staged key (sidecar == disk)") {
+    import spark.implicits._
+    val d = Seq((0L, "en", "aa bb cc dd ee ff gg"),
+      (1L, "en", "hh ii jj kk ll mm nn"))
+      .toDF("doc_id", "lang", "text")
+    val dir = TempDirs.create("snapstore-sidecar-disk")
+    val aid = SnapshotStore.append(spark, dir, d, persistDocs = true)
+    val base = s"$dir/appends/$aid"
+    def sketch(name: String) = {
+      val in = new java.io.FileInputStream(s"$base/.summary/$name")
+      try graft.operators.StoreSketch.read(in) finally in.close()
+    }
+    val did = sketch("did.bloom")
+    val dig = sketch("digest.bloom")
+    val fp = sketch("fp.bloom")
+    // every key on disk must hit its family sketch (no false negatives
+    // = the covering property pruning soundness rests on); the digest
+    // sketch may additionally cover pre-anti-join candidates
+    val dids = spark.read.parquet(s"$base/sets").select("did").collect()
+      .map(_.get(0).toString) ++
+      spark.read.parquet(s"$base/docs").select("did").collect()
+        .map(_.get(0).toString)
+    assert(dids.nonEmpty && dids.forall(did.mightContain))
+    val hs = spark.read.parquet(s"$base/digests").collect().map(_.getString(0))
+    assert(hs.nonEmpty && hs.forall(dig.mightContain))
+    val fpsK = spark.read.parquet(s"$base/fps").collect().map(_.getString(0))
+    assert(fpsK.nonEmpty && fpsK.forall(fp.mightContain))
+  }
+
+  test("compact equality audit detects a corrupted rewrite (r21 one-job form)") {
+    import spark.implicits._
+    // the r21 audit replaces per-component count+EXCEPT ALL with one
+    // grouped-count compare — prove it still BITES: equal multisets
+    // pass, a dropped row, a duplicated row and a mutated row each fail
+    val dir = TempDirs.create("snapstore-audit-bite")
+    val src = s"$dir/src"
+    Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("did", "v")
+      .write.parquet(src)
+    def stage(rows: Seq[(Long, String)], name: String): String = {
+      val base = s"$dir/$name"
+      rows.toDF("did", "v").write.parquet(s"$base/sets")
+      base
+    }
+    val ok = stage(Seq((2L, "b"), (1L, "a"), (3L, "c"), (2L, "b")), "ok")
+    val dropped = stage(Seq((1L, "a"), (2L, "b"), (3L, "c")), "dropped")
+    val duped = stage(Seq((1L, "a"), (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "c")), "duped")
+    val mutated = stage(Seq((1L, "a"), (2L, "b"), (2L, "X"), (3L, "c")),
+      "mutated")
+    val srcPaths = Map("sets" -> Seq(src))
+    assert(SnapshotStore.auditCompactEquality(spark, ok, srcPaths).isEmpty)
+    Seq(dropped, duped, mutated).foreach { base =>
+      assert(SnapshotStore.auditCompactEquality(spark, base, srcPaths)
+        .contains("sets"), s"audit failed to bite on $base")
+    }
+  }
+
   test("manifest publish -> parse roundtrips ids and versioned tombstones exactly") {
     // the manifest IS the store's commit log: any id or tombstone that
     // fails to roundtrip through publishOnce -> currentManifest either
