@@ -353,7 +353,19 @@ object Dedup {
   def containmentPairsPrefix(docs: DataFrame, id: String, text: String,
       w: Int = 3, num: Int = 9, den: Int = 10,
       minSet: Int = 5): DataFrame = {
-    val sized = sizedSets(docs, id, text, w)
+    // sized is referenced from THREE subtrees (the inverted index and
+    // both verification joins) — without a cut the shingle kernel
+    // re-evaluates per subtree. Materializing it once (the n76
+    // candidate-set idiom) stops the re-evaluation; the checkpoint is
+    // the sized-sets frame, the same working set [[nearDupPairs]]
+    // persists, with the same 100 TB caveat (swap for disk-backed
+    // persistence or recompute when it outgrows executor storage).
+    // Deliberately NO spread on top: both spread placements were
+    // re-A/B'd in r22 (input-side: wall 2.87/task 22.7 s; the cut
+    // alone: 2.10/3.6 s; r21 shape: 2.68/5.0 s, same box same hour) —
+    // the repartition's exchange + 32-way micro-tasks cost more than
+    // the single-task kernel it parallelizes at this operator's scale.
+    val sized = sizedSets(docs, id, text, w).localCheckpoint()
     val inv = sized.select(col("did"), col("n"), explode(col("sset")).as("sh"))
     val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // n − ⌈t·n⌉ + 1 rarest shingles, integer-exact

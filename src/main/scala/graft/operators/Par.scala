@@ -29,8 +29,44 @@ private[graft] object Par {
     if (df.isStreaming) df // micro-batch planning owns stream parallelism
     else {
       val cores = df.sparkSession.sparkContext.defaultParallelism
-      // planned scan partition count — physical planning only, no job
-      val parts = df.queryExecution.toRdd.getNumPartitions
-      if (parts * 2 < cores) df.repartition(cores) else df
+      // ONLY scan-rooted (exchange-free) plans are inspected: under AQE
+      // `toRdd` on a plan WITH exchanges materializes its query stages —
+      // real shuffle jobs at inspection time, potentially re-executed by
+      // the repartition below (ADVICE r21). An exchange-bearing frame
+      // already has a shuffle sizing its downstream parallelism, so the
+      // floor is moot there anyway — return it unchanged.
+      val hasExchange = df.queryExecution.sparkPlan.exists {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case _ => false
+      }
+      if (hasExchange) df
+      else {
+        // planned scan partition count — exchange-free, so physical
+        // planning only, no job (keep spread OUT of per-batch loops:
+        // planning per call is driver work)
+        val parts = df.queryExecution.toRdd.getNumPartitions
+        if (parts * 2 < cores) df.repartition(cores) else df
+      }
     }
+
+  /** Run two INDEPENDENT driver-side actions concurrently — guide §2.6
+    * (Spark schedules concurrent jobs FIFO and back-fills the first
+    * job's task tail with the second's): the s40/s42 setup pays two
+    * eager localCheckpoints of the store's digest indexes back to back,
+    * each a small job plus scheduling floor; overlapping them halves
+    * that serial floor and at corpus scale overlaps two store scans. */
+  def par2[A, B](a: => A, b: => B): (A, B) = {
+    @volatile var bRes: Either[Throwable, B] = null
+    val t = new Thread(() => {
+      bRes = try Right(b) catch { case e: Throwable => Left(e) }
+    }, "graft-par2")
+    t.setDaemon(true)
+    t.start()
+    val aRes = a
+    t.join()
+    bRes match {
+      case Right(v) => (aRes, v)
+      case Left(e) => throw e
+    }
+  }
 }

@@ -1099,10 +1099,13 @@ object StreamQueries {
   def streamSnapshotCurationServe(spark: SparkSession,
       docsStream: DataFrame, oldDocs: DataFrame, newDocsBatch: DataFrame,
       budgetEn: Long, budgetOther: Long): DataFrame = {
-    import graft.operators.{Curation, Dedup}
+    import graft.operators.{Curation, Dedup, Par}
     val (aMd5r, aFpr) = Dedup.snapshotIndexes(oldDocs, col("text"))
-    val aMd5 = aMd5r.localCheckpoint() // sever from every micro-batch
-    val aFp = aFpr.localCheckpoint()
+    // sever from every micro-batch; the two checkpoints are independent
+    // jobs — overlap them (guide §2.6) instead of paying two serial
+    // job-launch + checkpoint floors
+    val (aMd5, aFp) = Par.par2(aMd5r.localCheckpoint(),
+      aFpr.localCheckpoint())
     val kept = Dedup.applySnapshotPolicy(newDocsBatch, aMd5, aFp,
       col("text")).localCheckpoint()
     val gates = Curation.trainGates(kept, budgetEn, budgetOther,
@@ -1213,10 +1216,12 @@ object StreamQueries {
     require(store.ids.nonEmpty,
       s"streamCrawlIncrement needs a non-empty pre-increment store at " +
         s"$storeDir (the first crawl is Curation.cycleAppend, batch)")
-    val aMd5 = store.digests(spark)
-      .withColumn("in_a", lit(1L)).localCheckpoint()
-    val aFp = store.fps(spark)
-      .withColumn("fp_in_a", lit(1L)).localCheckpoint()
+    // two independent checkpoint jobs — overlapped (guide §2.6); at
+    // corpus scale these are two full store-component scans that no
+    // longer serialize
+    val (aMd5, aFp) = graft.operators.Par.par2(
+      store.digests(spark).withColumn("in_a", lit(1L)).localCheckpoint(),
+      store.fps(spark).withColumn("fp_in_a", lit(1L)).localCheckpoint())
     val kept = Dedup.applySnapshotPolicy(incrementBatch,
       aMd5.drop("in_a"), aFp.drop("fp_in_a"), col("text"))
       .localCheckpoint()
